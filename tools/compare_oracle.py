@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json query in DuckDB over the sfDir parquet tables and
+compares (sorted columns, sorted rows, float-tolerant) against the Spark
+parquet dumps produced by `graft.Verify`. Dev tool only — not part of the
+shipped library.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) and isinstance(
+                col.dropna().iloc[0] if len(col.dropna()) else None,
+                (bytes, bytearray)):
+            df[c] = col.apply(lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else b)
+        elif col.dtype == object:
+            # dates and misc objects -> try datetime, else string
+            try:
+                df[c] = pd.to_datetime(col)
+            except Exception:
+                df[c] = col.astype(str)
+        elif str(col.dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(col).dt.tz_localize(None) \
+                if getattr(col.dt, "tz", None) else pd.to_datetime(col)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    declared = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*"))
+    fails, rows_only = [], []
+    for name in declared:
+        got = pd.read_parquet(f"{out_dir}/{name}")
+        if name not in oracle:
+            status = "rows-only" if len(got) > 0 else "EMPTY(rows-only)"
+            (rows_only if len(got) > 0 else fails).append(name)
+            print(f"{status:9} {name} rows={len(got)}")
+            continue
+        exp = con.execute(oracle[name]).fetchdf()
+        g, e = norm(got), norm(exp)
+        if g.shape != e.shape:
+            fails.append(name)
+            print(f"FAIL(shape) {name} spark={g.shape} duck={e.shape}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(
+                g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            print(f"OK        {name} rows={len(g)}")
+        except Exception as ex:
+            fails.append(name)
+            print(f"FAIL      {name}: {str(ex)[:300]}")
+    print(f"\n{len(declared) - len(fails)}/{len(declared)} pass"
+          f" ({len(rows_only)} rows-only). FAILS: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
