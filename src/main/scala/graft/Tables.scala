@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-generated star-schema snapshot (TESTDATA.md).
   *
@@ -15,5 +16,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright — read it as raw nanos (legacy conf) and convert to
+    * a TIMESTAMP_NTZ of microseconds. The testdata carries no
+    * sub-microsecond components, so `div 1000` is lossless (cross-checked
+    * by the DuckDB oracle, which reads the nanos natively). Integer `div`
+    * keeps the arithmetic exact — a double division would lose precision
+    * above 2^53 ns. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
 }

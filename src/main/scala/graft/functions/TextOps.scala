@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis `Column` builders for the LLM-data-pipeline surface:
+  * tokenization, shingling, quality signals, fingerprints. All pure
+  * Catalyst expression trees (array higher-order functions) — per-row
+  * work with NO shuffle and no UDF; they stay codegen-friendly and
+  * scale linearly with the corpus.
+  */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: word pieces + standalone punctuation. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** k-token shingles (contiguous). Caller must guard size >= k. */
+  def shingles(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))
+
+  /** Count of tokens in `stop` (exact match). */
+  def stopwordCount(toks: Column, stop: Seq[String]): Column =
+    size(filter(toks, w => stop.map(s => w === s).reduce(_ || _)))
+
+  /** Fraction of distinct tokens — a repetition / degeneracy signal. */
+  def uniqueRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks)
+
+  /** Mean token length in characters. */
+  def meanWordLen(toks: Column): Column =
+    aggregate(transform(toks, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(toks)
+
+  /** SimHash bit votes over whitespace tokens, computed per row with an
+    * array fold (no explode, no shuffle): each token votes ±1 on each
+    * bit of its xxhash64. Returns an array<int> of 64 vote tallies —
+    * materialize it as a column, then pack with [[simhashPack]] (two
+    * steps so the fold isn't duplicated 64× in the expression tree). */
+  def simhashVotes(toks: Column): Column =
+    aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc,
+        array((0 until 64).map(j =>
+          when(shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)): _*),
+        (a, b) => a + b))
+
+  /** Pack 64 vote tallies into the signed-64-bit SimHash fingerprint. */
+  def simhashPack(votes: Column): Column =
+    (0 until 64)
+      .map(j => when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** MinHash signature: for each seed, the min over shingles of a
+    * seed-salted 64-bit hash. One array column per row. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+}

@@ -1,0 +1,110 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-stream analytics in batch form (SURVEY §2.10's batch twins).
+  * The same transformations run under Structured Streaming in
+  * [[graft.streaming.EventsStream]]; batch keeps them oracle-checkable.
+  */
+object EventQueries {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** Epoch micros of the naive event timestamp (UTC session). */
+  private def tsMicros = expr("unix_micros(cast(ts as timestamp))")
+
+  // ---------------------------------------------------------------- q14
+  /** JSON property extraction + per-type rollup (SURVEY F-ext: the
+    * `events.props` JSON column). get_json_object is a single-pass
+    * path evaluation — no UDF, pushed alongside the scan. */
+  def q14EventsJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg($"value"), 4).as("avg_value"),
+        round(sum($"value"), 4).as("sum_value"),
+        max($"k_val").as("max_k"),
+        sum($"k_val").cast("long").as("sum_k"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Sessionization: 30-minute inactivity gap → session ids via
+    * lag + running sum of boundaries (SURVEY §2.7/§2.10). One shuffle on
+    * user_id; both window passes share that partitioning. */
+  def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000 * 1000
+    ev(spark, dir)
+      .withColumn("prev_us", lag(tsMicros, 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || (tsMicros - $"prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Tumbling-window aggregation (batch twin of the streaming
+    * `window($"ts","1 hour")` plan): date_trunc keeps the key scalar and
+    * oracle-comparable. */
+  def q16TumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .groupBy(
+        date_trunc("hour", $"ts").as("window_start"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+  }
+
+  // ================================================================ maps
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_events_json" -> (q14EventsJson _),
+    "q15_sessionize" -> (q15Sessionize _),
+    "q16_tumbling_window" -> (q16TumblingWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q14_events_json" ->
+      """SELECT event_type,
+         count(*) AS n_events,
+         round(avg(value),4) AS avg_value,
+         round(sum(value),4) AS sum_value,
+         max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k,
+         CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type""",
+    "q15_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked)
+         SELECT user_id, sess_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value),4) AS sum_value
+         FROM numbered GROUP BY user_id, sess_id""",
+    "q16_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value),4) AS sum_value
+         FROM events GROUP BY date_trunc('hour', ts), event_type""")
+}
