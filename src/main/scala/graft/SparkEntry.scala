@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.jobs.{DocumentQueries, EmbeddingQueries, EventQueries, RelationalQueries}
+import graft.jobs.{DocumentQueries, EmbeddingQueries, EventQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
-      DocumentQueries.queries ++ EmbeddingQueries.queries
+      DocumentQueries.queries ++ EmbeddingQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++
-      DocumentQueries.oracle ++ EmbeddingQueries.oracle
+      DocumentQueries.oracle ++ EmbeddingQueries.oracle ++
+      PipelineQueries.oracle
 }

@@ -79,10 +79,11 @@ object DocumentQueries {
       threshold = 0.4)
 
   // ---------------------------------------------------------------- q22
-  /** SimHash near-dup pairs (Hamming ≤ 12 on 64-bit fingerprints).
-    * Rows-only driver check; recall asserted in DedupSpec. */
+  /** SimHash near-dup pairs (Hamming ≤ 7 on 64-bit fingerprints, exact
+    * recall via the 8-band pigeonhole). Rows-only driver check; the
+    * banding contract is asserted in DedupSpec. */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDup(docs(spark, dir), maxHamming = 12)
+    Dedup.simhashDup(docs(spark, dir), maxHamming = 7)
 
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -38,7 +38,9 @@ object EventQueries {
   // ---------------------------------------------------------------- q15
   /** Sessionization: 30-minute inactivity gap → session ids via
     * lag + running sum of boundaries (SURVEY §2.7/§2.10). One shuffle on
-    * user_id; both window passes share that partitioning. */
+    * user_id; both window passes share that partitioning. Gap test is
+    * `>=` to agree exactly with `session_window` semantics (an event at
+    * exactly start+gap opens a new session) — see EventsStream. */
   def q15Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -46,7 +48,7 @@ object EventQueries {
     ev(spark, dir)
       .withColumn("prev_us", lag(tsMicros, 1).over(byUser))
       .withColumn("new_sess",
-        when($"prev_us".isNull || (tsMicros - $"prev_us") > gapUs, 1).otherwise(0))
+        when($"prev_us".isNull || (tsMicros - $"prev_us") >= gapUs, 1).otherwise(0))
       .withColumn("sess_id",
         sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"sess_id")
@@ -91,7 +93,7 @@ object EventQueries {
       """WITH marked AS (
            SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -108,21 +108,31 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** SimHash near-duplicates: 64-bit fingerprints, candidates from any
-    * shared 16-bit band, verified by Hamming distance ≤ maxHamming. */
-  def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** Per-document 64-bit SimHash fingerprints. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = docs
+    docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
       .withColumn("votes", simhashVotes($"toks"))
       .select($"doc_id", simhashPack($"votes").as("simhash"))
+  }
+
+  /** SimHash near-duplicates: 64-bit fingerprints, candidates from any
+    * shared 8-bit band (8 bands), verified by Hamming ≤ maxHamming.
+    * Pigeonhole guarantee: every pair with Hamming ≤ 7 shares at least
+    * one clean band, so recall is exact for maxHamming ≤ 7; beyond that
+    * the banding is probabilistic. */
+  def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = simhashFingerprints(docs)
     val bandRows = fp.select(
       $"doc_id", $"simhash",
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))
+          shiftrightunsigned($"simhash", b * 8).bitwiseAND(lit(0xFFL))
             .as("bh"))): _*))
         .as("bk"))
       .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.bh".as("band_hash"))

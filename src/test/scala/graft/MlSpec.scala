@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Kda, OutcomePipeline}
+
+class MlSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("outcome pipeline trains and beats the majority-class baseline floor") {
+    val (accuracy, (nTrain, nValidate, nTest)) =
+      OutcomePipeline.trainEval(spark, sf0001)
+    val total = nTrain + nValidate + nTest
+    assert(total == 1500L)
+    // reference split fractions 0.7/0.005/0.295 — assert fractions, not
+    // membership (SURVEY §7.4.7)
+    assert(math.abs(nTrain.toDouble / total - 0.7) < 0.05)
+    assert(accuracy >= 0.55, s"accuracy $accuracy below floor")
+  }
+
+  test("KDA relative weights: dominant driver wins, weights sum to R2") {
+    // y = 2*x1 + eps; x2 pure noise → weight(x1) >> weight(x2), sum ≈ R²≈1
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      (x1, x2, 2.0 * x1 + 0.1 * rnd.nextGaussian())
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val w = Kda.relativeWeights(df, "y", Seq("x1", "x2")).toMap
+    assert(w("x1") > 0.9, s"x1 weight ${w("x1")}")
+    assert(w("x2") < 0.05, s"x2 weight ${w("x2")}")
+    val sum = w.values.sum
+    assert(sum > 0.95 && sum <= 1.001, s"sum of weights $sum should be ~R²")
+  }
+}

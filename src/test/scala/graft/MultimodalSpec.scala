@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("batched mapPartitions decode agrees with the expression form") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val media = Multimodal.toMediaTable(docs)
+    val viaPartitions = Multimodal.extractFeatures(media.as[Multimodal.MediaRow])
+      .toDF()
+    val viaExpr = Multimodal.featuresExpr(media)
+    assert(viaPartitions.count() == 500)
+    assert(viaPartitions.exceptAll(viaExpr).count() == 0)
+    assert(viaExpr.exceptAll(viaPartitions).count() == 0)
+  }
+
+  test("decode stub is deterministic and total") {
+    val (w1, h1, b1) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val (w2, h2, b2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert((w1, h1, b1) == (w2, h2, b2))
+    val (_, _, b0) = Multimodal.decodeStub(Array.emptyByteArray)
+    assert(b0 == 0.0)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k matches a hand-computed cosine ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.7f, 0.7f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(vecs, $"vec_id" === 0, k = 4)
+      .orderBy($"rn").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    // cosine vs (1,0): v1=0.9939, v4=0.7071, v2=0, v3=-1
+    assert(got == Seq(1L, 4L, 2L, 3L))
+  }
+
+  test("top-k has exactly k rows per query and sims descend") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val res = Similarity.bruteForceTopK(emb, $"vec_id" < 5, k = 5).cache()
+    assert(res.groupBy($"query_id").count().filter($"count" =!= 5).count() == 0)
+    val bad = res.as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).values
+      .exists(rows => rows.sortBy(_._4).map(_._3).sliding(2).exists(p => p.head < p.last))
+    assert(!bad, "sim must be non-increasing in rank")
+  }
+
+  test("blocked nearest only pairs vectors in the same label+bucket block") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val res = Similarity.blockedNearest(emb, Seq(0, 16, 32, 48))
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val cross = res.select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+      .exists { case (a, b) => labels(a) != labels(b) }
+    assert(!cross, "neighbor crossed a label block")
+    assert(res.count() > 0)
+  }
+}
