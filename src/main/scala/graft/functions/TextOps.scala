@@ -45,11 +45,13 @@ object TextOps {
     * steps so the fold isn't duplicated 64× in the expression tree). */
   def simhashVotes(toks: Column): Column =
     aggregate(
-      toks,
+      // hash each token ONCE, then fold over the hashes — the bit loop
+      // below references the lambda variable, not a re-computed hash
+      transform(toks, w => xxhash64(w)),
       array_repeat(lit(0), 64),
-      (acc, w) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         array((0 until 64).map(j =>
-          when(shiftright(xxhash64(w), j).bitwiseAND(lit(1L)) === 1L, 1)
+          when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)): _*),
         (a, b) => a + b))
 

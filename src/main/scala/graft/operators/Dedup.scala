@@ -45,8 +45,15 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = shingleTable(docs, k).cache()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    // per-row distinct shingle arrays: sizes come free (no groupBy), the
+    // inverted index is one explode away
+    val withSh = docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
+      .cache()
+    val sh = withSh.select($"doc_id", explode($"sh").as("shingle"))
+    val sizes = withSh.select($"doc_id", size($"sh").as("n_shingles"))
     val common = sh.as("a")
       .join(sh.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
@@ -70,11 +77,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    val sh = shingleTable(docs, k).cache()
-    val shingleArrs = sh.groupBy($"doc_id")
-      .agg(collect_list($"shingle").as("sh"), count(lit(1)).as("n_shingles"))
-    val sigs = shingleArrs
-      .withColumn("sig", minhashSignature($"sh", numHashes))
+    // signatures straight off the per-row shingle array — no
+    // explode/groupBy/collect_list round-trip, zero shuffle to this point
+    val sigs = docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .withColumn("sh", array_distinct(shingles($"toks", k)))
+      .select($"doc_id", $"sh", size($"sh").as("n_shingles"),
+        minhashSignature($"sh", numHashes).as("sig"))
+      // reused by band explode, both sides of the candidate self-join and
+      // the verification joins — without this the signature lineage
+      // recomputes once per consumer
+      .cache()
 
     // band key = (band index, hash of the band's signature slice)
     val bandRows = sigs.select(
@@ -94,12 +108,13 @@ object Dedup {
       .distinct()
 
     // verify candidates with exact jaccard (only the candidate pairs)
+    val sh = sigs.select($"doc_id", explode($"sh").as("shingle"))
     val shA = sh.select($"doc_id".as("doc_a"), $"shingle")
     val shB = sh.select($"doc_id".as("doc_b"), $"shingle")
     val common = candidates
       .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-    val sizes = shingleArrs.select($"doc_id", $"n_shingles")
+    val sizes = sigs.select($"doc_id", $"n_shingles")
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
@@ -127,7 +142,9 @@ object Dedup {
   def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = simhashFingerprints(docs)
+    // both sides of the band self-join read the fingerprints — cache so
+    // the 64-bit vote fold runs once per doc
+    val fp = simhashFingerprints(docs).cache()
     val bandRows = fp.select(
       $"doc_id", $"simhash",
       explode(array((0 until 8).map(b =>
