@@ -67,14 +67,14 @@ object EmbeddingQueries {
            FROM e),
          sims AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS sim
            FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
            FROM sims)
-         SELECT query_id, neighbor_id, round(sim,4) AS sim, rn
+         SELECT query_id, neighbor_id, sim, rn
          FROM ranked WHERE rn <= 5""",
     "q25_ann_blocked" ->
       """WITH e AS (
@@ -91,7 +91,7 @@ object EmbeddingQueries {
            FROM e),
          sims AS (
            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
            FROM n a JOIN n b
              ON a.label = b.label AND a.bucket = b.bucket
             AND a.vec_id <> b.vec_id),
@@ -100,6 +100,6 @@ object EmbeddingQueries {
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
            FROM sims)
-         SELECT vec_id, neighbor_id, round(sim,4) AS sim
+         SELECT vec_id, neighbor_id, sim
          FROM ranked WHERE rn = 1""")
 }

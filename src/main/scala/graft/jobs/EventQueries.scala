@@ -98,8 +98,8 @@ object EventQueries {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          numbered AS (
-           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+           SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
            FROM marked)
          SELECT user_id, sess_id,
            min(ts) AS session_start, max(ts) AS session_end,

@@ -25,6 +25,12 @@ object Similarity {
       .withColumn("nrm", l2Norm($"v"))
   }
 
+  /** round(sim,4) with -0.0 folded to 0.0 (`+ 0.0` is the IEEE identity
+    * that erases the sign of zero in both Spark and DuckDB). Ranking and
+    * output both use this value so cross-engine float summation-order
+    * differences at the 15th decimal can't flip near-tie neighbors. */
+  private def simR(c: Column): Column = round(c, 4) + lit(0.0)
+
   /** Brute-force cosine top-k: each query (vec_id ∈ querySet) against the
     * whole corpus. Exact baseline for the ANN variants. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
@@ -36,11 +42,10 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
     corpus
       .join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("sim", cosine($"qv", $"v", $"qn", $"nrm"))
+      .withColumn("sim", simR(cosine($"qv", $"v", $"qn", $"nrm")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        round($"sim", 4).as("sim"), $"rn")
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rn")
   }
 
   /** Blocked (IVF/LSH-style) nearest neighbor: candidates share the
@@ -59,9 +64,9 @@ object Similarity {
     left
       .join(right,
         $"label" === $"cl" && $"bucket" === $"cb" && $"vec_id" =!= $"cand_id")
-      .withColumn("sim", cosine($"v", $"cv", $"nrm", $"cn"))
+      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
-      .select($"vec_id", $"cand_id".as("neighbor_id"), round($"sim", 4).as("sim"))
+      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim")
   }
 }

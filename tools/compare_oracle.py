@@ -62,7 +62,24 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(
                 g, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
-            print(f"OK        {name} rows={len(g)}")
+            # strict pass — emulates the driver's representation-level hash:
+            # same dtype kind (int vs float), exact values, signed zeros.
+            strict = ""
+            for c in g.columns:
+                gk, ek = g[c].dtype.kind, e[c].dtype.kind
+                if gk != ek and {gk, ek} <= {"i", "u", "f", "O"}:
+                    strict = f"dtype {c}: spark={g[c].dtype} duck={e[c].dtype}"
+                    break
+                if gk == "f":
+                    gz = np.signbit(g[c].fillna(0.0)) != np.signbit(e[c].fillna(0.0))
+                    if gz.any():
+                        strict = f"signed-zero/signbit {c} ({int(gz.sum())} rows)"
+                        break
+            if strict:
+                fails.append(name)
+                print(f"FAIL(repr) {name}: {strict}")
+            else:
+                print(f"OK        {name} rows={len(g)}")
         except Exception as ex:
             fails.append(name)
             print(f"FAIL      {name}: {str(ex)[:300]}")
