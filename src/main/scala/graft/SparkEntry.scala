@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.jobs.{DocumentQueries, EmbeddingQueries, EventQueries, PipelineQueries, RelationalQueries}
+import graft.jobs.{AactQueries, DocumentQueries, EmbeddingQueries, EventQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ EventQueries.queries ++
       DocumentQueries.queries ++ EmbeddingQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ AactQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++
       DocumentQueries.oracle ++ EmbeddingQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++ AactQueries.oracle
 }
