@@ -88,10 +88,36 @@ object AactQueries {
         $"enrollment_type_category", $"primary_purpose_type")
   }
 
+  // ---------------------------------------------------------------- q32
+  /** The LITERAL A8 wide-key GROUP BY with two fan roles of one table
+    * (reference ct_data.py:80-91: sponsors as sp/sp2, the 16-col group
+    * key, and `count(dgi.id)` taken over the multiplied fan — SURVEY
+    * §7.4.6 requires this literal variant alongside the rollup).
+    * `li_count_inflated` is deliberately fan-out-inflated; the distinct
+    * counts are immune. Same shape on the driver schema: lineitem in
+    * two roles (filtered 'R' vs unfiltered) against orders. */
+  def q32WidekeyFanout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.load(spark, dir, "orders")
+    val l = Tables.load(spark, dir, "lineitem")
+    val lr = l.filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("r_orderkey"), $"l_suppkey".as("r_suppkey"))
+    val l2 = l.select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    o.join(lr, $"o_orderkey" === $"r_orderkey")
+      .join(l2, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+        $"o_totalprice", $"o_orderdate")
+      .agg(
+        count($"l_linenumber").as("li_count_inflated"),
+        countDistinct($"r_suppkey").as("r_supp_count"),
+        countDistinct($"l_partkey").as("part_count"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_oncology_flags" -> (q30OncologyFlags _),
-    "q31_encode_ladders" -> (q31EncodeLadders _))
+    "q31_encode_ladders" -> (q31EncodeLadders _),
+    "q32_widekey_fanout" -> (q32WidekeyFanout _))
 
   private def orSql(c: String, terms: Seq[String]): String =
     terms.map(t => s"contains($c,'$t')").mkString("(", " OR ", ")")
@@ -105,6 +131,17 @@ object AactQueries {
            ${orSql("t", AactTerms.dashboard8)} <>
              ${orSql("t", AactTerms.condition15)} AS site_disagrees
          FROM l""",
+    "q32_widekey_fanout" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+           o.o_totalprice, o.o_orderdate,
+           count(l2.l_linenumber) AS li_count_inflated,
+           count(DISTINCT l.l_suppkey) AS r_supp_count,
+           count(DISTINCT l2.l_partkey) AS part_count
+         FROM orders o, lineitem l, lineitem l2
+         WHERE o.o_orderkey = l.l_orderkey AND o.o_orderkey = l2.l_orderkey
+           AND l.l_returnflag = 'R'
+         GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+           o.o_totalprice, o.o_orderdate""",
     "q31_encode_ladders" ->
       """WITH derived AS (
            SELECT o.o_orderkey,

@@ -10,6 +10,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
