@@ -38,26 +38,37 @@ object TextOps {
     aggregate(transform(toks, w => length(w)), lit(0),
       (acc, x) => acc + x).cast("double") / size(toks)
 
+  /** 60-bit hash from the md5 hex prefix — slower than xxhash64 but
+    * reproducible in any engine with md5 (the DuckDB oracle recomputes
+    * it as `('0x'||substr(md5(w),1,15))::UBIGINT`). 15 hex chars = 60
+    * bits, comfortably inside a signed 64-bit long. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** SimHash bit votes over whitespace tokens, computed per row with an
     * array fold (no explode, no shuffle): each token votes ±1 on each
-    * bit of its xxhash64. Returns an array<int> of 64 vote tallies —
+    * bit of its hash. Returns an array<int> of `bits` vote tallies —
     * materialize it as a column, then pack with [[simhashPack]] (two
-    * steps so the fold isn't duplicated 64× in the expression tree). */
-  def simhashVotes(toks: Column): Column =
+    * steps so the fold isn't duplicated per-bit in the expression
+    * tree). `tokenHash` defaults to xxhash64 (fastest); pass
+    * [[md5Hash60]] with bits=60 for the engine-portable variant. */
+  def simhashVotes(toks: Column, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): Column =
     aggregate(
       // hash each token ONCE, then fold over the hashes — the bit loop
       // below references the lambda variable, not a re-computed hash
-      transform(toks, w => xxhash64(w)),
-      array_repeat(lit(0), 64),
+      transform(toks, w => tokenHash(w)),
+      array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc,
-        array((0 until 64).map(j =>
+        array((0 until bits).map(j =>
           when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1)
             .otherwise(-1)): _*),
         (a, b) => a + b))
 
-  /** Pack 64 vote tallies into the signed-64-bit SimHash fingerprint. */
-  def simhashPack(votes: Column): Column =
-    (0 until 64)
+  /** Pack vote tallies into the SimHash fingerprint (bit j set iff
+    * tally j is positive). */
+  def simhashPack(votes: Column, bits: Int = 64): Column =
+    (0 until bits)
       .map(j => when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 

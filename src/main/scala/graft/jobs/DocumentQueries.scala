@@ -64,26 +64,42 @@ object DocumentQueries {
         .otherwise("other").as("lang_guess"))
   }
 
+  /** Document-frequency cap for the q20/q21 posting lists — candidate
+    * discovery ignores shingles shared by more docs than this (scale
+    * guard; values stay exact, see [[Dedup.ngramJaccard]]). */
+  val maxShingleDF = 100
+
   // ---------------------------------------------------------------- q20
-  /** Exact 5-gram Jaccard near-dup pairs via the inverted shingle
-    * index (threshold 0.4). */
+  /** Exact 5-gram Jaccard near-dup pairs via the DF-capped inverted
+    * shingle index (threshold 0.4). */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccard(docs(spark, dir), k = 5, threshold = 0.4)
+    Dedup.ngramJaccard(docs(spark, dir), k = 5, threshold = 0.4,
+      maxDF = maxShingleDF)
 
   // ---------------------------------------------------------------- q21
   /** MinHash(32)+LSH(8 bands) candidates verified to jaccard ≥ 0.4.
-    * Not SQL-expressible → rows-only driver check; equivalence to q20 on
-    * high-sim pairs is asserted in DedupSpec. */
+    * Oracle = q20's exact-Jaccard SQL: both are candidate-then-verify
+    * with exact-jaccard values, so outputs agree whenever both
+    * candidate generators reach every true pair. On this corpus the
+    * sparsest true pair sits at jaccard 0.875, where 8×4-row banding
+    * misses with probability (1-0.875⁴)⁸ ≈ 9·10⁻⁴ per pair under a
+    * random hash — and the hashes are fixed, so the driver-checked
+    * equality is deterministic (also asserted in DedupSpec). */
   def q21MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(docs(spark, dir), k = 5, numHashes = 32, bands = 8,
       threshold = 0.4)
 
   // ---------------------------------------------------------------- q22
-  /** SimHash near-dup pairs (Hamming ≤ 7 on 64-bit fingerprints, exact
-    * recall via the 8-band pigeonhole). Rows-only driver check; the
-    * banding contract is asserted in DedupSpec. */
+  /** SimHash near-dup pairs, engine-portable variant: 60-bit md5-prefix
+    * token hashes (recomputable in DuckDB), 4×15-bit bands, Hamming ≤ 3.
+    * The oracle brute-forces all fingerprint pairs in SQL; banding
+    * equals brute force exactly for maxHamming ≤ bands-1 (pigeonhole),
+    * so the comparison checks the whole pipeline: tokenize → hash →
+    * votes → pack → band → verify. The xxhash64/64-bit production
+    * default is contract-tested in DedupSpec. */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDup(docs(spark, dir), maxHamming = 7)
+    Dedup.simhashDup(docs(spark, dir), maxHamming = 3, bands = 4,
+      bits = 60, tokenHash = md5Hash60)
 
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,25 +142,66 @@ object DocumentQueries {
              AS quality_score,
            CASE WHEN sr > 0.08 THEN 'en' ELSE 'other' END AS lang_guess
          FROM m""",
-    "q20_ngram_jaccard" ->
+    "q20_ngram_jaccard" -> ngramJaccardSql,
+    "q21_minhash_lsh" -> ngramJaccardSql,
+    "q22_simhash" ->
+      // brute-force reproduction of the md5-60-bit simhash pipeline;
+      // equals the banded Spark plan exactly for hamming <= bands-1
       """WITH toks AS (
-           SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         idx AS (
-           SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i
-           FROM toks WHERE len(w) >= 5),
-         sh AS (
-           SELECT DISTINCT doc_id,
-             w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
-           FROM idx),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         common AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
-         FROM common
-         JOIN sizes sa ON doc_a = sa.doc_id
-         JOIN sizes sb ON doc_b = sb.doc_id
-         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.4""")
+           SELECT doc_id, unnest(string_split(text,' ')) AS w
+           FROM documents),
+         h AS (
+           SELECT doc_id, ('0x'||substr(md5(w),1,15))::UBIGINT AS hv
+           FROM toks),
+         bits AS (
+           SELECT doc_id, hv, unnest(generate_series(0,59)) AS j FROM h),
+         votes AS (
+           SELECT doc_id, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM bits GROUP BY doc_id, j),
+         fp AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0 END)
+               AS BIGINT) AS simhash
+           FROM votes GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS hamming
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+         FROM pairs WHERE hamming <= 3""")
+
+  /** Two-phase exact 5-gram Jaccard, DF-capped candidates (mirrors
+    * [[Dedup.ngramJaccard]] with maxDF=100): shared by q20 (directly)
+    * and q21 (the LSH path verifies to the same exact values). */
+  private lazy val ngramJaccardSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       idx AS (
+         SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i
+         FROM toks WHERE len(w) >= 5),
+       sh AS (
+         SELECT DISTINCT doc_id,
+           w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+         FROM idx),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       rare AS (
+         SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= $maxShingleDF),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         WHERE a.shingle IN (SELECT shingle FROM rare)),
+       common AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS c
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 4) AS jaccard
+       FROM common
+       JOIN sizes sa ON doc_a = sa.doc_id
+       JOIN sizes sb ON doc_b = sb.doc_id
+       WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.4"""
 }

@@ -25,16 +25,22 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------------------- q29
-  /** Johnson relative weights of lineitem measures vs revenue — the
-    * distributed-correlation + driver-eigendecomposition split (SURVEY
-    * M2). Not SQL-expressible (eigendecomposition) → rows-only check;
-    * exactness pinned in MlSpec. */
+  /** Johnson relative weights — the distributed-correlation +
+    * driver-eigendecomposition split (SURVEY M2), run through the SAME
+    * generic [[Kda.relativeWeights]] path as any k. This query uses
+    * k=2 (quantity, discount → revenue), for which the k×k matrix
+    * square root has a closed form — so the eigendecomposition itself
+    * becomes oracle-checkable in SQL:
+    * for R=[[1,r],[r,1]], Λ=R^{1/2}=[[a,b],[b,a]] with
+    * a=(√(1+r)+√(1-r))/2, b=(√(1+r)-√(1-r))/2; β=Λ⁻¹·r_xy;
+    * ε₁=a²β₁²+b²β₂², ε₂=b²β₁²+a²β₂². The k=4 path (no closed form)
+    * stays pinned against a hand-checked fixture in MlSpec. */
   def q29KdaWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
       .withColumn("revenue", $"l_extendedprice" * (lit(1) - $"l_discount"))
     val weights = Kda.relativeWeights(li, target = "revenue",
-      features = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      features = Seq("l_quantity", "l_discount"))
     weights.toDF("feature", "rel_weight")
       .select($"feature", round($"rel_weight", 4).as("rel_weight"))
   }
@@ -50,5 +56,26 @@ object PipelineQueries {
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
          CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
          CAST(64 + (octet_length(encode(text)) * 31) % 411 AS INTEGER) AS height
-         FROM documents""")
+         FROM documents""",
+    "q29_kda_weights" ->
+      """WITH c AS (
+           SELECT corr(l_quantity, l_discount) AS r,
+             corr(l_quantity, l_extendedprice*(1-l_discount)) AS r1y,
+             corr(l_discount, l_extendedprice*(1-l_discount)) AS r2y
+           FROM lineitem),
+         f AS (
+           SELECT r1y, r2y,
+             (sqrt(1+r)+sqrt(1-r))/2 AS a,
+             (sqrt(1+r)-sqrt(1-r))/2 AS b
+           FROM c),
+         g AS (
+           SELECT a, b,
+             (a*r1y - b*r2y)/(a*a - b*b) AS b1,
+             (a*r2y - b*r1y)/(a*a - b*b) AS b2
+           FROM f)
+         SELECT 'l_quantity' AS feature,
+           round(a*a*b1*b1 + b*b*b2*b2, 4) AS rel_weight FROM g
+         UNION ALL
+         SELECT 'l_discount',
+           round(b*b*b1*b1 + a*a*b2*b2, 4) FROM g""")
 }

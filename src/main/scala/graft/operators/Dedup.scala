@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextOps._
 
@@ -10,13 +11,26 @@ import graft.functions.TextOps._
   *
   * Scale design: every variant avoids the quadratic all-pairs join.
   *  - exact: one hash-aggregate on md5(text).
-  *  - n-gram Jaccard: inverted-index self-join on shared shingles —
-  *    cost is Σ over shingles of (docs-per-shingle)², not N².
+  *  - n-gram Jaccard: candidate pairs from a document-frequency-capped
+  *    inverted shingle index (a stop-phrase shingle shared by 10⁶ docs
+  *    would otherwise fan 10¹² candidate rows), verification with the
+  *    FULL shingle sets — so the cap bounds join fan without changing
+  *    any reported jaccard value.
   *  - MinHash+LSH: per-row signature (array fold), band buckets, and
   *    only bucket-colliding pairs are verified — the classic
   *    shingle→minhash→band→bucket-join pipeline.
-  *  - SimHash: per-row 64-bit fingerprint, 16-bit band blocking,
-  *    Hamming-distance verification via bit_count(xor).
+  *  - SimHash: per-row fingerprint, wide-band blocking (default 4
+  *    bands × 16 bits → 65 536 buckets per band, so bucket population
+  *    stays ~N/65k and the per-bucket self-join tracks true near-dup
+  *    density instead of going quadratic), Hamming verification via
+  *    bit_count(xor). Exact recall for maxHamming ≤ bands-1 by
+  *    pigeonhole.
+  *
+  * Intermediates that feed multiple consumers are persisted
+  * MEMORY_AND_DISK for the duration of the returned plan's first
+  * action; Spark's ContextCleaner reclaims the blocks once the frames
+  * go out of scope (callers running many queries in one session can
+  * also `spark.catalog.clearCache()` between them).
   */
 object Dedup {
 
@@ -41,25 +55,51 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over the inverted shingle index.
-    * Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold. */
-  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double): DataFrame = {
+    * Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold.
+    *
+    * Two-phase: candidates come from posting lists restricted to
+    * shingles with document frequency ≤ maxDF (the scale guard);
+    * `n_common` is then counted over the full shingle sets of the
+    * candidate pairs only, so values are exact. A pair is missed only
+    * if EVERY shared shingle is more common than maxDF — for any
+    * near-dup threshold worth the name that can't happen (two docs at
+    * jaccard ≥ 0.4 share ~40% of their shingles; with maxDF in the
+    * hundreds at least one is rare). */
+  def ngramJaccard(docs: DataFrame, k: Int, threshold: Double,
+      maxDF: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // per-row distinct shingle arrays: sizes come free (no groupBy), the
-    // inverted index is one explode away
+    // inverted index is one explode away; reused by candidates + verify
     val withSh = docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = withSh.select($"doc_id", explode($"sh").as("shingle"))
     val sizes = withSh.select($"doc_id", size($"sh").as("n_shingles"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+
+    // document-frequency cap on the posting lists (candidate phase only)
+    val posting =
+      if (maxDF == Int.MaxValue) sh
+      else {
+        val rare = sh.groupBy($"shingle")
+          .agg(count(lit(1)).as("df")).filter($"df" <= maxDF)
+          .select($"shingle")
+        sh.join(rare, Seq("shingle"), "left_semi")
+      }
+    val candidates = posting.as("a")
+      .join(posting.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+
+    // verify with the FULL shingle lists, restricted to candidates
+    val shA = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val shB = sh.select($"doc_id".as("doc_b"), $"shingle")
+    candidates
+      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
       .withColumn("jaccard",
@@ -88,7 +128,7 @@ object Dedup {
       // reused by band explode, both sides of the candidate self-join and
       // the verification joins — without this the signature lineage
       // recomputes once per consumer
-      .cache()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // band key = (band index, hash of the band's signature slice)
     val bandRows = sigs.select(
@@ -123,33 +163,43 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** Per-document 64-bit SimHash fingerprints. */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
+  /** Per-document SimHash fingerprints (`bits` wide, default 64). */
+  def simhashFingerprints(docs: DataFrame, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
-      .withColumn("votes", simhashVotes($"toks"))
-      .select($"doc_id", simhashPack($"votes").as("simhash"))
+      .withColumn("votes", simhashVotes($"toks", bits, tokenHash))
+      .select($"doc_id", simhashPack($"votes", bits).as("simhash"))
   }
 
-  /** SimHash near-duplicates: 64-bit fingerprints, candidates from any
-    * shared 8-bit band (8 bands), verified by Hamming ≤ maxHamming.
-    * Pigeonhole guarantee: every pair with Hamming ≤ 7 shares at least
-    * one clean band, so recall is exact for maxHamming ≤ 7; beyond that
-    * the banding is probabilistic. */
-  def simhashDup(docs: DataFrame, maxHamming: Int): DataFrame = {
+  /** SimHash near-duplicates: fingerprints, candidates from any shared
+    * band, verified by Hamming ≤ maxHamming. Banding is `bands` equal
+    * slices of the `bits`-wide fingerprint (default 4×16 bits).
+    * Pigeonhole guarantee: every pair with Hamming ≤ bands-1 has at
+    * least one untouched band, so recall is exact for
+    * maxHamming ≤ bands-1 (enforced). Wider bands = exponentially more
+    * buckets = smaller per-bucket self-joins at corpus scale. */
+  def simhashDup(docs: DataFrame, maxHamming: Int, bands: Int = 4,
+      bits: Int = 64, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // both sides of the band self-join read the fingerprints — cache so
-    // the 64-bit vote fold runs once per doc
-    val fp = simhashFingerprints(docs).cache()
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1,
+      s"banding recall is exact only for maxHamming <= ${bands - 1}")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    // both sides of the band self-join read the fingerprints — persist so
+    // the per-bit vote fold runs once per doc
+    val fp = simhashFingerprints(docs, bits, tokenHash)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = fp.select(
       $"doc_id", $"simhash",
-      explode(array((0 until 8).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned($"simhash", b * 8).bitwiseAND(lit(0xFFL))
+          shiftrightunsigned($"simhash", b * width).bitwiseAND(lit(mask))
             .as("bh"))): _*))
         .as("bk"))
       .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.bh".as("band_hash"))

@@ -38,22 +38,92 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.subsetOf(exact), s"extra: ${lsh.diff(exact)}")
   }
 
-  test("simhash banding finds EXACTLY the pairs at hamming <= 7 (pigeonhole)") {
-    // ground truth: brute-force cross join over all fingerprint pairs
+  /** Brute-force pair set at the given hamming cap. */
+  private def simhashTruth(maxHamming: Int): Set[(Long, Long)] = {
     val fp = Dedup.simhashFingerprints(docs).cache()
     val a = fp.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
     val b = fp.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
-    val truth = a.crossJoin(b)
+    a.crossJoin(b)
       .filter($"doc_a" < $"doc_b" &&
-        bit_count($"ha".bitwiseXOR($"hb")) <= 7)
+        bit_count($"ha".bitwiseXOR($"hb")) <= maxHamming)
       .select($"doc_a", $"doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = Dedup.simhashDup(docs, maxHamming = 7)
+  }
+
+  test("simhash 4x16 banding finds EXACTLY the pairs at hamming <= 3") {
+    val truth = simhashTruth(3)
+    val banded = Dedup.simhashDup(docs, maxHamming = 3)
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "expected some simhash near-dups at sf0.001")
     assert(banded == truth,
       s"missed: ${truth.diff(banded)}; extra: ${banded.diff(truth)}")
+  }
+
+  test("simhash 8x8 banding finds EXACTLY the pairs at hamming <= 7") {
+    val truth = simhashTruth(7)
+    val banded = Dedup.simhashDup(docs, maxHamming = 7, bands = 8)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(banded == truth,
+      s"missed: ${truth.diff(banded)}; extra: ${banded.diff(truth)}")
+  }
+
+  test("simhash rejects a hamming cap the banding cannot guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDup(docs, maxHamming = 7, bands = 4)
+    }
+  }
+
+  test("md5-60-bit simhash variant (q22's portable path) matches its own truth") {
+    import graft.functions.TextOps.md5Hash60
+    val fp = Dedup.simhashFingerprints(docs, bits = 60, tokenHash = md5Hash60)
+      .cache()
+    val a = fp.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
+    val b = fp.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
+    val truth = a.crossJoin(b)
+      .filter($"doc_a" < $"doc_b" && bit_count($"ha".bitwiseXOR($"hb")) <= 3)
+      .select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashDup(docs, maxHamming = 3, bands = 4, bits = 60,
+      tokenHash = md5Hash60)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fingerprints must stay inside 60 bits (positive longs)
+    assert(fp.filter($"simhash" < 0 || $"simhash" >= (1L << 60)).count() == 0)
+    assert(banded == truth,
+      s"missed: ${truth.diff(banded)}; extra: ${banded.diff(truth)}")
+  }
+
+  test("ngram maxDF prune: exact values, bounded candidates on skewed data") {
+    // 30 docs sharing one degenerate stop-phrase prefix + 2 planted
+    // near-dups: the stop shingles alone would fan 30×29/2 candidate
+    // pairs; with the cap only the near-dup pair survives discovery
+    val stop = "the quick brown fox jumps over dog"
+    val skewed = ((1 to 30).map(i =>
+      (i.toLong, s"$stop unique$i token$i word$i extra$i more$i")) ++ Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val unpruned = Dedup.ngramJaccard(skewed, k = 5, threshold = 0.3)
+    val pruned = Dedup.ngramJaccard(skewed, k = 5, threshold = 0.3, maxDF = 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the planted pair survives with an IDENTICAL jaccard value (full
+    // shingle sets verify), the stop-phrase-only pairs are dropped by
+    // discovery in the pruned variant and by threshold in the unpruned
+    assert(pairs(pruned).contains((100L, 101L, 0.6)))
+    assert(pairs(pruned) == pairs(unpruned).filter(_._1 >= 100L))
+  }
+
+  test("ngram maxDF prune is a no-op on the organic sf0.001 corpus") {
+    val a = Dedup.ngramJaccard(docs, k = 5, threshold = 0.4)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.ngramJaccard(docs, k = 5, threshold = 0.4, maxDF = 100)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
   }
 
   test("simhash fingerprints of near-identical docs are close") {
