@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -68,5 +70,62 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim")
+  }
+
+  /** IVF top-k — the trained-centroid scale path (vs [[blockedNearest]]'s
+    * fixed sign-buckets): k-means cells partition the corpus, each
+    * vector is indexed under its nearest centroid, and queries probe
+    * their `probes` nearest cells. Two scale guards:
+    *  - cell count is a tuning knob (2¹⁰–2¹⁴ at corpus scale), so cell
+    *    population ~N/cells instead of N/2^coords;
+    *  - `cellCap` bounds the candidates any one cell can contribute
+    *    (members closest to the centroid win), so a hot cell cannot go
+    *    quadratic — recall degrades gracefully instead.
+    * The centroid table is rows=numCells — always broadcast; the corpus
+    * is shuffled once on cell_id. KMeans training itself is Spark ML
+    * (sampled corpus pass per iteration, seeded → deterministic). */
+  def ivfTopK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
+      cellCap: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = prepared(emb).withColumn("fv", array_to_vector($"v"))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").fit(corpus)
+    // numCells rows — driver-side by construction, broadcast to executors
+    val centroids = broadcast(
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }
+        .toDF("cell", "centroid"))
+
+    // distance of every vector to every centroid (numCells multiplier on
+    // a broadcast side only), ranked per vector
+    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val ranked = corpus.drop("fv")
+      .join(centroids)
+      .withColumn("d2", aggregate(zip_with($"v", $"centroid",
+        (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
+      .withColumn("cr", row_number().over(byDist))
+
+    // index side: home cell only, hot cells capped at cellCap members
+    // (closest to centroid win — deterministic)
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"vec_id".asc)
+    val indexed = ranked.filter($"cr" === 1)
+      .withColumn("cellRank", row_number().over(byCell))
+      .filter($"cellRank" <= cellCap)
+      .select($"cell", $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"))
+    // query side: probe the `probes` nearest cells
+    val queries = ranked.filter($"cr" <= probes)
+      .select($"cell", $"vec_id", $"v", $"nrm")
+
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
+    queries
+      .join(indexed, Seq("cell"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+      // a pair can meet in several probed cells → dedup before ranking
+      .select($"vec_id", $"cand_id", $"sim").distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
   }
 }

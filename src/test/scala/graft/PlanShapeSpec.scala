@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY §4): the plans we'd want at
+  * 100× stay locked in CI — a regression to a cartesian product, a
+  * lost broadcast, or a dropped scan pushdown fails the build rather
+  * than surfacing as bench drift.
+  *
+  * Queries run at sf0.001 and the AQE-final plan is inspected (collect
+  * first so AdaptiveSparkPlan settles).
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  /** Final (post-AQE) physical plan string of a declared query. */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    val qe = df.queryExecution
+    df.collect()
+    qe.executedPlan.toString
+  }
+
+  /** q24 broadcasts a bounded query block against the corpus with a
+    * non-equi condition — BroadcastNestedLoop is the intended plan. */
+  private val bnlAllowed = Set("q24_cosine_topk")
+
+  test("no cartesian product or nested-loop join outside the allowed set") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = finalPlan(name)
+      val cartesian = p.contains("CartesianProduct")
+      val bnl = p.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name)
+      if (cartesian || bnl) Some(s"$name${if (cartesian) " cartesian" else ""}${if (bnl) " bnl" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"unexpected join plans: ${offenders.mkString(", ")}")
+  }
+
+  test("star-join queries broadcast their dimension sides") {
+    // q02 joins part (dim) to lineitem; q04 part→lineitem→orders;
+    // q06 is the 9-table star; q08 is the 3-table co-occurrence.
+    // All must contain at least one broadcast hash join and no plain
+    // shuffle of a dimension that fits the broadcast threshold.
+    Seq("q02_type_rollup", "q04_multi_substring_flag", "q06_star_features",
+      "q08_cooccurrence").foreach { name =>
+      val p = finalPlan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n$p")
+    }
+  }
+
+  test("q01 pushes its date filter into the parquet scan") {
+    val p = finalPlan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [LessThanOrEqual(l_shipdate") ||
+      p.contains("LessThanOrEqual(l_shipdate"),
+      s"q01 scan lost its pushed filter:\n$p")
+  }
+
+  test("q02 prunes lineitem scan to the referenced columns") {
+    val p = finalPlan("q02_type_rollup")
+    // the lineitem scan must not read the full 11-column schema
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")).toSeq
+    assert(scans.nonEmpty, s"no lineitem scan found:\n$p")
+    assert(!scans.exists(_.contains("l_comment")) &&
+      !scans.exists(_.contains("l_extendedprice")),
+      s"q02 reads columns it never uses:\n${scans.mkString("\n")}")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
+      .foreach { name =>
+        val p = finalPlan(name)
+        // codegen stages print as `*(n) Operator` in the final plan
+        assert(p.contains("*("),
+          s"$name fell out of whole-stage codegen:\n$p")
+      }
+  }
+}
