@@ -58,10 +58,21 @@ object OutcomePipeline {
       .setFeaturesCol("features")
       .setLabelCol("label")
 
+  /** M11: class-label decode map — the reference's `STATUS[class_id]`
+    * (ct_data.py:28-29; ct_estimator.py:153-158) on our label
+    * orientation (1.0 = order finished ≡ 'Completed'). */
+  val labelDecode: Map[Double, String] =
+    Map(1.0 -> "Completed", 0.0 -> "Terminated")
+
+  /** Fitted artifacts + splits, shared by evaluate and report paths. */
+  final case class Fitted(prep: org.apache.spark.ml.PipelineModel,
+    model: org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel,
+    train: DataFrame, validate: DataFrame, test: DataFrame)
+
   /** Reference split fractions 0.7 / 0.005 / rest (ct_data.py:152) via
     * randomSplit; seeds pinned (SURVEY §7.4.7 — assert fractions, not
-    * membership). Returns (accuracy-on-test, rowCounts). */
-  def trainEval(spark: SparkSession, dir: String, seed: Long = 42L): (Double, (Long, Long, Long)) = {
+    * membership). */
+  def fit(spark: SparkSession, dir: String, seed: Long = 42L): Fitted = {
     val frame = featureFrame(spark, dir).cache()
     val Array(train, validate, test) =
       frame.randomSplit(Array(0.7, 0.005, 0.295), seed)
@@ -72,13 +83,38 @@ object OutcomePipeline {
     // depend on observed categories + handleInvalid=keep)
     val inputSize = trainVec.select("features").head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    Fitted(prep, classifier(inputSize).fit(trainVec), train, validate, test)
+  }
 
-    val model = classifier(inputSize).fit(trainVec)
-    val predictions = model.transform(prep.transform(test))
+  /** M9: test-set accuracy. Returns (accuracy, rowCounts). */
+  def trainEval(spark: SparkSession, dir: String, seed: Long = 42L): (Double, (Long, Long, Long)) = {
+    val f = fit(spark, dir, seed)
+    val predictions = f.model.transform(f.prep.transform(f.test))
     val accuracy = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
       .setMetricName("accuracy")
       .evaluate(predictions)
-    (accuracy, (train.count(), validate.count(), test.count()))
+    (accuracy, (f.train.count(), f.validate.count(), f.test.count()))
+  }
+
+  /** M10+M11: the per-row prediction report over a fitted model — the
+    * reference's user-visible output (ct_estimator.py:136-160): each
+    * validation row with its predicted class, the probability of that
+    * class, the DECODED string labels for both prediction and truth,
+    * and a correctness flag (the `correct/total` tally is one
+    * aggregation away). All columns are expression-level (map literal
+    * decode, vector_to_array probability pick) — no driver loop. */
+  def predictionReport(f: Fitted, rows: DataFrame): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val decode = typedlit(labelDecode)
+    f.model.transform(f.prep.transform(rows))
+      .withColumn("probability_of_prediction",
+        round(element_at(vector_to_array(col("probability")),
+          col("prediction").cast("int") + 1), 4))
+      .withColumn("predicted_label", element_at(decode, col("prediction")))
+      .withColumn("expected_label", element_at(decode, col("label")))
+      .withColumn("is_correct", col("prediction") === col("label"))
+      .select("o_orderkey", "prediction", "probability_of_prediction",
+        "predicted_label", "expected_label", "is_correct")
   }
 }

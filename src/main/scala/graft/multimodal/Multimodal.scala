@@ -44,7 +44,9 @@ object Multimodal {
   /** Batched feature extraction: partition-local iteration (the
     * `mapInPandas` shape in Scala — one decoder context per partition,
     * rows streamed through it). No shuffle; parallelism = input
-    * partitioning. */
+    * partitioning. Brightness rounds HALF_UP to match Spark's `round`,
+    * so the two paths agree on any payload (asserted in
+    * MultimodalSpec, incl. non-ASCII). */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -52,23 +54,32 @@ object Multimodal {
       rows.map { r =>
         val (w, h, b) = decodeStub(r.content)
         MediaFeatures(r.doc_id, r.content.length, w, h,
-          math.rint(b * 10000) / 10000)
+          BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
       }
     }
   }
 
   /** The same features as pure Column expressions (for oracle checks and
     * for engines where the payload maths is expressible in SQL). Must
-    * agree with [[extractFeatures]] — asserted in MultimodalSpec. */
-  def featuresExpr(media: DataFrame): DataFrame =
+    * agree with [[extractFeatures]] — asserted in MultimodalSpec.
+    * Brightness folds over the RAW BYTES (hex-pair decode of the binary
+    * column), exactly like [[decodeStub]] — not over decoded characters,
+    * which would diverge on multi-byte UTF-8. */
+  def featuresExpr(media: DataFrame): DataFrame = {
+    val hx = hex(col("content"))
+    val byteSum = aggregate(
+      transform(
+        sequence(lit(1), octet_length(col("content")) * 2 - 1, lit(2)),
+        i => conv(hx.substr(i, lit(2)), 16, 10).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
     media.select(
       col("doc_id"),
       octet_length(col("content")).as("n_bytes"),
       (lit(64) + octet_length(col("content")) % 577).as("width"),
       (lit(64) + (octet_length(col("content")) * 31) % 411).as("height"),
-      round(aggregate(
-        transform(split(decode(col("content"), "UTF-8"), ""),
-          ch => when(length(ch) > 0, ascii(ch).cast("double")).otherwise(lit(0.0))),
-        lit(0.0), (acc, x) => acc + x) /
-        (lit(255.0) * octet_length(col("content"))), 4).as("brightness"))
+      when(octet_length(col("content")) === 0, lit(0.0))
+        .otherwise(round(byteSum / (lit(255.0) * octet_length(col("content"))), 4))
+        .as("brightness"))
+  }
 }

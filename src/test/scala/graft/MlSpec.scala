@@ -18,6 +18,28 @@ class MlSpec extends AnyFunSuite with SparkSpec {
     assert(accuracy >= 0.55, s"accuracy $accuracy below floor")
   }
 
+  test("prediction report: schema, decode round-trip, probability pick (M10/M11)") {
+    val f = OutcomePipeline.fit(spark, sf0001)
+    val report = OutcomePipeline.predictionReport(f, f.validate).cache()
+    assert(report.columns.toSeq == Seq("o_orderkey", "prediction",
+      "probability_of_prediction", "predicted_label", "expected_label",
+      "is_correct"))
+    val rows = report.as[(Long, Double, Double, String, String, Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, pred, prob, predLabel, expLabel, correct) =>
+      // decode round-trip: the string label is exactly the map image
+      assert(predLabel == OutcomePipeline.labelDecode(pred))
+      assert(Set("Completed", "Terminated")(expLabel))
+      // probability of the PREDICTED class must be the winning one
+      assert(prob >= 0.5 - 1e-9 && prob <= 1.0)
+      assert(correct == (predLabel == expLabel))
+    }
+    // the reference's correct/total tally is one aggregation away
+    val tally = report.filter($"is_correct").count().toDouble / rows.length
+    assert(tally >= 0.0 && tally <= 1.0)
+  }
+
   test("KDA relative weights: dominant driver wins, weights sum to R2") {
     // y = 2*x1 + eps; x2 pure noise → weight(x1) >> weight(x2), sum ≈ R²≈1
     val rnd = new scala.util.Random(7)
