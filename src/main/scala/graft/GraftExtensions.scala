@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.ArrayDotProduct
+
+/** `SparkSessionExtensions` hook registering graft's native expressions
+  * as SQL functions — enable cluster-wide with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, after which
+  * `SELECT graft_dot(a, b)` resolves in plain Spark SQL.
+  *
+  * The DataFrame API (`graft.functions.VectorOps.dot`) builds the same
+  * expression directly and needs no registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples for every native graft expression. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+
+  /** Register on an already-running session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      GraftColumnBridge.registerFunction(spark, id.funcName, info, builder)
+    }
+}

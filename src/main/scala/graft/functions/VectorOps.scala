@@ -1,20 +1,35 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+
+import graft.expressions.ArrayDotProduct
 
 /** Embedding-vector `Column` builders over `array<float>` columns.
   * Math is done in double (cast per element) so results are stable and
-  * comparable across engines; everything is a Catalyst expression tree
-  * (zip_with / aggregate), no UDF.
+  * comparable across engines; everything is a Catalyst expression tree,
+  * no UDF. The dot-product hot path is a native codegen'd expression
+  * ([[graft.expressions.ArrayDotProduct]]) with [[dotHof]] as the
+  * built-in-functions twin it is proven bit-identical to.
   */
 object VectorOps {
 
-  /** Element-wise cast to double. */
-  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Element-wise cast to double — a plain `Cast(array<float> →
+    * array<double>)`, which stays inside whole-stage codegen (a
+    * `transform(v, _.cast(...))` formulation is a higher-order function
+    * and would force the whole projection to interpreted eval). Widening
+    * float→double is exact, so results are unchanged. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product of two double arrays. */
+  /** Dot product of two double arrays — native codegen'd loop. */
   def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ArrayDotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Higher-order-function form of [[dot]] (interpreted lambda per
+    * element). Kept as the semantics reference for the parity spec and
+    * as the fallback if a deployment cannot ship native expressions. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
@@ -22,6 +37,13 @@ object VectorOps {
   /** Cosine similarity of two double arrays with precomputed norms. */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  /** Cosine similarity rounded to 4 decimals with -0.0 folded to 0.0
+    * (`+ 0.0` is the IEEE identity that erases the sign of zero in both
+    * Spark and DuckDB) — ranking and thresholding on this value keeps
+    * cross-engine float summation-order differences at the 15th decimal
+    * from flipping near-tie decisions. */
+  def roundedSim(c: Column): Column = round(c, 4) + lit(0.0)
 
   /** Sign-bit bucket from fixed coordinate projections — a deterministic,
     * engine-portable LSH for blocking: bit j = (v[coords(j)] > 0).

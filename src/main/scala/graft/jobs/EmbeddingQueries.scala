@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Similarity-search surface over the `embeddings` table (the
   * LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -43,11 +43,22 @@ object EmbeddingQueries {
   def q25AnnBlocked(spark: SparkSession, dir: String): DataFrame =
     Similarity.blockedNearest(emb(spark, dir), lshCoords)
 
+  /** Two coordinate tables for the near-dup multi-table LSH (0-based). */
+  val nearDupTables: Seq[Seq[Int]] = Seq(Seq(0, 16, 32, 48), Seq(8, 24, 40, 56))
+
+  // ---------------------------------------------------------------- q33
+  /** Embedding-cosine near-duplicate pairs (multi-table sign-LSH
+    * candidates, exact verification) — the embedding member of the
+    * dedup family in [[graft.operators.Dedup]]. */
+  def q33EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(emb(spark, dir), nearDupTables, threshold = 0.4)
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_embed_norms" -> (q23EmbedNorms _),
     "q24_cosine_topk" -> (q24CosineTopk _),
-    "q25_ann_blocked" -> (q25AnnBlocked _))
+    "q25_ann_blocked" -> (q25AnnBlocked _),
+    "q33_embed_neardup" -> (q33EmbedNearDup _))
 
   val oracle: Map[String, String] = Map(
     "q23_embed_norms" ->
@@ -101,5 +112,28 @@ object EmbeddingQueries {
                                 ORDER BY sim DESC, neighbor_id ASC) AS rn
            FROM sims)
          SELECT vec_id, neighbor_id, sim
-         FROM ranked WHERE rn = 1""")
+         FROM ranked WHERE rn = 1""",
+    "q33_embed_neardup" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             (CASE WHEN v[1] > 0 THEN 8 ELSE 0 END +
+              CASE WHEN v[17] > 0 THEN 4 ELSE 0 END +
+              CASE WHEN v[33] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[49] > 0 THEN 1 ELSE 0 END) AS b1,
+             (CASE WHEN v[9] > 0 THEN 8 ELSE 0 END +
+              CASE WHEN v[25] > 0 THEN 4 ELSE 0 END +
+              CASE WHEN v[41] > 0 THEN 2 ELSE 0 END +
+              CASE WHEN v[57] > 0 THEN 1 ELSE 0 END) AS b2
+           FROM e)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
+         FROM n a JOIN n b
+           ON a.vec_id < b.vec_id
+          AND (a.b1 = b.b1 OR a.b2 = b.b2)
+         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 >= 0.4""")
 }

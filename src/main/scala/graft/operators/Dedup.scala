@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextOps._
+import graft.functions.VectorOps._
 
 /** Deduplication operators for a training-data pipeline, over a
   * `documents(doc_id, text, ...)` relation.
@@ -211,5 +212,54 @@ object Dedup {
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicates over an `emb(vec_id, embedding
+    * array<float>)` relation: multi-table sign-bucket LSH candidates,
+    * exact cosine verification.
+    *
+    * Each table projects the vector onto a fixed coordinate set and
+    * buckets by the sign pattern (a deterministic, engine-portable
+    * random-hyperplane LSH — the hyperplanes are the coordinate axes).
+    * A pair is a candidate if it collides in ANY table; candidates only
+    * are verified with the exact (rounded) cosine, so reported sims are
+    * exact. Recall: a pair at cosine ≈ 1 agrees on every sign with
+    * probability → 1, and an exact copy collides in every table by
+    * construction; more tables → higher recall for weaker pairs.
+    *
+    * Scale: per-table buckets hold ~N/2^k vectors, the self-join is
+    * per-(table, bucket), and verification touches candidate pairs only
+    * — never all-pairs. */
+  def embeddingNearDup(emb: DataFrame, coordTables: Seq[Seq[Int]],
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // vectors + norms feed the bucket explode and both verify sides
+    val corpus = emb
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val buckets = corpus.select(
+      $"vec_id",
+      explode(array(coordTables.zipWithIndex.map { case (cs, t) =>
+        struct(lit(t).as("t"), signBucket($"v", cs).as("bh"))
+      }: _*)).as("bk"))
+      .select($"vec_id", $"bk.t".as("t"), $"bk.bh".as("bh"))
+
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        $"a.t" === $"b.t" && $"a.bh" === $"b.bh" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .distinct()
+
+    val va = corpus.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("an"))
+    val vb = corpus.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bn"))
+    candidates
+      .join(va, "vec_a").join(vb, "vec_b")
+      .withColumn("sim", roundedSim(dot($"av", $"bv") / ($"an" * $"bn")))
+      .filter($"sim" >= threshold)
+      .select($"vec_a", $"vec_b", $"sim")
   }
 }

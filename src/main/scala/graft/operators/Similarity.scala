@@ -27,11 +27,10 @@ object Similarity {
       .withColumn("nrm", l2Norm($"v"))
   }
 
-  /** round(sim,4) with -0.0 folded to 0.0 (`+ 0.0` is the IEEE identity
-    * that erases the sign of zero in both Spark and DuckDB). Ranking and
-    * output both use this value so cross-engine float summation-order
-    * differences at the 15th decimal can't flip near-tie neighbors. */
-  private def simR(c: Column): Column = round(c, 4) + lit(0.0)
+  /** Rounded -0.0-normalized sim (see [[VectorOps.roundedSim]]); ranking
+    * and output both use this value so cross-engine float
+    * summation-order differences can't flip near-tie neighbors. */
+  private def simR(c: Column): Column = roundedSim(c)
 
   /** Brute-force cosine top-k: each query (vec_id ∈ querySet) against the
     * whole corpus. Exact baseline for the ANN variants. */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.EmbeddingQueries
+import graft.operators.Dedup
+
+/** [[Dedup.embeddingNearDup]] — the embedding-cosine member of the
+  * dedup family: planted-copy recall, value exactness, and the
+  * candidate bound that keeps it off the all-pairs path.
+  */
+class EmbedNearDupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf0001, "embeddings").cache()
+  private val tables = EmbeddingQueries.nearDupTables
+
+  test("exact planted copies are always found with sim 1.0") {
+    // exact copies collide in EVERY sign table by construction
+    val copies = emb.limit(10).withColumn("vec_id", $"vec_id" + 100000L)
+    val planted = emb.unionByName(copies)
+    val pairs = Dedup.embeddingNearDup(planted, tables, threshold = 0.99)
+      .collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(found),
+      s"missed planted copies: ${expected.diff(found)}")
+    assert(pairs.filter(r => expected(r.getLong(0) -> r.getLong(1)))
+      .forall(_.getAs[Double]("sim") === 1.0))
+  }
+
+  test("scaled copies (same direction) are found: cosine is scale-invariant") {
+    // 2x-scaled copy: identical sign pattern -> collides in every table
+    val scaled = emb.limit(5)
+      .withColumn("vec_id", $"vec_id" + 200000L)
+      .withColumn("embedding", transform($"embedding", x => x * lit(2.0f)))
+    val planted = emb.unionByName(scaled)
+    val found = Dedup.embeddingNearDup(planted, tables, threshold = 0.99)
+      .filter($"vec_b" >= 200000L)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert((0L until 5L).map(i => (i, i + 200000L)).toSet.subsetOf(found))
+  }
+
+  test("reported sims are exact: they match brute-force cosine on the same pairs") {
+    val pairs = Dedup.embeddingNearDup(emb, tables, threshold = 0.3)
+    // recompute each reported pair's cosine the brute-force way
+    val brute = {
+      import graft.functions.VectorOps._
+      val n = emb.select($"vec_id", asDouble($"embedding").as("v"))
+        .withColumn("nrm", l2Norm($"v"))
+      val a = n.select($"vec_id".as("vec_a"), $"v".as("av"), $"nrm".as("an"))
+      val b = n.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bn"))
+      a.join(b, $"vec_a" < $"vec_b")
+        .withColumn("bsim", roundedSim(dot($"av", $"bv") / ($"an" * $"bn")))
+        .select($"vec_a", $"vec_b", $"bsim")
+    }
+    val joined = pairs.join(brute, Seq("vec_a", "vec_b"), "left")
+    assert(joined.filter($"bsim".isNull || $"sim" =!= $"bsim").count() === 0)
+  }
+
+  test("candidate verification never touches more than the colliding pairs") {
+    // upper bound: sum over (table, bucket) of C(n,2) — the operator's
+    // join fan; must be well under all-pairs C(N,2)
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val corpus = emb.select($"vec_id",
+      graft.functions.VectorOps.asDouble($"embedding").as("v"))
+    val perBucket = corpus.select(
+      $"vec_id",
+      explode(array(tables.zipWithIndex.map { case (cs, t) =>
+        struct(lit(t).as("t"),
+          graft.functions.VectorOps.signBucket($"v", cs).as("bh"))
+      }: _*)).as("bk"))
+      .groupBy($"bk.t", $"bk.bh").count()
+      .select(($"count" * ($"count" - 1) / 2).as("pairs"))
+      .agg(sum($"pairs")).head().getLong(0)
+    assert(perBucket < allPairs / 3,
+      s"bucketing did not shrink the pair space: $perBucket vs $allPairs")
+  }
+}
