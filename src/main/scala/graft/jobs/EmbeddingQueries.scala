@@ -9,6 +9,11 @@ import graft.operators.{Dedup, Similarity}
 
 /** Similarity-search surface over the `embeddings` table (the
   * LLM-data-pipeline extension, SURVEY §7.2 slice 5).
+  *
+  * Every blocked path declares its hot-block cap (the constant the
+  * oracle SQL mirrors), so no declared query carries an uncapped
+  * per-block self-join: q25 caps block membership, q33 caps sign-bucket
+  * membership, q34 caps IVF cell membership.
   */
 object EmbeddingQueries {
 
@@ -17,6 +22,12 @@ object EmbeddingQueries {
 
   /** Coordinates for the deterministic sign-bucket LSH (0-based). */
   val lshCoords: Seq[Int] = Seq(0, 16, 32, 48)
+
+  /** Hot-block candidate cap for q25 (members per (label, bucket)
+    * admitted to the candidate side; lowest vec_id wins). At corpus
+    * scale tune ≳ expected block size so it only clips pathological
+    * blocks. */
+  val q25BlockCap = 100
 
   // ---------------------------------------------------------------- q23
   /** Per-vector geometry: dimension + L2 norm (array fold, no shuffle). */
@@ -38,27 +49,58 @@ object EmbeddingQueries {
   }
 
   // ---------------------------------------------------------------- q25
-  /** Blocked (label × sign-bucket) nearest neighbor — the scale path:
-    * candidate pairs shrink by the block fan-out before any dot product. */
+  /** Blocked (label × sign-bucket) nearest neighbor — candidate pairs
+    * shrink by the block fan-out before any dot product, and a hot block
+    * contributes at most [[q25BlockCap]] candidates. */
   def q25AnnBlocked(spark: SparkSession, dir: String): DataFrame =
-    Similarity.blockedNearest(emb(spark, dir), lshCoords)
+    Similarity.blockedNearest(emb(spark, dir), lshCoords, q25BlockCap)
 
   /** Two coordinate tables for the near-dup multi-table LSH (0-based). */
   val nearDupTables: Seq[Seq[Int]] = Seq(Seq(0, 16, 32, 48), Seq(8, 24, 40, 56))
+
+  /** Hot-bucket cap for q33 (members per (table, bucket) admitted to the
+    * candidate join; lowest vec_id wins). */
+  val q33BucketCap = 100
 
   // ---------------------------------------------------------------- q33
   /** Embedding-cosine near-duplicate pairs (multi-table sign-LSH
     * candidates, exact verification) — the embedding member of the
     * dedup family in [[graft.operators.Dedup]]. */
   def q33EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDup(emb(spark, dir), nearDupTables, threshold = 0.4)
+    Dedup.embeddingNearDup(emb(spark, dir), nearDupTables,
+      threshold = 0.4, bucketCap = q33BucketCap)
+
+  /** q34 IVF geometry: cells = the first [[q34Cells]] corpus vectors as
+    * fixed centroids (SQL-reproducible, unlike a k-means fit — the
+    * trained path is [[Similarity.ivfTopK]], spec-verified for recall),
+    * 2-probe, top-3, hot cells capped at [[q34CellCap]]. */
+  val q34Cells = 8
+  val q34Probes = 2
+  val q34K = 3
+  val q34CellCap = 200
+
+  // ---------------------------------------------------------------- q34
+  /** IVF ANN top-k — the trained-centroid operator's oracle-checkable
+    * twin: same core ([[Similarity.ivfTopKWithCentroids]] — nearest-cell
+    * index, multi-probe queries, cellCap hot-cell bound), with fixed
+    * corpus-vector centroids so cell assignment is plain SQL. */
+  def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val centroids = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id".cast("int").as("cell"),
+        asDouble($"embedding").as("centroid"))
+    Similarity.ivfTopKWithCentroids(e, centroids,
+      probes = q34Probes, k = q34K, cellCap = q34CellCap)
+  }
 
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_embed_norms" -> (q23EmbedNorms _),
     "q24_cosine_topk" -> (q24CosineTopk _),
     "q25_ann_blocked" -> (q25AnnBlocked _),
-    "q33_embed_neardup" -> (q33EmbedNearDup _))
+    "q33_embed_neardup" -> (q33EmbedNearDup _),
+    "q34_ann_ivf" -> (q34AnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "q23_embed_norms" ->
@@ -100,12 +142,17 @@ object EmbeddingQueries {
               CASE WHEN v[33] > 0 THEN 2 ELSE 0 END +
               CASE WHEN v[49] > 0 THEN 1 ELSE 0 END) AS bucket
            FROM e),
+         capped AS (
+           SELECT *, row_number() OVER (PARTITION BY label, bucket
+                                        ORDER BY vec_id ASC) AS br
+           FROM n),
          sims AS (
            SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
              round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
-           FROM n a JOIN n b
+           FROM n a JOIN capped b
              ON a.label = b.label AND a.bucket = b.bucket
-            AND a.vec_id <> b.vec_id),
+            AND a.vec_id <> b.vec_id
+           WHERE b.br <= 100),
          ranked AS (
            SELECT vec_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY vec_id
@@ -129,11 +176,60 @@ object EmbeddingQueries {
               CASE WHEN v[25] > 0 THEN 4 ELSE 0 END +
               CASE WHEN v[41] > 0 THEN 2 ELSE 0 END +
               CASE WHEN v[57] > 0 THEN 1 ELSE 0 END) AS b2
-           FROM e)
-         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
-         FROM n a JOIN n b
-           ON a.vec_id < b.vec_id
-          AND (a.b1 = b.b1 OR a.b2 = b.b2)
-         WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 >= 0.4""")
+           FROM e),
+         bands AS (
+           SELECT vec_id, 0 AS t, b1 AS bh FROM n
+           UNION ALL
+           SELECT vec_id, 1 AS t, b2 AS bh FROM n),
+         capped AS (
+           SELECT vec_id, t, bh,
+             row_number() OVER (PARTITION BY t, bh ORDER BY vec_id ASC) AS br
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM capped a JOIN capped b
+             ON a.t = b.t AND a.bh = b.bh AND a.vec_id < b.vec_id
+           WHERE a.br <= 100 AND b.br <= 100)
+         SELECT c.vec_a, c.vec_b,
+           round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 AS sim
+         FROM cand c
+           JOIN n x ON x.vec_id = c.vec_a
+           JOIN n y ON y.vec_id = c.vec_b
+         WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 >= 0.4""",
+    "q34_ann_ivf" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cell,
+             n.nrm * n.nrm + c.cn2 - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n CROSS JOIN c),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         indexed AS (
+           SELECT cell, vec_id AS cand_id, v AS cv, nrm AS cn,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM ranked WHERE cr = 1),
+         q AS (SELECT cell, vec_id, v, nrm FROM ranked WHERE cr <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id, i.cand_id,
+             round(list_dot_product(q.v, i.cv) / (q.nrm * i.cn), 4) + 0.0 AS sim
+           FROM q JOIN indexed i ON q.cell = i.cell
+           WHERE i.cell_rank <= 200 AND q.vec_id <> i.cand_id),
+         topk AS (
+           SELECT vec_id, cand_id AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cand_id ASC) AS rn
+           FROM pairs)
+         SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3""")
 }

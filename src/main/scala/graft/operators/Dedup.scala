@@ -229,9 +229,14 @@ object Dedup {
     *
     * Scale: per-table buckets hold ~N/2^k vectors, the self-join is
     * per-(table, bucket), and verification touches candidate pairs only
-    * — never all-pairs. */
+    * — never all-pairs. `bucketCap` bounds the members any one (table,
+    * bucket) admits to the candidate join (lowest vec_id wins —
+    * deterministic and oracle-expressible), so a hot sign-bucket (e.g. a
+    * dominant embedding direction after normalization) fans ≤ C(cap,2)
+    * pairs instead of C(|bucket|,2); pairs it drops can still collide in
+    * the other tables. */
   def embeddingNearDup(emb: DataFrame, coordTables: Seq[Seq[Int]],
-      threshold: Double): DataFrame = {
+      threshold: Double, bucketCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // vectors + norms feed the bucket explode and both verify sides
@@ -240,12 +245,22 @@ object Dedup {
       .withColumn("nrm", l2Norm($"v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val buckets = corpus.select(
+    val bucketRows = corpus.select(
       $"vec_id",
       explode(array(coordTables.zipWithIndex.map { case (cs, t) =>
         struct(lit(t).as("t"), signBucket($"v", cs).as("bh"))
       }: _*)).as("bk"))
       .select($"vec_id", $"bk.t".as("t"), $"bk.bh".as("bh"))
+    val buckets =
+      if (bucketCap == Int.MaxValue) bucketRows
+      else {
+        val byBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy($"t", $"bh").orderBy($"vec_id".asc)
+        bucketRows
+          .withColumn("br", row_number().over(byBucket))
+          .filter($"br" <= bucketCap)
+          .drop("br")
+      }
 
     val candidates = buckets.as("a")
       .join(buckets.as("b"),

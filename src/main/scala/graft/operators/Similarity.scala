@@ -13,9 +13,10 @@ import graft.functions.VectorOps._
   *
   * Scale design: the brute-force path broadcasts the (small) query set
   * and streams the corpus once — no corpus shuffle, no N×N blow-up. The
-  * bucketed path is the 100-TB shape: candidates are restricted to an
-  * LSH block, shrinking pair count by the bucket fan-out before any
-  * expensive dot product runs.
+  * bucketed paths are the 100-TB shape: candidates are restricted to an
+  * LSH block / IVF cell, shrinking pair count by the bucket fan-out
+  * before any expensive dot product runs, and every blocked path caps
+  * hot-block membership so no single block can go quadratic.
   */
 object Similarity {
 
@@ -52,15 +53,31 @@ object Similarity {
   /** Blocked (IVF/LSH-style) nearest neighbor: candidates share the
     * (label, sign-bucket) block; within each block the top-1 neighbor per
     * vector. The deterministic coordinate sign-bucket keeps the operator
-    * engine-portable; swap in trained centroids for a production IVF. */
-  def blockedNearest(emb: DataFrame, coords: Seq[Int]): DataFrame = {
+    * engine-portable; swap in trained centroids for a production IVF.
+    *
+    * `blockCap` bounds the candidates any one block can contribute
+    * (lowest vec_id wins — deterministic and oracle-expressible), so a
+    * hot block degrades recall gracefully instead of going quadratic:
+    * join fan per block is ≤ |block| × blockCap, never |block|². Every
+    * vector stays a query even when capped out of the candidate side. */
+  def blockedNearest(emb: DataFrame, coords: Seq[Int],
+      blockCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = prepared(emb)
       .withColumn("bucket", signBucket($"v", coords))
     val left = corpus.select($"vec_id", $"label", $"bucket", $"v", $"nrm")
-    val right = corpus.select($"vec_id".as("cand_id"), $"label".as("cl"),
-      $"bucket".as("cb"), $"v".as("cv"), $"nrm".as("cn"))
+    val capped =
+      if (blockCap == Int.MaxValue) corpus
+      else {
+        val byBlock =
+          Window.partitionBy($"label", $"bucket").orderBy($"vec_id".asc)
+        corpus.withColumn("br", row_number().over(byBlock))
+          .filter($"br" <= blockCap)
+      }
+    val right = capped
+      .select($"vec_id".as("cand_id"), $"label".as("cl"),
+        $"bucket".as("cb"), $"v".as("cv"), $"nrm".as("cn"))
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
     left
       .join(right,
@@ -71,38 +88,36 @@ object Similarity {
       .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim")
   }
 
-  /** IVF top-k — the trained-centroid scale path (vs [[blockedNearest]]'s
-    * fixed sign-buckets): k-means cells partition the corpus, each
-    * vector is indexed under its nearest centroid, and queries probe
-    * their `probes` nearest cells. Two scale guards:
-    *  - cell count is a tuning knob (2¹⁰–2¹⁴ at corpus scale), so cell
-    *    population ~N/cells instead of N/2^coords;
-    *  - `cellCap` bounds the candidates any one cell can contribute
-    *    (members closest to the centroid win), so a hot cell cannot go
-    *    quadratic — recall degrades gracefully instead.
-    * The centroid table is rows=numCells — always broadcast; the corpus
-    * is shuffled once on cell_id. KMeans training itself is Spark ML
-    * (sampled corpus pass per iteration, seeded → deterministic). */
-  def ivfTopK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
-      cellCap: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+  /** IVF top-k over caller-supplied centroids `(cell int, centroid
+    * array<double>)` — the oracle-expressible core shared by the trained
+    * path ([[ivfTopK]]) and the fixed-centroid declared query: every
+    * vector is indexed under its nearest centroid, queries probe their
+    * `probes` nearest cells, and `cellCap` bounds the candidates any one
+    * cell contributes (members closest to the centroid win), so a hot
+    * cell cannot go quadratic — recall degrades gracefully instead.
+    *
+    * Squared distance uses the algebraic identity ‖v−c‖² = ‖v‖² + ‖c‖²
+    * − 2⟨v,c⟩, so assignment runs on the same codegen'd dot-product
+    * primitive as the similarity itself (one fused pass per pair, and
+    * the exact formulation a SQL oracle reproduces term for term). The
+    * centroid table is rows=cells — always broadcast; the corpus is
+    * shuffled once on cell_id. */
+  def ivfTopKWithCentroids(emb: DataFrame, centroids: DataFrame, probes: Int,
+      k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val corpus = prepared(emb).withColumn("fv", array_to_vector($"v"))
-    val model = new KMeans().setK(numCells).setSeed(seed)
-      .setFeaturesCol("fv").fit(corpus)
-    // numCells rows — driver-side by construction, broadcast to executors
-    val centroids = broadcast(
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }
-        .toDF("cell", "centroid"))
+    val corpus = prepared(emb)
+    val cents = centroids
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+      .select($"cell", $"centroid", $"cn2")
 
-    // distance of every vector to every centroid (numCells multiplier on
-    // a broadcast side only), ranked per vector
+    // distance of every vector to every centroid (cells multiplier on a
+    // broadcast side only), ranked per vector
     val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
-    val ranked = corpus.drop("fv")
-      .join(centroids)
-      .withColumn("d2", aggregate(zip_with($"v", $"centroid",
-        (x, c) => (x - c) * (x - c)), lit(0.0), (a, x) => a + x))
+    val ranked = corpus
+      .join(broadcast(cents))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
       .withColumn("cr", row_number().over(byDist))
 
     // index side: home cell only, hot cells capped at cellCap members
@@ -126,5 +141,27 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+  }
+
+  /** IVF top-k — the trained-centroid scale path (vs [[blockedNearest]]'s
+    * fixed sign-buckets): seeded k-means cells partition the corpus; cell
+    * count is a tuning knob (2¹⁰–2¹⁴ at corpus scale), so cell population
+    * is ~N/cells instead of N/2^coords. Candidate probing and the
+    * `cellCap` hot-cell bound live in [[ivfTopKWithCentroids]]. KMeans
+    * training itself is Spark ML (sampled corpus pass per iteration,
+    * seeded → deterministic); at corpus scale fit on a sample and reuse
+    * the model across runs. */
+  def ivfTopK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
+      cellCap: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val train = prepared(emb).withColumn("fv", array_to_vector($"v"))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("fv").fit(train)
+    // numCells rows — driver-side by construction, broadcast to executors
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    ivfTopKWithCentroids(emb, centroids, probes, k, cellCap)
   }
 }

@@ -59,6 +59,23 @@ class EmbedNearDupSpec extends AnyFunSuite with SparkSpec {
     assert(joined.filter($"bsim".isNull || $"sim" =!= $"bsim").count() === 0)
   }
 
+  test("bucketCap bounds a planted hot sign-bucket's candidate fan") {
+    // 100 vectors, positive in every coordinate → one hot bucket in
+    // EVERY table (the post-normalization dominant-direction pathology).
+    // Cap 10 → candidates only among the 10 lowest vec_ids: ≤ C(10,2)
+    // pairs instead of C(100,2).
+    val hot = spark.range(100).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (i + $"id" % 5 + 1).cast("float")).as("embedding"))
+    val pairs = Dedup.embeddingNearDup(hot, tables, threshold = 0.0,
+      bucketCap = 10).collect()
+    assert(pairs.length <= 45, s"cap leaked: ${pairs.length} pairs > C(10,2)")
+    val ids = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.subsetOf((0L until 10L).toSet),
+      s"pair member past the cap: ${ids.filter(_ >= 10)}")
+  }
+
   test("candidate verification never touches more than the colliding pairs") {
     // upper bound: sum over (table, bucket) of C(n,2) — the operator's
     // join fan; must be well under all-pairs C(N,2)
@@ -74,8 +91,8 @@ class EmbedNearDupSpec extends AnyFunSuite with SparkSpec {
       }: _*)).as("bk"))
       .groupBy($"bk.t", $"bk.bh").count()
       .select(($"count" * ($"count" - 1) / 2).as("pairs"))
-      .agg(sum($"pairs")).head().getLong(0)
-    assert(perBucket < allPairs / 3,
+      .agg(sum($"pairs")).head().getDouble(0)
+    assert(perBucket < allPairs / 3.0,
       s"bucketing did not shrink the pair space: $perBucket vs $allPairs")
   }
 }

@@ -21,8 +21,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   /** q24 broadcasts a bounded query block against the corpus with a
-    * non-equi condition — BroadcastNestedLoop is the intended plan. */
-  private val bnlAllowed = Set("q24_cosine_topk")
+    * non-equi condition; q34's IVF assignment fans the corpus across a
+    * broadcast centroid table of rows=cells (a deliberate bounded
+    * cross join — the classic IVF assignment shape). BroadcastNestedLoop
+    * is the intended plan for both. */
+  private val bnlAllowed = Set("q24_cosine_topk", "q34_ann_ivf")
 
   test("no cartesian product or nested-loop join outside the allowed set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -65,6 +68,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!scans.exists(_.contains("l_comment")) &&
       !scans.exists(_.contains("l_extendedprice")),
       s"q02 reads columns it never uses:\n${scans.mkString("\n")}")
+  }
+
+  test("bucketed fact-fact join plans with no shuffle exchange (S10)") {
+    import graft.sources.WarehouseWriter
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    WarehouseWriter.saveBucketed(orders, "orders_bucketed", "o_orderkey", 8)
+    WarehouseWriter.saveBucketed(lineitem, "lineitem_bucketed", "l_orderkey", 8)
+    // broadcast would bypass the bucketed layout on these tiny test
+    // tables; at fact×fact scale neither side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("lineitem_bucketed"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey", $"o_totalprice", $"l_quantity")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      WarehouseWriter.dropIfExists(spark, "orders_bucketed")
+      WarehouseWriter.dropIfExists(spark, "lineitem_bucketed")
+    }
   }
 
   test("whole-stage codegen covers the relational hot paths") {

@@ -62,6 +62,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(capped.count() > 0)
   }
 
+  test("blocked nearest blockCap bounds a planted hot block's candidate fan") {
+    // 200 vectors, all same label, all positive on every LSH coordinate
+    // → ONE (label, bucket) block holding the entire corpus: the
+    // worst-case hot block. Cap 10 must bound every vector's candidate
+    // set at 10 while still returning a neighbor for all 200 queries.
+    val hot = spark.range(200).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (i + $"id" % 7 + 1).cast("float")).as("embedding"),
+      lit(0).as("label"))
+    val coords = Seq(0, 16, 32, 48)
+    val res = Similarity.blockedNearest(hot, coords, blockCap = 10).cache()
+    assert(res.count() === 200, "every vector must still get a neighbor")
+    // rerun with k unbounded via a huge cap to count raw candidates: the
+    // capped run's candidate side is the 10 lowest vec_ids only
+    val neighbors = res.select($"neighbor_id").distinct()
+      .as[Long].collect().toSet
+    assert(neighbors.subsetOf((0L until 10L).toSet),
+      s"candidates leaked past the cap: ${neighbors.filter(_ >= 10)}")
+  }
+
   test("blocked nearest only pairs vectors in the same label+bucket block") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val res = Similarity.blockedNearest(emb, Seq(0, 16, 32, 48))
