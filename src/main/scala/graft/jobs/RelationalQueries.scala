@@ -58,6 +58,27 @@ object RelationalQueries {
         to_date(max($"l_shipdate")).as("last_seen_date"))
   }
 
+  /** A2 scale variant of q02: HLL++ sketch via approx_count_distinct.
+    * Exact countDistinct plans an Expand — every input row duplicates
+    * per distinct-agg, doubling shuffle volume — and carries the full
+    * key set through the shuffle; the sketch is one pass with
+    * fixed-size (~kilobytes) state per group, the 100-TB escape hatch
+    * when ±rsd on a study count is acceptable. Spec-verified (sketch
+    * estimates aren't bit-reproducible across engines, so it is not a
+    * declared oracle query); `rsd` is the standard-deviation knob. */
+  def q02TypeRollupApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part").filter($"p_type".isNotNull)
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy(lower($"p_type").as("type_name"))
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd).as("studies"),
+        to_date(min($"l_shipdate")).as("first_seen_date"),
+        to_date(max($"l_shipdate")).as("last_seen_date"))
+  }
+
   // ---------------------------------------------------------------- q03
   /** The reference's `conditions_calculated_values` (init-user-db.sh:38-120)
     * — its five filtered left-join arms re-expressed as ONE pass of
@@ -230,6 +251,25 @@ object RelationalQueries {
       .groupBy($"p_brand", $"n_name")
       .agg(
         countDistinct($"l_orderkey").as("studies"),
+        to_date(min($"l_shipdate")).as("first_seen_date"),
+        to_date(max($"l_shipdate")).as("last_seen_date"))
+  }
+
+  /** A2 scale variant of q08 — see [[q02TypeRollupApprox]]: same
+    * rollup, HLL++ sketch in place of the exact distinct count. */
+  def q08CooccurrenceApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val part = t(spark, dir, "part")
+    val sup = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .join(broadcast(sup.join(broadcast(nat), $"s_nationkey" === $"n_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_brand", $"n_name")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd).as("studies"),
         to_date(min($"l_shipdate")).as("first_seen_date"),
         to_date(max($"l_shipdate")).as("last_seen_date"))
   }

@@ -60,4 +60,29 @@ object WarehouseWriter {
   /** S7 standalone: idempotent drop (rerun hygiene). */
   def dropIfExists(spark: SparkSession, table: String): Unit =
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** S10: bucketed, per-bucket-sorted layout on the join key — the Spark
+    * mapping of the reference's join-key indexes (reference
+    * init-user-db.sh:119-120,178-179,234-235,271-274: btree indexes on
+    * `nct_id`/name keys exist precisely so the planner can join without
+    * re-sorting). Facts written through this path with the same bucket
+    * count co-locate on the key: every subsequent equi-join between them
+    * plans with NO shuffle exchange on either side — at 100 TB that is
+    * the difference between re-shuffling both facts per run and
+    * shuffling them once at load time. */
+  def saveBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** S5 literal: JDBC bulk load — the reference's `db2 load ... insert
+    * into CTGOV` (db2wh-etl.sh:151-163) is a row-batched push into an
+    * external warehouse over a client connection; Spark's jdbc writer is
+    * the same contract, one batched INSERT stream per partition (write
+    * parallelism = partition count, `batchsize` rows per round trip).
+    * [[saveTable]] stays the default catalog path; this is the seam for
+    * a real external DB target. */
+  def saveJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 }
