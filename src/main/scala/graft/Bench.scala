@@ -27,9 +27,15 @@ object Bench {
     // The noop sink consumes every output row and column, so Catalyst
     // cannot prune projections/windows the way it can under count() —
     // times reflect the full query, not the count-optimized skeleton.
+    // clearCache between queries: each query's persisted intermediates
+    // (the dedup/LSH frames) are scoped to its own run, so timings are
+    // self-contained and cached blocks can't accumulate across the
+    // 2×|queries| runs of a bench session (executor-memory pressure from
+    // leaked blocks was distorting unrelated queries' times in r2).
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally spark.catalog.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass: JVM/codegen/parquet-footer caches

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time ONE declared query repeatedly (same session config
+  * as [[Bench]]) and optionally dump its formatted plan. Usage:
+  *   sbt "runMain graft.BenchOne q14_events_json 3 explain"
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q01_pricing_summary")
+    val iters = args.lift(1).map(_.toInt).getOrElse(3)
+    val explain = args.contains("explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    run() // warm-up
+    (1 to iters).foreach { i =>
+      val t0 = System.nanoTime()
+      run()
+      println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
