@@ -1,8 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed event row for the custom-state operator (micros-precision
+  * timestamps survive the Instant encoder). */
+case class SessionEvent(user_id: Long, ts: Instant, value: Double)
+
+/** Open-session accumulator kept in [[GroupState]] — epoch micros so no
+  * precision is lost vs the batch q15 semantics. */
+case class OpenSession(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+/** One closed session (same shape as batch q15's per-session row). */
+case class SessionRow(user_id: Long, session_start: Instant,
+    session_end: Instant, n_events: Long, sum_value: Double)
 
 /** Structured Streaming over the events table (SURVEY §2.10): the batch
   * queries in [[graft.jobs.EventQueries]] re-expressed as unbounded
@@ -65,6 +80,71 @@ object EventsStream {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
+
+  /** Gap-based sessions via `flatMapGroupsWithState` — the custom-state
+    * primitive (SURVEY §2.10) for session logic `session_window` can't
+    * express (per-session accumulators beyond count/sum, emit-on-close
+    * semantics, side outputs). Sessions are emitted the moment a
+    * same-user event closes them (arrives ≥ gap later); tail sessions
+    * emit when the event-time watermark passes `end + gap` (the
+    * `EventTimeTimeout`), so state is bounded by open sessions only —
+    * exactly one [[OpenSession]] per active user, keyed and shuffled
+    * once on user_id.
+    *
+    * Within a micro-batch the group's events are sorted by event time;
+    * across batches the watermark bounds disorder (an event older than
+    * an emitted session is a late arrival the watermark already
+    * declared droppable). Same `>=` gap-edge rule as batch q15 /
+    * [[sessionCounts]]. */
+  def customSessions(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def inst(u: Long): Instant =
+      Instant.ofEpochSecond(u / 1000000L, (u % 1000000L) * 1000L)
+    def row(user: Long, s: OpenSession): SessionRow =
+      SessionRow(user, inst(s.startUs), inst(s.endUs), s.n, s.sum)
+
+    events.select($"user_id", $"ts", $"value").as[SessionEvent]
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: nothing can reopen this session
+            val out = state.getOption.map(row(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val evs = it.toArray.sortBy(e => (us(e.ts), e.user_id))
+            var open = state.getOption
+            val closed = List.newBuilder[SessionRow]
+            evs.foreach { e =>
+              val t = us(e.ts)
+              open match {
+                case Some(s) if t - s.endUs >= gapUs =>
+                  closed += row(user, s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case Some(s) =>
+                  open = Some(OpenSession(s.startUs, math.max(s.endUs, t),
+                    s.n + 1, s.sum + e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // ms-granularity timeout clock: round up so the timeout
+              // never fires a microsecond early
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L + 1L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming frame to completion against the bounded file source
     * and return the materialized result (memory sink, complete/append

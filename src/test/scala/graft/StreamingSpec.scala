@@ -10,6 +10,91 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val eventsDir = EventsStream.stageEventsDir(sf0001)
 
+  /** Batch q15 sessions as a comparable (no sess_id) frame. */
+  private def batchSessions = {
+    import spark.implicits._
+    EventQueries.q15Sessionize(spark, sf0001)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"sum_value")
+  }
+
+  /** Drive [[EventsStream.customSessions]] over the sf0.001 events split
+    * into `chunks` time-ordered files fed as separate micro-batches,
+    * then flush tail sessions with two far-future sentinel batches
+    * (user_id -1; the second one triggers the post-watermark-advance
+    * batch in which event-time timeouts fire). Returns emitted sessions
+    * for real users. */
+  private def runCustomSessions(chunks: Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val watched = Files.createTempDirectory(s"graft_fmgws_$chunks")
+
+    def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_fmgws_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), watched.resolve(f"$seq%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // time-ordered chunks so state carries sessions across batch seams
+    val bounds =
+      if (chunks <= 1) Array.empty[Double]
+      else raw.stat.approxQuantile("ts",
+        (1 until chunks).map(_.toDouble / chunks).toArray, 0)
+    val maxTs = raw.agg(max($"ts")).as[Long].head()
+    val dayNs = 24L * 3600 * 1000000000L
+    def sentinel(offset: Long) = Seq(
+      (-1L, maxTs + offset * dayNs, -1L, "sentinel", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val streamed = EventsStream.customSessions(
+      EventsStream.readEvents(spark, watched.toString))
+    val q = streamed.toDF().writeStream
+      .format("memory").queryName(s"custom_sessions_$chunks")
+      .outputMode("append").start()
+    try {
+      val lo = Long.MinValue +: bounds.map(_.toLong)
+      val hi = bounds.map(_.toLong) :+ Long.MaxValue
+      lo.zip(hi).zipWithIndex.foreach { case ((a, b), i) =>
+        stage(raw.filter($"ts" > a && $"ts" <= b), i)
+        q.processAllAvailable()
+      }
+      stage(sentinel(10), chunks)
+      q.processAllAvailable()
+      stage(sentinel(20), chunks + 1)
+      q.processAllAvailable()
+      spark.table(s"custom_sessions_$chunks")
+        .filter($"user_id" >= 0)
+        .select($"user_id",
+          $"session_start".cast("timestamp_ntz").as("session_start"),
+          $"session_end".cast("timestamp_ntz").as("session_end"),
+          $"n_events", round($"sum_value", 4).as("sum_value"))
+        .cache()
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessions equal batch q15 (single batch + timeout flush)") {
+    val streamed = runCustomSessions(1)
+    val batch = batchSessions
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("flatMapGroupsWithState carries open sessions across micro-batch seams") {
+    val streamed = runCustomSessions(3)
+    val batch = batchSessions
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming tumbling windows equal the batch q16 result") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
