@@ -43,6 +43,10 @@ object Bench {
       try run(name)
       catch { case _: Throwable => () }
     }
+    // settle the heap between passes so warm-up garbage isn't collected
+    // inside the first timed query (bench hygiene, not a product knob)
+    System.gc()
+    Thread.sleep(500)
     // timed pass: failures are reported by name, never silently folded
     // into the total as elapsed-to-failure time.
     val errors = scala.collection.mutable.ListBuffer.empty[String]

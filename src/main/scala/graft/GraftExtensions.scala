@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.ArrayDotProduct
+import graft.expressions.{ArrayDotProduct, MinHashSignature, SimHashPacked}
 
 /** `SparkSessionExtensions` hook registering graft's native expressions
   * as SQL functions — enable cluster-wide with
@@ -23,10 +23,25 @@ object GraftExtensions {
 
   /** (name, info, builder) triples for every native graft expression. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+      // graft_simhash(hashes array<bigint>[, bits int]) — bits must be a
+      // foldable int literal (it shapes the generated loop)
+      (FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHashPacked].getName, "graft_simhash"),
+        (children: Seq[Expression]) => {
+          val bits = children.lift(1)
+            .map(_.eval(null).asInstanceOf[Int]).getOrElse(64)
+          SimHashPacked(children.head, bits)
+        }),
+      // graft_minhash(shingles array<string>, numHashes int) — numHashes
+      // must be a foldable int literal (it sizes the signature)
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        (children: Seq[Expression]) => MinHashSignature(children.head,
+          children(1).eval(null).asInstanceOf[Int])))
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
+
+import graft.expressions.{MinHashSignature, SimHashPacked}
 
 /** Text-analysis `Column` builders for the LLM-data-pipeline surface:
   * tokenization, shingling, quality signals, fingerprints. All pure
@@ -72,9 +74,26 @@ object TextOps {
       .map(j => when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Fused SimHash fingerprint — native codegen'd loop
+    * ([[graft.expressions.SimHashPacked]]); bit-identical to
+    * `simhashPack(simhashVotes(...))`, which stays as the semantics
+    * reference for the parity spec. */
+  def simhashPacked(toks: Column, bits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): Column =
+    GraftColumnBridge.column(SimHashPacked(
+      GraftColumnBridge.expression(transform(toks, w => tokenHash(w))), bits))
+
   /** MinHash signature: for each seed, the min over shingles of a
-    * seed-salted 64-bit hash. One array column per row. */
+    * seed-salted 64-bit hash. One array column per row. HOF reference
+    * form — kept as the semantics twin for the parity spec. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** Fused MinHash signature — native codegen'd one-pass loop
+    * ([[graft.expressions.MinHashSignature]]); bit-identical values to
+    * [[minhashSignature]] (same xxhash64 kernel and seed fold). */
+  def minhashSignatureNative(shingleArr: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(MinHashSignature(
+      GraftColumnBridge.expression(shingleArr), numHashes))
 }

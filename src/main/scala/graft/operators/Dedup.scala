@@ -125,7 +125,7 @@ object Dedup {
       .filter(size($"toks") >= k)
       .withColumn("sh", array_distinct(shingles($"toks", k)))
       .select($"doc_id", $"sh", size($"sh").as("n_shingles"),
-        minhashSignature($"sh", numHashes).as("sig"))
+        minhashSignatureNative($"sh", numHashes).as("sig"))
       // reused by band explode, both sides of the candidate self-join and
       // the verification joins — without this the signature lineage
       // recomputes once per consumer
@@ -164,7 +164,10 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
 
-  /** Per-document SimHash fingerprints (`bits` wide, default 64). */
+  /** Per-document SimHash fingerprints (`bits` wide, default 64) — the
+    * fused native expression ([[graft.expressions.SimHashPacked]]);
+    * the HOF votes/pack twin stays the semantics reference, parity
+    * spec-locked in SimHashExprSpec. */
   def simhashFingerprints(docs: DataFrame, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val spark = docs.sparkSession
@@ -172,8 +175,7 @@ object Dedup {
     docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
-      .withColumn("votes", simhashVotes($"toks", bits, tokenHash))
-      .select($"doc_id", simhashPack($"votes", bits).as("simhash"))
+      .select($"doc_id", simhashPacked($"toks", bits, tokenHash).as("simhash"))
   }
 
   /** SimHash near-duplicates: fingerprints, candidates from any shared

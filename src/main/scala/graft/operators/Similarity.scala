@@ -136,8 +136,10 @@ object Similarity {
       .join(indexed, Seq("cell"))
       .filter($"vec_id" =!= $"cand_id")
       .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
-      // a pair can meet in several probed cells → dedup before ranking
-      .select($"vec_id", $"cand_id", $"sim").distinct()
+      // no dedup needed: each candidate is indexed under exactly ONE
+      // home cell (cr = 1), and a query probes distinct cells, so a
+      // (query, candidate) pair meets at most once
+      .select($"vec_id", $"cand_id", $"sim")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
@@ -148,14 +150,21 @@ object Similarity {
     * count is a tuning knob (2¹⁰–2¹⁴ at corpus scale), so cell population
     * is ~N/cells instead of N/2^coords. Candidate probing and the
     * `cellCap` hot-cell bound live in [[ivfTopKWithCentroids]]. KMeans
-    * training itself is Spark ML (sampled corpus pass per iteration,
-    * seeded → deterministic); at corpus scale fit on a sample and reuse
-    * the model across runs. */
+    * training itself is Spark ML (seeded → deterministic);
+    * `trainFraction < 1` fits on a corpus sample — centroid quality
+    * converges long before the full corpus is seen, so at 100 TB the
+    * k-means iterations run on a few million sampled vectors (and the
+    * fitted model is the artifact to persist and reuse across runs)
+    * while index + probe still cover every vector. */
   def ivfTopK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
-      cellCap: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+      cellCap: Int = Int.MaxValue, seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val train = prepared(emb).withColumn("fv", array_to_vector($"v"))
+    val sampled =
+      if (trainFraction >= 1.0) prepared(emb)
+      else prepared(emb).sample(withReplacement = false, trainFraction, seed)
+    val train = sampled.withColumn("fv", array_to_vector($"v"))
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("fv").fit(train)
     // numCells rows — driver-side by construction, broadcast to executors

@@ -49,6 +49,14 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.8, s"IVF top-1 recall $recall below 0.8")
   }
 
+  test("IVF trained on a half sample still indexes and answers every vector") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, numCells = 8, probes = 4, k = 1,
+      trainFraction = 0.5)
+    assert(ivf.select($"vec_id").distinct().count() === emb.count(),
+      "sampled training must not drop corpus coverage")
+  }
+
   test("IVF cell cap bounds any query's candidate set on hot cells") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     // k larger than any possible candidate count → output rows = distinct
