@@ -45,10 +45,25 @@ object PipelineQueries {
       .select($"feature", round($"rel_weight", 4).as("rel_weight"))
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Multimodal frame sampling through the REAL batched-decode path
+    * (Dataset.mapPartitions, stubbed codec): each payload fans into
+    * 1..4 evenly-strided frames with a per-frame byte-window feature.
+    * The oracle reproduces the geometry and byte math in SQL (the
+    * expression twin [[Multimodal.frameSampleExpr]] is spec-proven
+    * byte-identical to this path). */
+  def q35FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.toMediaTable(Tables.load(spark, dir, "documents"))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media, maxFrames = 4).toDF()
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_multimodal_meta" -> (q28MultimodalMeta _),
-    "q29_kda_weights" -> (q29KdaWeights _))
+    "q29_kda_weights" -> (q29KdaWeights _),
+    "q35_frame_sample" -> (q35FrameSample _))
 
   val oracle: Map[String, String] = Map(
     "q28_multimodal_meta" ->
@@ -77,5 +92,30 @@ object PipelineQueries {
            round(a*a*b1*b1 + b*b*b2*b2, 4) AS rel_weight FROM g
          UNION ALL
          SELECT 'l_discount',
-           round(b*b*b1*b1 + a*a*b2*b2, 4) FROM g""")
+           round(b*b*b1*b1 + a*a*b2*b2, 4) FROM g""",
+    "q35_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id, encode(text) AS content FROM documents),
+         f AS (
+           SELECT doc_id, content,
+                  CAST(octet_length(content) AS BIGINT) AS n,
+                  CAST(1 + octet_length(content) % 4 AS BIGINT) AS fcount
+           FROM m),
+         fr AS (
+           SELECT doc_id, content, n, fcount,
+                  unnest(range(fcount)) AS frame_idx
+           FROM f),
+         geo AS (
+           SELECT doc_id, content, n, frame_idx,
+                  frame_idx * (n // fcount) AS frame_off,
+                  least(16, n - frame_idx * (n // fcount)) AS frame_len
+           FROM fr)
+         SELECT doc_id, frame_idx, frame_off, frame_len,
+           CASE WHEN frame_len = 0 THEN 0.0
+                ELSE round(list_sum(list_transform(range(frame_len),
+                  i -> CAST(('0x' || substr(hex(content),
+                    CAST((frame_off+i)*2+1 AS INT), 2)) AS INT)))
+                  / (255.0 * frame_len), 4) + 0.0
+           END AS frame_brightness
+         FROM geo""")
 }

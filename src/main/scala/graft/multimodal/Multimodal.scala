@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
@@ -57,6 +57,103 @@ object Multimodal {
           BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
             .toDouble)
       }
+    }
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Long, frame_off: Long,
+                      frame_len: Long, frame_brightness: Double)
+
+  /** STUB frame extraction — deterministic fake in place of a real video
+    * frame sampler: frame count varies with payload size (1..maxFrames),
+    * frames are evenly-strided byte windows of ≤ 16 bytes, and the
+    * "feature" is the window's mean byte value. A production sampler
+    * replaces ONLY this body (seek + decode per frame); the 1→N row fan
+    * and per-frame byte-range reads are the real plumbing. */
+  def frameStub(bytes: Array[Byte], maxFrames: Int): Seq[(Long, Long, Long, Double)] = {
+    val n = bytes.length.toLong
+    val fcount = 1 + (n % maxFrames)
+    val stride = n / fcount
+    (0L until fcount).map { j =>
+      val off = j * stride
+      val len = math.min(16L, n - off)
+      val brightness =
+        if (len == 0) 0.0
+        else {
+          val s = (off until off + len)
+            .map(i => (bytes(i.toInt) & 0xff).toDouble).sum
+          BigDecimal(s / (255.0 * len))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      (j, off, len, brightness)
+    }
+  }
+
+  /** Batched frame sampling through the decoder seam: the `mapInPandas`
+    * shape in Scala — one (stub) codec context per partition, each media
+    * row fanning into its frame rows. No shuffle; output rows ≈
+    * maxFrames × input. */
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec context would be initialized here
+      rows.flatMap { r =>
+        frameStub(r.content, maxFrames).map { case (j, off, len, b) =>
+          FrameRow(r.doc_id, j, off, len, b)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling as pure Column expressions — the oracle twin of
+    * [[sampleFrames]] (same geometry and byte math, asserted equal in
+    * MultimodalSpec): frames built with `transform(sequence(...))` and
+    * exploded with `inline`, per-frame brightness folded over the raw
+    * bytes via the hex-pair decode. */
+  def frameSampleExpr(media: DataFrame, maxFrames: Int): DataFrame = {
+    val n = octet_length(col("content")).cast("long")
+    val fcount = (lit(1L) + n % maxFrames).cast("long")
+    val stride = floor(n / fcount).cast("long")
+    val hx = hex(col("content"))
+    def frameOf(j: Column) = {
+      val off = j * stride
+      val len = least(lit(16L), n - off)
+      val byteSum = aggregate(
+        transform(
+          sequence(lit(0L), len - 1),
+          i => conv(hx.substr(((off + i) * 2 + 1).cast("int"), lit(2)), 16, 10)
+            .cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      struct(
+        j.as("frame_idx"),
+        off.as("frame_off"),
+        len.as("frame_len"),
+        when(len === 0, lit(0.0))
+          .otherwise(round(byteSum / (lit(255.0) * len), 4))
+          .as("frame_brightness"))
+    }
+    media.select(
+      col("doc_id"),
+      inline(transform(sequence(lit(0L), fcount - 1), frameOf(_))))
+  }
+
+  /** STUB resize — deterministic fake in place of a real image resize:
+    * output payload is the input truncated or zero-padded to the target
+    * byte budget (w×h bytes, one per pseudo-pixel). A production
+    * implementation swaps ONLY this body; the payload→payload binary
+    * Dataset transform around it is the real plumbing. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = w * h
+    if (bytes.length >= target) bytes.take(target)
+    else bytes ++ Array.fill[Byte](target - bytes.length)(0)
+  }
+
+  /** Batched resize through the decoder seam: binary in, binary out,
+    * partition-local, no shuffle — the payload transform every
+    * image-normalization stage of a training-data pipeline needs. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => r.copy(content = resizeStub(r.content, w, h)))
     }
   }
 

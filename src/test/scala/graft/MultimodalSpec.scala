@@ -32,6 +32,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(viaExpr.exceptAll(viaPartitions).count() == 0)
   }
 
+  test("frame sampling: batched path equals the expression twin, corpus + edge payloads") {
+    val organic = Multimodal.toMediaTable(Tables.load(spark, sf0001, "documents"))
+    val edges = Multimodal.toMediaTable(Seq(
+      (9001L, "naïve café — résumé"),   // multi-byte UTF-8
+      (9002L, "日本語のテキスト"),
+      (9003L, "tiny"),                   // shorter than one frame window
+      (9004L, ""))                       // empty payload -> 1 empty frame
+      .toDF("doc_id", "text"))
+    Seq(organic, edges).foreach { media =>
+      val viaPartitions = Multimodal
+        .sampleFrames(media.as[Multimodal.MediaRow], maxFrames = 4).toDF()
+      val viaExpr = Multimodal.frameSampleExpr(media, maxFrames = 4)
+      assert(viaPartitions.count() > 0)
+      assert(viaPartitions.exceptAll(viaExpr).count() == 0)
+      assert(viaExpr.exceptAll(viaPartitions).count() == 0)
+    }
+  }
+
+  test("frame geometry: 1..maxFrames frames per doc, offsets strided, windows bounded") {
+    val media = Multimodal.toMediaTable(Tables.load(spark, sf0001, "documents"))
+    val frames = Multimodal.sampleFrames(
+      media.as[Multimodal.MediaRow], maxFrames = 4).cache()
+    val perDoc = frames.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" < 1 || $"count" > 4).count() == 0)
+    assert(frames.filter($"frame_len" > 16 || $"frame_len" < 0).count() == 0)
+    assert(frames.filter($"frame_brightness" < 0 || $"frame_brightness" > 1)
+      .count() == 0)
+  }
+
+  test("resize: payload truncated or zero-padded to the target budget") {
+    val media = Multimodal.toMediaTable(Seq(
+      (1L, "x" * 100),   // longer than 8x8=64 -> truncated
+      (2L, "short"))     // shorter -> zero-padded
+      .toDF("doc_id", "text"))
+    val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 8, 8)
+      .collect().map(r => r.doc_id -> r.content).toMap
+    assert(resized(1L).length == 64 && resized(2L).length == 64)
+    assert(resized(1L).sameElements(("x" * 64).getBytes("UTF-8")))
+    assert(resized(2L).take(5).sameElements("short".getBytes("UTF-8")))
+    assert(resized(2L).drop(5).forall(_ == 0))
+  }
+
   test("decode stub is deterministic and total") {
     val (w1, h1, b1) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     val (w2, h2, b2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
