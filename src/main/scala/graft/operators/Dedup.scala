@@ -78,7 +78,6 @@ object Dedup {
       .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sh = withSh.select($"doc_id", explode($"sh").as("shingle"))
-    val sizes = withSh.select($"doc_id", size($"sh").as("n_shingles"))
 
     // document-frequency cap on the posting lists (candidate phase only)
     val posting =
@@ -95,16 +94,20 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    // verify with the FULL shingle lists, restricted to candidates
-    val shA = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val shB = sh.select($"doc_id".as("doc_b"), $"shingle")
+    // verify with the FULL shingle sets, restricted to candidates —
+    // array_intersect on the per-row arrays: per-pair work is one hash
+    // intersection, and the shuffle carries each candidate doc's array
+    // once per side instead of re-exploding every posting row through a
+    // join + pair-key aggregation (the old shape's cost was proportional
+    // to ALL postings; this one is proportional to candidate pairs)
+    val arrA = withSh.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val arrB = withSh.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
     candidates
-      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .join(arrA, "doc_a").join(arrB, "doc_b")
+      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
-        $"n_common".cast("double") / ($"na" + $"nb" - $"n_common"))
+        $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
@@ -124,7 +127,7 @@ object Dedup {
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .withColumn("sh", array_distinct(shingles($"toks", k)))
-      .select($"doc_id", $"sh", size($"sh").as("n_shingles"),
+      .select($"doc_id", $"sh",
         minhashSignatureNative($"sh", numHashes).as("sig"))
       // reused by band explode, both sides of the candidate self-join and
       // the verification joins — without this the signature lineage
@@ -148,18 +151,17 @@ object Dedup {
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
-    // verify candidates with exact jaccard (only the candidate pairs)
-    val sh = sigs.select($"doc_id", explode($"sh").as("shingle"))
-    val shA = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val shB = sh.select($"doc_id".as("doc_b"), $"shingle")
-    val common = candidates
-      .join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-    val sizes = sigs.select($"doc_id", $"n_shingles")
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard", $"n_common".cast("double") / ($"na" + $"nb" - $"n_common"))
+    // verify candidates with exact jaccard — array_intersect on the
+    // per-row shingle arrays (candidate-proportional work, see
+    // ngramJaccard's verify phase)
+    val arrA = sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
+    val arrB = sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
+    candidates
+      .join(arrA, "doc_a").join(arrB, "doc_b")
+      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
       .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
