@@ -43,14 +43,15 @@ object Bench {
       try run(name)
       catch { case _: Throwable => () }
     }
-    // settle the heap between passes so warm-up garbage isn't collected
-    // inside the first timed query (bench hygiene, not a product knob)
-    System.gc()
-    Thread.sleep(500)
     // timed pass: failures are reported by name, never silently folded
-    // into the total as elapsed-to-failure time.
+    // into the total as elapsed-to-failure time. The heap settles BEFORE
+    // each timer starts (bench hygiene, not a product knob): without it,
+    // one full GC of the accumulated cross-query garbage lands inside an
+    // arbitrary query's timed region and shows up as a phantom 5-10s
+    // regression on a sub-second query.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { run(name); true }
