@@ -162,7 +162,21 @@ object RelationalQueries {
     * fan-out + 16-col GROUP BY), categorical when-chain encodings with
     * pandas last-write-wins semantics, CASE+LIKE stage, coalesce,
     * year extraction, bucketize (SURVEY J1/J2, F1/F2/F8/F10, M3). */
-  def q06StarFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def q06StarFeatures(spark: SparkSession, dir: String): DataFrame =
+    starFeatures(spark, dir, salt = 0)
+
+  /** q06 with the lineitem-rollup leg routed through
+    * [[graft.operators.Joins.saltedJoin]] — the opt-in for deployments
+    * where one hot order key defeats AQE skew splitting (SURVEY §7.2
+    * slice 5). Results are identical to [[q06StarFeatures]]
+    * (spec-asserted); only the shuffle keys change to
+    * (o_orderkey, salt). */
+  def q06StarFeaturesSalted(spark: SparkSession, dir: String,
+      salt: Int = 8): DataFrame =
+    starFeatures(spark, dir, salt)
+
+  private def starFeatures(spark: SparkSession, dir: String,
+      salt: Int): DataFrame = {
     import spark.implicits._
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
@@ -190,9 +204,16 @@ object RelationalQueries {
         ($"o_totalprice" < 1000.0) -> lit(9)),
       default = lit(0))
 
-    o.join(c, $"o_custkey" === $"c_custkey")
+    val dims = o.join(c, $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
-      .join(liStats, $"o_orderkey" === $"l_orderkey", "left_outer")
+    val joined =
+      if (salt == 0)
+        dims.join(liStats, $"o_orderkey" === $"l_orderkey", "left_outer")
+      else
+        graft.operators.Joins.saltedJoin(dims,
+          liStats.withColumnRenamed("l_orderkey", "o_orderkey"),
+          "o_orderkey", salt, "left_outer")
+    joined
       .select(
         $"o_orderkey",
         coalesce($"li_count", lit(0L)).as("li_count"),

@@ -44,6 +44,13 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q06's salted opt-in returns exactly the plain q06 result") {
+    val plain = RelationalQueries.q06StarFeatures(spark, sf0001)
+    val salted = RelationalQueries.q06StarFeaturesSalted(spark, sf0001, salt = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val fact = spark.range(5000).select(
       (when($"id" % 10 === 0, 1L).otherwise($"id" % 100)).as("k"),
