@@ -1,0 +1,75 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextOps._
+import graft.functions.VectorOps._
+
+/** Seeded-random parity fuzz for the native expressions: one generated
+  * corpus (unicode, empty tokens, repeated whitespace, huge/tiny rows),
+  * one Spark job per contract, native vs HOF equality row by row. The
+  * organic-corpus parity specs prove the real pipeline; this one walks
+  * the weird corners a synthetic corpus never hits.
+  */
+class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+
+  private def randomToken(): String = {
+    val alphabets = Seq(
+      () => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString,
+      () => Seq.fill(1 + rnd.nextInt(5))(
+        "日本語テキスト試験".charAt(rnd.nextInt(9))).mkString,
+      () => Seq.fill(1 + rnd.nextInt(4))(
+        "àéîõüßñçøæ".charAt(rnd.nextInt(10))).mkString,
+      () => "",                                  // empty token (double space)
+      () => new String(Character.toChars(0x1F600 + rnd.nextInt(60))))
+    alphabets(rnd.nextInt(alphabets.size))()
+  }
+
+  private lazy val fuzzDocs = (0 until 300).map { i =>
+    val nTokens = rnd.nextInt(40)
+    (i.toLong, Seq.fill(nTokens)(randomToken()).mkString(" "))
+  }.toDF("doc_id", "text")
+    .withColumn("toks", tokens($"text"))
+    .filter(size($"toks") > 0)
+    .cache()
+
+  test("simhash native == HOF on 300 adversarial random docs, both hash variants") {
+    Seq[(Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      (64, xxhash64(_)), (60, md5Hash60)).foreach { case (bits, th) =>
+      val both = fuzzDocs.select(
+        simhashPacked($"toks", bits, th).as("native"),
+        simhashPack(simhashVotes($"toks", bits, th), bits).as("hof"))
+      assert(both.filter($"native" =!= $"hof").count() === 0,
+        s"simhash parity broke at bits=$bits")
+    }
+  }
+
+  test("minhash native == HOF on adversarial random shingles") {
+    val shingled = fuzzDocs
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", array_distinct(shingles($"toks", 2)).as("sh"))
+    val both = shingled.select(
+      minhashSignatureNative($"sh", 24).as("native"),
+      minhashSignature($"sh", 24).as("hof"))
+    assert(both.filter(to_json($"native") =!= to_json($"hof")).count() === 0)
+  }
+
+  test("graft_dot native == HOF on random vectors with extreme magnitudes") {
+    val vecs = (0 until 200).map { i =>
+      val dim = 1 + rnd.nextInt(96)
+      val scale = math.pow(10, rnd.nextInt(13) - 6)
+      (i.toLong, Seq.fill(dim)(((rnd.nextDouble() * 2 - 1) * scale).toFloat))
+    }.toDF("vec_id", "embedding")
+    val both = vecs.select(
+      dot(asDouble($"embedding"), asDouble($"embedding")).as("native"),
+      dotHof(asDouble($"embedding"), asDouble($"embedding")).as("hof"))
+    // bit-identical, not approximately equal
+    assert(both.filter($"native" =!= $"hof").count() === 0)
+  }
+}
