@@ -183,12 +183,19 @@ object RelationalQueries {
     val n = t(spark, dir, "nation")
     // Pre-aggregate the fan-out side once, keyed on the join key: the
     // rollup shuffle IS the join shuffle (no row multiplication).
+    // Two countDistinct on DIFFERENT columns would plan an Expand —
+    // every lineitem row duplicated once per distinct group, 3× the
+    // shuffle volume. size(collect_set(...)) is exact distinct without
+    // the expand, and is safe here because the group is one order:
+    // set cardinality is bounded by lineitems-per-order (≤ 7), not by
+    // corpus size. (For unbounded groups — q08's brand×nation — the
+    // expand or the HLL variant is the right tool instead.)
     val liStats = t(spark, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(
         count(lit(1)).as("li_count"),
-        countDistinct($"l_suppkey").as("supplier_count"),
-        countDistinct($"l_partkey").as("part_count"),
+        size(collect_set($"l_suppkey")).cast("long").as("supplier_count"),
+        size(collect_set($"l_partkey")).cast("long").as("part_count"),
         round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("revenue"))
 
     // pandas .loc ladder (program order; later writes win). The
