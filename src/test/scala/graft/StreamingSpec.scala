@@ -95,6 +95,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("flatMapGroupsWithState state survives a checkpointed stop/restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val watched = Files.createTempDirectory("graft_fmgws_restart")
+    val outDir = Files.createTempDirectory("graft_fmgws_out").toString
+    val cpDir = Files.createTempDirectory("graft_fmgws_cp").toString
+
+    def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_fmgws_rpart")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), watched.resolve(f"$seq%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // durable (parquet) sink + checkpoint: the exactly-once pair the
+    // memory-sink tests can't exercise
+    def startQuery() = EventsStream.customSessions(
+      EventsStream.readEvents(spark, watched.toString)).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    val mid = raw.stat.approxQuantile("ts", Array(0.5), 0)(0).toLong
+    val maxTs = raw.agg(max($"ts")).as[Long].head()
+    val dayNs = 24L * 3600 * 1000000000L
+    def sentinel(offset: Long) = Seq(
+      (-1L, maxTs + offset * dayNs, -1L, "sentinel", 0.0, null: String))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // first half, then HARD STOP mid-stream
+    val q1 = startQuery()
+    stage(raw.filter($"ts" <= mid), 0)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: open sessions must resume from
+    // recovered GroupState, not restart from empty
+    val q2 = startQuery()
+    stage(raw.filter($"ts" > mid), 1)
+    q2.processAllAvailable()
+    stage(sentinel(10), 2)
+    q2.processAllAvailable()
+    stage(sentinel(20), 3)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        $"session_start".cast("timestamp_ntz").as("session_start"),
+        $"session_end".cast("timestamp_ntz").as("session_end"),
+        $"n_events", round($"sum_value", 4).as("sum_value"))
+    val batch = batchSessions
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0,
+      "restart emitted sessions not in the batch truth (dupes or splits)")
+    assert(batch.exceptAll(streamed).count() == 0,
+      "restart lost sessions (state not recovered)")
+  }
+
   test("streaming tumbling windows equal the batch q16 result") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
