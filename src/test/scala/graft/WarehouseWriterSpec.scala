@@ -88,6 +88,24 @@ class WarehouseWriterSpec extends AnyFunSuite with SparkSpec {
       .option("url", url).option("dbtable", "CTGOV_JDBC").load().count() == 1)
   }
 
+  test("jdbc scan seam (S1): filters push down to the external database") {
+    // the reference's S1 is a server-side-filtered client query
+    // (ct_data.py:84-88 — every predicate runs in Postgres); Spark's
+    // jdbc source keeps that contract: the filter must appear as a
+    // pushed predicate on the scan, not a Spark-side Filter over a full
+    // table pull
+    val url = "jdbc:derby:memory:graftscan;create=true"
+    WarehouseWriter.saveJdbc(fixture, url, "CTGOV_SCAN")
+    val scanned = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "CTGOV_SCAN").load()
+      .filter($"n" > 15).select($"id", $"n")
+    assert(scanned.count() == 3)
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [*IsNotNull(n), *GreaterThan(n,15)]") ||
+      (plan.contains("PushedFilters") && plan.contains("GreaterThan(n,15)")),
+      s"jdbc scan lost its pushed filter:\n$plan")
+  }
+
   test("properties config seam parses and renders k=v pairs (S2)") {
     val f = Files.createTempFile("graft", ".properties")
     Files.writeString(f, "host=localhost\nport=5432\ndbname=aact\n")
