@@ -75,6 +75,17 @@ object WarehouseWriter {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** S10 companion: hive-style partitioned layout on a low-cardinality
+    * scan key (date/region buckets). Queries filtering on the partition
+    * column plan PartitionFilters and never open the other directories
+    * — at 100 TB of time-series facts, date partitioning is what turns
+    * "scan a decade" into "scan a week". Use [[saveBucketed]] for join
+    * keys (high cardinality), this for scan predicates. */
+  def savePartitioned(df: DataFrame, table: String,
+      partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partitionCol).saveAsTable(table)
+
   /** S5 literal: JDBC bulk load — the reference's `db2 load ... insert
     * into CTGOV` (db2wh-etl.sh:151-163) is a row-batched push into an
     * external warehouse over a client connection; Spark's jdbc writer is

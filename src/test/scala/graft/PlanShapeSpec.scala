@@ -98,6 +98,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at plan time (S10)") {
+    import graft.sources.WarehouseWriter
+    import spark.implicits._
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .withColumn("order_year", org.apache.spark.sql.functions.year($"o_orderdate"))
+    WarehouseWriter.savePartitioned(orders, "orders_part", "order_year")
+    try {
+      val q = spark.table("orders_part").filter($"order_year" === 1995)
+        .select($"o_orderkey")
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("order_year"),
+        s"partition filter not recognized:\n$p")
+      // the pruned scan must not carry the partition predicate as a
+      // data filter — pruning happened at planning, not per row
+      assert(!p.contains("PushedFilters: [IsNotNull(order_year)"),
+        s"partition predicate leaked into the data scan:\n$p")
+    } finally WarehouseWriter.dropIfExists(spark, "orders_part")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
       .foreach { name =>

@@ -12,6 +12,11 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .config("spark.ui.enabled", "false")
+    // the cluster-deployment registration mechanism
+    // (--conf spark.sql.extensions=graft.GraftExtensions) — static conf,
+    // so it must ride the FIRST session of the JVM; VectorExprSpec
+    // asserts the graft_* functions resolve without manual register()
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"

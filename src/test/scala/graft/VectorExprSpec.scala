@@ -62,6 +62,21 @@ class VectorExprSpec extends AnyFunSuite with SparkSpec {
     assert(viaDf.exceptAll(viaSql).count() === 0)
   }
 
+  test("spark.sql.extensions injection registers graft functions without register()") {
+    // SparkSpec's session carries
+    // spark.sql.extensions=graft.GraftExtensions (the cluster deployment
+    // mechanism; a static conf, so it rides the first session of the
+    // JVM) — every graft_* function must resolve with NO manual
+    // GraftExtensions.register() call
+    val d = spark.newSession().sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d," +
+        " graft_simhash(array(7L), 64) AS s," +
+        " graft_minhash(array('a b'), 4) AS m")
+      .head()
+    assert(d.getDouble(0) === 11.0)
+    assert(!d.isNullAt(1) && d.getAs[Seq[Long]](2).size === 4)
+  }
+
   test("native dot stays inside whole-stage codegen") {
     import spark.implicits._
     val df = emb.select(dot(asDouble($"embedding"), asDouble($"embedding")).as("d"))
