@@ -101,6 +101,15 @@ object DocumentQueries {
     Dedup.simhashDup(docs(spark, dir), maxHamming = 3, bands = 4,
       bits = 60, tokenHash = md5Hash60)
 
+  // ---------------------------------------------------------------- q36
+  /** Winnowing (rolling-hash) fingerprints, engine-portable variant:
+    * 3-gram md5-60-bit hashes, window 4 (≥10-token overlaps guaranteed
+    * to share a fingerprint — MOSS selection, [[Dedup.winnowFingerprints]]).
+    * The xxhash64 production default is contract-tested in DedupSpec. */
+  def q36WinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(spark, dir), k = 3, w = 4,
+      tokenHash = md5Hash60)
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17DedupExact _),
@@ -108,7 +117,8 @@ object DocumentQueries {
     "q19_text_quality" -> (q19TextQuality _),
     "q20_ngram_jaccard" -> (q20NgramJaccard _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
-    "q22_simhash" -> (q22Simhash _))
+    "q22_simhash" -> (q22Simhash _),
+    "q36_winnow_fingerprints" -> (q36WinnowFingerprints _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -169,7 +179,23 @@ object DocumentQueries {
              bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS hamming
            FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
-         FROM pairs WHERE hamming <= 3""")
+         FROM pairs WHERE hamming <= 3""",
+    "q36_winnow_fingerprints" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, list_transform(range(len(toks)-3+1), i ->
+             concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS sh
+           FROM t WHERE len(toks) >= 3),
+         h AS (
+           SELECT doc_id, list_transform(sh, g ->
+             CAST(CAST(('0x'||substr(md5(g),1,15)) AS UBIGINT) AS BIGINT)) AS hs
+           FROM s),
+         w AS (
+           SELECT doc_id, list_distinct(list_transform(range(len(hs)-4+1), i ->
+             list_min(hs[i+1:i+4]))) AS fps
+           FROM h WHERE len(hs) >= 4)
+         SELECT doc_id, unnest(fps) AS fingerprint FROM w""")
 
   /** Two-phase exact 5-gram Jaccard, DF-capped candidates (mirrors
     * [[Dedup.ngramJaccard]] with maxDF=100): shared by q20 (directly)

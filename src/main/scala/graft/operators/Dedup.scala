@@ -218,6 +218,35 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** Winnowing (rolling-hash) document fingerprints — the MOSS
+    * selection: hash every POSITIONAL k-gram (no dedup — position
+    * matters), slide a w-wide window over the hash sequence, keep each
+    * window's minimum. Guarantee: any common token run of ≥ w+k-1
+    * tokens contains a full identical hash window in both documents, so
+    * the two share at least one fingerprint — which is what makes the
+    * selected subset (≈ 2/(w+1) of all k-grams) sufficient for
+    * plagiarism/overlap detection at a fraction of the index size.
+    *
+    * Pure per-row expression work (the hash sequence is a materialized
+    * column, so each window's `slice` reads it without recomputing),
+    * one explode, no shuffle — scales linearly like the other
+    * fingerprint operators. Output: distinct (doc_id, fingerprint). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .withColumn("hs", transform(shingles($"toks", k), g => tokenHash(g)))
+      .filter(size($"hs") >= w)
+      .select($"doc_id",
+        explode(array_distinct(
+          transform(sequence(lit(0), size($"hs") - w),
+            i => array_min(slice($"hs", i + 1, lit(w))))))
+          .as("fingerprint"))
+  }
+
   /** Embedding-cosine near-duplicates over an `emb(vec_id, embedding
     * array<float>)` relation: multi-table sign-bucket LSH candidates,
     * exact cosine verification.

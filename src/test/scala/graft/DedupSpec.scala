@@ -126,6 +126,31 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(a == b)
   }
 
+  test("winnowing: docs sharing a >= w+k-1 token passage share a fingerprint") {
+    import graft.operators.Dedup
+    // k=3, w=4 -> any common run of >= 6 tokens guarantees one shared
+    // fingerprint (a full identical hash window exists in both docs);
+    // the planted passage is 10 tokens inside otherwise-disjoint text
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three four five $passage six seven eight"),
+      (2L, s"red orange yellow green $passage blue indigo violet"),
+      (3L, "totally unrelated content with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, k = 3, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (d, rows) => d -> rows.map(_._2).toSet }
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "shared passage produced no shared fingerprint")
+    assert((fp(1L) intersect fp(3L)).isEmpty,
+      "disjoint docs share a fingerprint (hash collision or bug)")
+    // selection actually thins the index: fewer fingerprints than k-grams
+    val allGrams = docs.select(explode(
+      graft.functions.TextOps.shingles(
+        graft.functions.TextOps.tokens($"text"), 3))).distinct().count()
+    assert(fp.values.map(_.size).sum < allGrams)
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
