@@ -69,6 +69,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding windows (length > slide → overlapping): each event lands in
+    * length/slide windows, so state is that factor times the tumbling
+    * case — still bounded by the watermark horizon. The batch twin is an
+    * explode over the covering window starts (spec-locked equal). */
+  def slidingCounts(events: DataFrame, length: String, slide: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessions via session_window — the streaming twin of q15's
     * lag/cumsum formulation (same 30-minute inactivity gap). State per
     * open session only; watermark closes and emits sessions. */

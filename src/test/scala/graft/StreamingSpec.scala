@@ -173,6 +173,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming sliding windows equal the batch explode-over-covering-windows twin") {
+    import spark.implicits._
+    // 1-hour windows sliding every 30 minutes: every event belongs to 2
+    // windows — the batch twin explodes each event into its covering
+    // window starts and aggregates
+    val streamed = EventsStream.runToBatch(
+      EventsStream.slidingCounts(
+        EventsStream.readEvents(spark, eventsDir), "1 hour", "30 minutes"),
+      "sliding_test", "complete")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n_events", $"sum_value")
+    val ev = graft.Tables.load(spark, sf0001, "events")
+    val slideUs = 30L * 60 * 1000000
+    val batch = ev
+      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("window_start", explode(array(
+        expr(s"cast(timestamp_micros((us div $slideUs) * $slideUs) as timestamp_ntz)"),
+        expr(s"cast(timestamp_micros(((us div $slideUs) - 1) * $slideUs) as timestamp_ntz)"))))
+      .groupBy($"window_start", $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming session counts match the batch q15 sessionization") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
