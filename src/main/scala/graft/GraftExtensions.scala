@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashSignature, SimHashPacked}
+import graft.expressions.{ArrayDotProduct, MinHashSignature, ShingleHashes, SimHashPacked}
 
 /** `SparkSessionExtensions` hook registering graft's native expressions
   * as SQL functions — enable cluster-wide with
@@ -41,7 +41,13 @@ object GraftExtensions {
       (FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
         (children: Seq[Expression]) => MinHashSignature(children.head,
-          children(1).eval(null).asInstanceOf[Int])))
+          children(1).eval(null).asInstanceOf[Int])),
+      // graft_shingle_hashes(toks array<string>, k int[, algo string])
+      (FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (children: Seq[Expression]) => ShingleHashes(children.head,
+          children(1).eval(null).asInstanceOf[Int],
+          children.lift(2).map(_.eval(null).toString).getOrElse("xx64"))))
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

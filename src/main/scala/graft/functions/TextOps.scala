@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{MinHashSignature, SimHashPacked}
+import graft.expressions.{MinHashSignature, ShingleHashes, SimHashPacked}
 
 /** Text-analysis `Column` builders for the LLM-data-pipeline surface:
   * tokenization, shingling, quality signals, fingerprints. All pure
@@ -74,14 +74,23 @@ object TextOps {
       .map(j => when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** Fused SimHash fingerprint — native codegen'd loop
-    * ([[graft.expressions.SimHashPacked]]); bit-identical to
+  /** Fused positional k-gram hashes — native one-pass loop
+    * ([[graft.expressions.ShingleHashes]]); bit-identical to
+    * `transform(shingles(toks, k), g => hash(g))` for
+    * algo = "xx64" (≡ xxhash64) / "md5_60" (≡ [[md5Hash60]]). */
+  def shingleHashes(toks: Column, k: Int, algo: String = "xx64"): Column =
+    GraftColumnBridge.column(ShingleHashes(
+      GraftColumnBridge.expression(toks), k, algo))
+
+  /** Fused SimHash fingerprint — native codegen'd loops end to end
+    * (token hashing via [[shingleHashes]] k=1, votes+pack via
+    * [[graft.expressions.SimHashPacked]]); bit-identical to
     * `simhashPack(simhashVotes(...))`, which stays as the semantics
     * reference for the parity spec. */
   def simhashPacked(toks: Column, bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): Column =
+      algo: String = "xx64"): Column =
     GraftColumnBridge.column(SimHashPacked(
-      GraftColumnBridge.expression(transform(toks, w => tokenHash(w))), bits))
+      GraftColumnBridge.expression(shingleHashes(toks, 1, algo)), bits))
 
   /** MinHash signature: for each seed, the min over shingles of a
     * seed-salted 64-bit hash. One array column per row. HOF reference

@@ -99,7 +99,7 @@ object DocumentQueries {
     * default is contract-tested in DedupSpec. */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDup(docs(spark, dir), maxHamming = 3, bands = 4,
-      bits = 60, tokenHash = md5Hash60)
+      bits = 60, algo = "md5_60")
 
   // ---------------------------------------------------------------- q36
   /** Winnowing (rolling-hash) fingerprints, engine-portable variant:
@@ -108,7 +108,7 @@ object DocumentQueries {
     * The xxhash64 production default is contract-tested in DedupSpec. */
   def q36WinnowFingerprints(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowFingerprints(docs(spark, dir), k = 3, w = 4,
-      tokenHash = md5Hash60)
+      algo = "md5_60")
 
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

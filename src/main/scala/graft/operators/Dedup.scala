@@ -167,17 +167,18 @@ object Dedup {
   }
 
   /** Per-document SimHash fingerprints (`bits` wide, default 64) — the
-    * fused native expression ([[graft.expressions.SimHashPacked]]);
-    * the HOF votes/pack twin stays the semantics reference, parity
-    * spec-locked in SimHashExprSpec. */
+    * fused native expressions ([[graft.expressions.ShingleHashes]] +
+    * [[graft.expressions.SimHashPacked]]); `algo` = "xx64" (production)
+    * or "md5_60" (engine-portable). The HOF votes/pack twin stays the
+    * semantics reference, parity spec-locked in SimHashExprSpec. */
   def simhashFingerprints(docs: DataFrame, bits: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      algo: String = "xx64"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
-      .select($"doc_id", simhashPacked($"toks", bits, tokenHash).as("simhash"))
+      .select($"doc_id", simhashPacked($"toks", bits, algo).as("simhash"))
   }
 
   /** SimHash near-duplicates: fingerprints, candidates from any shared
@@ -188,7 +189,7 @@ object Dedup {
     * maxHamming ≤ bands-1 (enforced). Wider bands = exponentially more
     * buckets = smaller per-bucket self-joins at corpus scale. */
   def simhashDup(docs: DataFrame, maxHamming: Int, bands: Int = 4,
-      bits: Int = 64, tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      bits: Int = 64, algo: String = "xx64"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(bits % bands == 0, "bands must divide bits")
@@ -198,7 +199,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // both sides of the band self-join read the fingerprints — persist so
     // the per-bit vote fold runs once per doc
-    val fp = simhashFingerprints(docs, bits, tokenHash)
+    val fp = simhashFingerprints(docs, bits, algo)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandRows = fp.select(
       $"doc_id", $"simhash",
@@ -230,15 +231,17 @@ object Dedup {
     * Pure per-row expression work (the hash sequence is a materialized
     * column, so each window's `slice` reads it without recomputing),
     * one explode, no shuffle — scales linearly like the other
-    * fingerprint operators. Output: distinct (doc_id, fingerprint). */
+    * fingerprint operators (k-gram hashing fused via
+    * [[graft.expressions.ShingleHashes]]). Output: distinct
+    * (doc_id, fingerprint). */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      algo: String = "xx64"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
-      .withColumn("hs", transform(shingles($"toks", k), g => tokenHash(g)))
+      .withColumn("hs", shingleHashes($"toks", k, algo))
       .filter(size($"hs") >= w)
       .select($"doc_id",
         explode(array_distinct(

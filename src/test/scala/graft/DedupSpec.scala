@@ -78,7 +78,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
 
   test("md5-60-bit simhash variant (q22's portable path) matches its own truth") {
     import graft.functions.TextOps.md5Hash60
-    val fp = Dedup.simhashFingerprints(docs, bits = 60, tokenHash = md5Hash60)
+    val fp = Dedup.simhashFingerprints(docs, bits = 60, algo = "md5_60")
       .cache()
     val a = fp.select($"doc_id".as("doc_a"), $"simhash".as("ha"))
     val b = fp.select($"doc_id".as("doc_b"), $"simhash".as("hb"))
@@ -87,7 +87,7 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_a", $"doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val banded = Dedup.simhashDup(docs, maxHamming = 3, bands = 4, bits = 60,
-      tokenHash = md5Hash60)
+      algo = "md5_60")
       .select($"doc_a", $"doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // fingerprints must stay inside 60 bits (positive longs)

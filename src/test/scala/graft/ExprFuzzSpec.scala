@@ -40,13 +40,25 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
     .cache()
 
   test("simhash native == HOF on 300 adversarial random docs, both hash variants") {
-    Seq[(Int, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
-      (64, xxhash64(_)), (60, md5Hash60)).foreach { case (bits, th) =>
+    Seq[(Int, String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      (64, "xx64", xxhash64(_)), (60, "md5_60", md5Hash60))
+      .foreach { case (bits, algo, th) =>
       val both = fuzzDocs.select(
-        simhashPacked($"toks", bits, th).as("native"),
+        simhashPacked($"toks", bits, algo).as("native"),
         simhashPack(simhashVotes($"toks", bits, th), bits).as("hof"))
       assert(both.filter($"native" =!= $"hof").count() === 0,
         s"simhash parity broke at bits=$bits")
+    }
+  }
+
+  test("shingle hashes native == HOF on adversarial random docs, both algos") {
+    Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+      ("xx64", xxhash64(_)), ("md5_60", md5Hash60)).foreach { case (algo, th) =>
+      val both = fuzzDocs.filter(size($"toks") >= 3).select(
+        shingleHashes($"toks", 3, algo).as("native"),
+        transform(shingles($"toks", 3), g => th(g)).as("hof"))
+      assert(both.filter(to_json($"native") =!= to_json($"hof")).count() === 0,
+        s"shingle-hash parity broke for $algo")
     }
   }
 

@@ -35,7 +35,7 @@ class SimHashExprSpec extends AnyFunSuite with SparkSpec {
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
       .select(
-        simhashPacked($"toks", 60, md5Hash60).as("native"),
+        simhashPacked($"toks", 60, "md5_60").as("native"),
         hofFingerprint($"toks", 60, md5Hash60).as("hof"))
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
