@@ -77,20 +77,26 @@ object Dedup {
       .filter(size($"toks") >= k)
       .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = withSh.select($"doc_id", explode($"sh").as("shingle"))
+    // the inverted index carries 64-bit shingle HASHES, not strings: the
+    // posting shuffle moves 8-byte keys instead of ~40-byte grams, and a
+    // hash collision can only ADD a candidate pair (equal strings always
+    // hash equal), which exact verification then rejects — values are
+    // untouched
+    val sh = withSh.select($"doc_id",
+      explode(transform($"sh", s => xxhash64(s))).as("shash"))
 
     // document-frequency cap on the posting lists (candidate phase only)
     val posting =
       if (maxDF == Int.MaxValue) sh
       else {
-        val rare = sh.groupBy($"shingle")
+        val rare = sh.groupBy($"shash")
           .agg(count(lit(1)).as("df")).filter($"df" <= maxDF)
-          .select($"shingle")
-        sh.join(rare, Seq("shingle"), "left_semi")
+          .select($"shash")
+        sh.join(rare, Seq("shash"), "left_semi")
       }
     val candidates = posting.as("a")
       .join(posting.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+        $"a.shash" === $"b.shash" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
 
