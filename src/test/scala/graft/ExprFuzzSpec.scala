@@ -72,6 +72,23 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(to_json($"native") =!= to_json($"hof")).count() === 0)
   }
 
+  test("native expressions evaluate with codegen fallback DISABLED") {
+    // a broken doGenCode normally degrades silently to interpreted eval
+    // (same results, slower); with fallback off, a codegen compile error
+    // fails this test instead of hiding
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = fuzzDocs.filter(size($"toks") >= 3).select(
+        simhashPacked($"toks", 64).as("sh"),
+        shingleHashes($"toks", 3, "md5_60").as("hs"),
+        minhashSignatureNative(array_distinct(shingles($"toks", 3)), 8).as("mh"))
+      assert(out.count() > 0)
+      val emb = Tables.load(spark, sf0001, "embeddings")
+      assert(emb.select(dot(asDouble($"embedding"), asDouble($"embedding")))
+        .count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("graft_dot native == HOF on random vectors with extreme magnitudes") {
     val vecs = (0 until 200).map { i =>
       val dim = 1 + rnd.nextInt(96)
