@@ -110,6 +110,27 @@ object DocumentQueries {
     Dedup.winnowFingerprints(docs(spark, dir), k = 3, w = 4,
       algo = "md5_60")
 
+  // ---------------------------------------------------------------- q37
+  /** Vocabulary extraction: top-20 tokens per language by frequency
+    * (deterministic tiebreak on token). The classic word-count shape:
+    * explode → one aggregation shuffle WITH map-side partial counts
+    * (the token key space is vocabulary-sized, so partials collapse
+    * hard), then a per-group rank over the already-aggregated — small —
+    * frame. At 100 TB this is the vocab-building pass of a tokenizer
+    * pipeline. */
+  def q37VocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val byLang = Window.partitionBy($"lang")
+      .orderBy($"n".desc, $"token".asc)
+    docs(spark, dir)
+      .select($"lang", explode(tokens($"text")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byLang))
+      .filter($"rn" <= 20)
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17DedupExact _),
@@ -118,7 +139,8 @@ object DocumentQueries {
     "q20_ngram_jaccard" -> (q20NgramJaccard _),
     "q21_minhash_lsh" -> (q21MinhashLsh _),
     "q22_simhash" -> (q22Simhash _),
-    "q36_winnow_fingerprints" -> (q36WinnowFingerprints _))
+    "q36_winnow_fingerprints" -> (q36WinnowFingerprints _),
+    "q37_vocab_topk" -> (q37VocabTopk _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -195,7 +217,20 @@ object DocumentQueries {
            SELECT doc_id, list_distinct(list_transform(range(len(hs)-4+1), i ->
              list_min(hs[i+1:i+4]))) AS fps
            FROM h WHERE len(hs) >= 4)
-         SELECT doc_id, unnest(fps) AS fingerprint FROM w""")
+         SELECT doc_id, unnest(fps) AS fingerprint FROM w""",
+    "q37_vocab_topk" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         c AS (
+           SELECT lang, token, count(*) AS n
+           FROM tok WHERE length(token) > 0 GROUP BY lang, token),
+         r AS (
+           SELECT lang, token, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, token ASC) AS INTEGER) AS rn
+           FROM c)
+         SELECT lang, token, n, rn FROM r WHERE rn <= 20""")
 
   /** Two-phase exact 5-gram Jaccard, DF-capped candidates (mirrors
     * [[Dedup.ngramJaccard]] with maxDF=100): shared by q20 (directly)

@@ -371,6 +371,40 @@ object RelationalQueries {
         round(corr($"l_discount", $"l_tax"), 4).as("corr_disc_tax"))
   }
 
+  // ---------------------------------------------------------------- q38
+  /** Pivot (long → wide): per-year order counts spread across status
+    * columns. The values list is EXPLICIT — with it, Spark pivots in one
+    * aggregation pass; without it, a values-discovery job runs first
+    * (never acceptable at 100 TB). Empty cells coalesce to 0 so the
+    * wide frame is dense. */
+  def q38Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .withColumn("order_year", year($"o_orderdate").cast("int"))
+      .groupBy($"order_year")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"order_year",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+  }
+
+  // ---------------------------------------------------------------- q39
+  /** Rollup with grouping id: subtotals at (status, priority), (status),
+    * and grand-total levels in ONE pass — Catalyst's Expand feeds all
+    * grouping sets through a single aggregation shuffle instead of
+    * three scans. */
+  def q39Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 4).as("total"),
+        grouping_id().as("gid"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -387,7 +421,9 @@ object RelationalQueries {
     "q12_except" -> (q12Except _),
     "q13_union" -> (q13Union _),
     "q26_corr_matrix" -> (q26CorrMatrix _),
-    "q27_global_topk" -> (q27GlobalTopk _))
+    "q27_global_topk" -> (q27GlobalTopk _),
+    "q38_pivot" -> (q38Pivot _),
+    "q39_rollup" -> (q39Rollup _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -535,5 +571,18 @@ object RelationalQueries {
          FROM lineitem""",
     "q27_global_topk" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice,4) AS o_totalprice
-         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q38_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(count(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS n_f,
+         CAST(count(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS n_o,
+         CAST(count(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS n_p
+         FROM orders GROUP BY year(o_orderdate)""",
+    "q39_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         round(sum(o_totalprice),4) AS total,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
 }
