@@ -74,11 +74,30 @@ object EventQueries {
         round(sum($"value"), 4).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q40
+  /** As-of join: each click attributed to the user's latest purchase at
+    * or before it ([[graft.operators.Joins.asofJoin]] — union + ordered
+    * window, one shuffle on user_id, no non-equi fan-out). The right
+    * side pre-aggregates to unique (user_id, ts) so as-of resolution is
+    * deterministic; the oracle is DuckDB's native ASOF LEFT JOIN. */
+  def q40AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(round(max($"value"), 4).as("purchase_value"))
+    graft.operators.Joins
+      .asofJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
     "q15_sessionize" -> (q15Sessionize _),
-    "q16_tumbling_window" -> (q16TumblingWindow _))
+    "q16_tumbling_window" -> (q16TumblingWindow _),
+    "q40_asof_join" -> (q40AsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -108,5 +127,17 @@ object EventQueries {
     "q16_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),4) AS sum_value
-         FROM events GROUP BY date_trunc('hour', ts), event_type""")
+         FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q40_asof_join" ->
+      """WITH c AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts, round(max(value),4) AS purchase_value
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts)
+         SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_value AS asof_purchase_value
+         FROM c ASOF LEFT JOIN p
+           ON c.user_id = p.user_id AND c.ts >= p.ts""")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join helpers for skew that AQE can't fix on its own (SURVEY §7.2
@@ -38,5 +39,42 @@ object Joins {
           saltedFact("__salt") === saltedDim("__salt"),
         joinType)
       .drop(saltedDim(key)).drop(saltedFact("__salt")).drop(saltedDim("__salt"))
+  }
+
+  /** As-of (left) join: for each left row, the LATEST right row with
+    * `right.time <= left.time` on the same key — the operator behind
+    * point-in-time feature lookup and attribution, which Spark has no
+    * built-in for.
+    *
+    * A naive non-equi join (`l.key = r.key AND r.time <= l.time` +
+    * keep-latest) fans |left per key| × |right per key| rows per key
+    * before ranking — quadratic per key, dead at corpus scale. This
+    * implementation is the union trick: tag and union both inputs, sort
+    * each key's timeline once, and carry the right payload forward with
+    * `last(_, ignoreNulls)` over the ordered window. ONE shuffle on the
+    * key, O(n log n) per key, no fan-out. Right rows at exactly
+    * left.time are visible (ASOF `>=` semantics — right sorts before
+    * left on ties via the tag).
+    *
+    * Output: every left row + each payload column as `asof_<name>`
+    * (NULL when no right row precedes). Caller contract: (key, time)
+    * must be unique on the right (pre-aggregate otherwise — ties there
+    * would be nondeterministic in ANY as-of implementation). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__src", lit(1))
+    val r0 = right.select((key +: time +: rightPayload).map(col): _*)
+    val r = rightPayload.foldLeft(r0) { (d, c) =>
+      d.withColumnRenamed(c, s"asof_$c")
+    }.withColumn("__src", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c",
+        last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__src") === 1).drop("__src")
   }
 }

@@ -51,6 +51,37 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("asofJoin equals the naive non-equi formulation on events") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(spark, sf0001, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(round(max($"value"), 4).as("pv"))
+    val viaUnion = Joins.asofJoin(clicks, purchases, "user_id", "ts", Seq("pv"))
+      .select($"event_id", $"asof_pv".as("pv"))
+    // truth: non-equi join + keep-latest (quadratic — test-scale only)
+    val w = Window.partitionBy($"event_id").orderBy($"p_ts".desc)
+    val naive = clicks
+      .join(purchases.select($"user_id".as("p_uid"), $"ts".as("p_ts"), $"pv"),
+        $"user_id" === $"p_uid" && $"p_ts" <= $"ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"event_id", $"pv")
+    assert(viaUnion.count() === clicks.count(), "as-of must keep every left row")
+    assert(viaUnion.exceptAll(naive).isEmpty && naive.exceptAll(viaUnion).isEmpty)
+  }
+
+  test("asofJoin right rows at exactly left.time are matched (>= semantics)") {
+    val left = Seq((1L, 100L), (2L, 50L)).toDF("id", "t")
+    val right = Seq((1L, 100L, "same-instant"), (1L, 99L, "earlier"))
+      .toDF("id", "t", "tag")
+    val out = Joins.asofJoin(left, right, "id", "t", Seq("tag"))
+      .select($"id", $"asof_tag").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("same-instant"))
+    assert(out(2L).isEmpty, "no preceding right row must yield NULL")
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val fact = spark.range(5000).select(
       (when($"id" % 10 === 0, 1L).otherwise($"id" % 100)).as("k"),
