@@ -92,12 +92,43 @@ object EventQueries {
       .asofJoin(clicks, purchases, "user_id", "ts", Seq("purchase_value"))
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Range join: every event assigned to the purchase-session interval
+    * it falls inside, rolled up per session
+    * ([[graft.operators.Joins.rangeJoin]] — intervals explode into
+    * 1-hour bins, the join runs on (user, bin) with the exact range as
+    * a residual; no per-key all-pairs fan). */
+  def q41RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sess = e.filter($"event_type" === "purchase")
+      .withColumn("prev_us", lag(tsMicros, 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || (tsMicros - $"prev_us") >= gapUs, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"))
+      .drop("sess_id")
+    graft.operators.Joins
+      .rangeJoin(e.select($"event_id", $"user_id", $"ts", $"event_type"),
+        sess, "user_id", "ts", "session_start", "session_end",
+        binSeconds = 3600L)
+      .groupBy($"user_id", $"session_start", $"session_end")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_tumbling_window" -> (q16TumblingWindow _),
-    "q40_asof_join" -> (q40AsofJoin _))
+    "q40_asof_join" -> (q40AsofJoin _),
+    "q41_range_join" -> (q41RangeJoin _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -139,5 +170,30 @@ object EventQueries {
          SELECT c.event_id, c.user_id, c.ts,
            p.purchase_value AS asof_purchase_value
          FROM c ASOF LEFT JOIN p
-           ON c.user_id = p.user_id AND c.ts >= p.ts""")
+           ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q41_range_join" ->
+      """WITH p AS (
+           SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked),
+         sess AS (
+           SELECT user_id, sess_id,
+             min(ts) AS session_start, max(ts) AS session_end
+           FROM numbered GROUP BY user_id, sess_id)
+         SELECT s.user_id, s.session_start, s.session_end,
+           count(*) AS n_events,
+           CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+         FROM sess s JOIN events e
+           ON e.user_id = s.user_id
+          AND e.ts >= s.session_start AND e.ts <= s.session_end
+         GROUP BY s.user_id, s.session_start, s.session_end""")
 }

@@ -77,4 +77,38 @@ object Joins {
     }
     filled.filter(col("__src") === 1).drop("__src")
   }
+
+  /** Range (interval containment) join: left rows matched to every
+    * interval of the same key with `start <= time <= end`.
+    *
+    * Spark plans a raw `l.key = r.key AND l.time BETWEEN r.start AND
+    * r.end` as an equi-join on key with the range as a post-filter —
+    * every (row, interval) pair of a key meets before filtering,
+    * quadratic per key. This implementation buckets time into
+    * `binSeconds` bins: intervals explode into their covered bins
+    * (span/binSeconds + 1 rows — bounded when spans are), rows carry
+    * their single bin, and the join runs on (key, bin) with the exact
+    * range check as a residual. Join fan per key = rows × intervals
+    * SHARING A BIN, not all pairs. A row meets an interval in exactly
+    * one bin (its own), so no dedup is needed.
+    *
+    * Pick binSeconds ≈ the typical interval span: too small explodes
+    * the interval side, too large degrades toward the naive join.
+    * Caller contract: column names of `left` and `intervals` must be
+    * disjoint apart from `key`. */
+  def rangeJoin(left: DataFrame, intervals: DataFrame, key: String,
+      time: String, start: String, end: String,
+      binSeconds: Long = 3600L): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binUs = binSeconds * 1000000L
+    def binOf(c: String) =
+      floor(unix_micros(col(c).cast("timestamp")) / binUs)
+    val l = left.withColumn("__bin", binOf(time))
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(binOf(start), binOf(end))))
+    l.join(iv,
+        l("__bin") === iv("__bin") && l(key) === iv(key) &&
+          col(time) >= col(start) && col(time) <= col(end))
+      .drop(iv(key)).drop(l("__bin")).drop(iv("__bin"))
+  }
 }

@@ -82,6 +82,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).isEmpty, "no preceding right row must yield NULL")
   }
 
+  test("rangeJoin equals the naive containment join across bin widths") {
+    val e = Tables.load(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"ts")
+    // synthetic per-user intervals straddling bin boundaries
+    val iv = Tables.load(spark, sf0001, "events")
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("iv_start"),
+        ($"ts" + expr("INTERVAL 90 MINUTES")).as("iv_end"))
+    def naive =
+      e.join(iv.withColumnRenamed("user_id", "iv_uid"),
+          $"user_id" === $"iv_uid" &&
+            $"ts" >= $"iv_start" && $"ts" <= $"iv_end")
+        .select($"event_id", $"iv_start")
+    Seq(600L, 3600L, 86400L).foreach { bin =>
+      val bucketed = Joins.rangeJoin(e, iv, "user_id", "ts",
+          "iv_start", "iv_end", binSeconds = bin)
+        .select($"event_id", $"iv_start")
+      assert(bucketed.count() === naive.count(), s"row count drifted at bin=$bin")
+      assert(bucketed.exceptAll(naive).isEmpty && naive.exceptAll(bucketed).isEmpty,
+        s"range-join mismatch at bin=$bin")
+    }
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val fact = spark.range(5000).select(
       (when($"id" % 10 === 0, 1L).otherwise($"id" % 100)).as("k"),
