@@ -131,6 +131,15 @@ object DocumentQueries {
       .filter($"rn" <= 20)
   }
 
+  // ---------------------------------------------------------------- q42
+  /** Dedup clustering: q20's near-dup pairs resolved into connected
+    * components with keep/drop flags ([[Dedup.dedupClusters]] —
+    * min-label propagation, the step that turns pair lists into the
+    * actual delete set of a dedup pipeline). */
+  def q42DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(
+      q20NgramJaccard(spark, dir).select("doc_a", "doc_b"))
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17DedupExact _),
@@ -140,7 +149,8 @@ object DocumentQueries {
     "q21_minhash_lsh" -> (q21MinhashLsh _),
     "q22_simhash" -> (q22Simhash _),
     "q36_winnow_fingerprints" -> (q36WinnowFingerprints _),
-    "q37_vocab_topk" -> (q37VocabTopk _))
+    "q37_vocab_topk" -> (q37VocabTopk _),
+    "q42_dedup_clusters" -> (q42DedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -230,7 +240,20 @@ object DocumentQueries {
              CAST(row_number() OVER (PARTITION BY lang
                                      ORDER BY n DESC, token ASC) AS INTEGER) AS rn
            FROM c)
-         SELECT lang, token, n, rn FROM r WHERE rn <= 20""")
+         SELECT lang, token, n, rn FROM r WHERE rn <= 20""",
+    "q42_dedup_clusters" ->
+      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM np
+           UNION SELECT doc_b, doc_a FROM np),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT src AS doc_id,
+           least(src, min(dst)) AS component,
+           least(src, min(dst)) = src AS is_keep
+         FROM reach GROUP BY src""")
 
   /** Two-phase exact 5-gram Jaccard, DF-capped candidates (mirrors
     * [[Dedup.ngramJaccard]] with maxDF=100): shared by q20 (directly)

@@ -225,6 +225,50 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** Near-dup pairs → canonical clusters: connected components over the
+    * pair graph, labeled by each component's minimum doc_id, plus the
+    * keep/drop flag a dedup pipeline acts on (minimum id keeps).
+    *
+    * Pregel-style min-label propagation: every node starts as its own
+    * label; each round takes the min over neighbors' labels; converges
+    * in ≤ component-diameter rounds, one shuffle each. Each round's
+    * frontier is `localCheckpoint`ed — the label frame feeds BOTH sides
+    * of the next round's join, so without truncation the logical plan
+    * doubles per round and the analyzer goes exponential long before
+    * the data does (at cluster scale use reliable `checkpoint()` so a
+    * lost executor can recompute). Near-dup components are tiny and
+    * shallow (pairs share content), so rounds stay in the low single
+    * digits; for adversarial long-chain graphs swap in the
+    * large-star/small-star contraction (O(log n) rounds, same
+    * per-round shape).
+    *
+    * Output: one row per doc appearing in ≥ 1 pair —
+    * (doc_id, component, is_keep). */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, $"dst" === $"node")
+        .groupBy($"src").agg(min($"label").as("nmin"))
+      val updated = labels.join(neighborMin, $"node" === $"src", "left")
+        .select($"node", $"label",
+          least($"label", coalesce($"nmin", $"label")).as("next"))
+        .localCheckpoint(true)
+      changed = updated.filter($"next" =!= $"label").count()
+      labels = updated.select($"node", $"next".as("label"))
+    }
+    edges.unpersist()
+    labels.select($"node".as("doc_id"), $"label".as("component"),
+      ($"node" === $"label").as("is_keep"))
+  }
+
   /** Winnowing (rolling-hash) document fingerprints — the MOSS
     * selection: hash every POSITIONAL k-gram (no dedup — position
     * matters), slide a w-wide window over the hash sequence, keep each

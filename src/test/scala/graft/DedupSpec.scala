@@ -151,6 +151,26 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(fp.values.map(_.size).sum < allGrams)
   }
 
+  test("dedupClusters: components resolve across multi-hop chains, min id keeps") {
+    // a 7-node chain (needs several propagation rounds), a 2-node pair,
+    // and a triangle — labels must reach the component min everywhere
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (200L, 201L), (201L, 202L), (200L, 202L)))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, c, k) => d -> ((c, k)) }.toMap
+    (0L to 6L).foreach(d => assert(got(d) == ((0L, d == 0L)), s"chain node $d"))
+    assert(got(100L) == ((100L, true)) && got(101L) == ((100L, false)))
+    Seq(200L, 201L, 202L).foreach(d =>
+      assert(got(d) == ((200L, d == 200L)), s"triangle node $d"))
+    // exactly one keeper per component
+    val keepers = got.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._2)
+    }
+    assert(keepers.values.forall(_ == 1), s"keeper counts: $keepers")
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
