@@ -247,8 +247,13 @@ object Dedup {
   def dedupClusters(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    // both union arms and every propagation round read the pair list —
+    // materialize it once (the producing plan is often a whole dedup
+    // pipeline, far too expensive to re-run per arm)
+    val p = pairs.select($"doc_a", $"doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
@@ -265,6 +270,7 @@ object Dedup {
       labels = updated.select($"node", $"next".as("label"))
     }
     edges.unpersist()
+    p.unpersist()
     labels.select($"node".as("doc_id"), $"label".as("component"),
       ($"node" === $"label").as("is_keep"))
   }
