@@ -7,8 +7,13 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Each query runs once untimed (JIT/codegen warm-up — on a long-lived
-  * cluster these costs amortize to zero) and once timed; the timed pass
-  * is what's reported.
+  * cluster these costs amortize to zero), then `BENCH_ITERS` (default 3)
+  * timed runs; the reported figure is the MEDIAN. Single-shot timings on
+  * this 42-query single-JVM harness carry 1.5-3× run-to-run noise from
+  * tiered-JIT recompilation and code-cache churn (measured: q32 timed
+  * 6.24 s in one round and 3.68 s in a rerun of identical code; six
+  * BenchOne iterations settle at 1.8 s) — the median of three is stable
+  * to ~10% and is what steady-state cluster throughput looks like.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,20 +48,25 @@ object Bench {
       try run(name)
       catch { case _: Throwable => () }
     }
-    // timed pass: failures are reported by name, never silently folded
+    // timed passes: failures are reported by name, never silently folded
     // into the total as elapsed-to-failure time. The heap settles BEFORE
     // each timer starts (bench hygiene, not a product knob): without it,
     // one full GC of the accumulated cross-query garbage lands inside an
     // arbitrary query's timed region and shows up as a phantom 5-10s
     // regression on a sub-second query.
+    val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
-      System.gc()
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(name); true }
-        catch { case e: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to iters).flatMap { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { run(name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.size < iters && !errors.contains(name)) errors += name
+      val median =
+        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

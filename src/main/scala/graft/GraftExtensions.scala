@@ -21,6 +21,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Shape parameters (signature width, band count, hash algo) must be
+    * literals — they size the generated code, so a per-row value cannot
+    * work. A non-foldable (or non-integer / NULL) argument gets the
+    * standard NON_FOLDABLE_ARGUMENT AnalysisException instead of an NPE
+    * at resolution time. */
+  private def foldableInt(fn: String, param: String, e: Expression): Int = {
+    val v = if (e.foldable) e.eval(null) else null
+    v match {
+      case i: Int => i
+      case _ => throw GraftColumnBridge.nonFoldableArgument(fn, param,
+        org.apache.spark.sql.types.IntegerType)
+    }
+  }
+
+  private def foldableString(fn: String, param: String, e: Expression): String = {
+    val v = if (e.foldable) e.eval(null) else null
+    if (v == null) throw GraftColumnBridge.nonFoldableArgument(fn, param,
+      org.apache.spark.sql.types.StringType)
+    v.toString
+  }
+
   /** (name, info, builder) triples for every native graft expression. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
@@ -33,7 +54,7 @@ object GraftExtensions {
         new ExpressionInfo(classOf[SimHashPacked].getName, "graft_simhash"),
         (children: Seq[Expression]) => {
           val bits = children.lift(1)
-            .map(_.eval(null).asInstanceOf[Int]).getOrElse(64)
+            .map(foldableInt("graft_simhash", "bits", _)).getOrElse(64)
           SimHashPacked(children.head, bits)
         }),
       // graft_minhash(shingles array<string>, numHashes int) — numHashes
@@ -41,13 +62,15 @@ object GraftExtensions {
       (FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
         (children: Seq[Expression]) => MinHashSignature(children.head,
-          children(1).eval(null).asInstanceOf[Int])),
+          foldableInt("graft_minhash", "numHashes", children(1)))),
       // graft_shingle_hashes(toks array<string>, k int[, algo string])
       (FunctionIdentifier("graft_shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
         (children: Seq[Expression]) => ShingleHashes(children.head,
-          children(1).eval(null).asInstanceOf[Int],
-          children.lift(2).map(_.eval(null).toString).getOrElse("xx64"))))
+          foldableInt("graft_shingle_hashes", "k", children(1)),
+          children.lift(2)
+            .map(foldableString("graft_shingle_hashes", "algo", _))
+            .getOrElse("xx64"))))
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

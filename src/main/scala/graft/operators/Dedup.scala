@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextOps._
 import graft.functions.VectorOps._
@@ -28,10 +27,12 @@ import graft.functions.VectorOps._
   *    pigeonhole.
   *
   * Intermediates that feed multiple consumers are persisted
-  * MEMORY_AND_DISK for the duration of the returned plan's first
-  * action; Spark's ContextCleaner reclaims the blocks once the frames
-  * go out of scope (callers running many queries in one session can
-  * also `spark.catalog.clearCache()` between them).
+  * MEMORY_AND_DISK via [[CacheScope.persist]]: inside a
+  * [[CacheScope.withCachesReleased]] scope the blocks are freed the
+  * moment the scope closes; outside one, Spark's ContextCleaner
+  * reclaims them once the frames go out of scope (callers running many
+  * queries in one session can also `spark.catalog.clearCache()`
+  * between them).
   */
 object Dedup {
 
@@ -72,11 +73,10 @@ object Dedup {
     import spark.implicits._
     // per-row distinct shingle arrays: sizes come free (no groupBy), the
     // inverted index is one explode away; reused by candidates + verify
-    val withSh = docs
+    val withSh = CacheScope.persist(docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
-      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh")))
     // the inverted index carries 64-bit shingle HASHES, not strings: the
     // posting shuffle moves 8-byte keys instead of ~40-byte grams, and a
     // hash collision can only ADD a candidate pair (equal strings always
@@ -129,16 +129,15 @@ object Dedup {
 
     // signatures straight off the per-row shingle array — no
     // explode/groupBy/collect_list round-trip, zero shuffle to this point
-    val sigs = docs
+    // reused by band explode, both sides of the candidate self-join and
+    // the verification joins — without the persist the signature lineage
+    // recomputes once per consumer
+    val sigs = CacheScope.persist(docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .withColumn("sh", array_distinct(shingles($"toks", k)))
       .select($"doc_id", $"sh",
-        minhashSignatureNative($"sh", numHashes).as("sig"))
-      // reused by band explode, both sides of the candidate self-join and
-      // the verification joins — without this the signature lineage
-      // recomputes once per consumer
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        minhashSignatureNative($"sh", numHashes).as("sig")))
 
     // band key = (band index, hash of the band's signature slice)
     val bandRows = sigs.select(
@@ -205,8 +204,7 @@ object Dedup {
     val mask = (1L << width) - 1
     // both sides of the band self-join read the fingerprints — persist so
     // the per-bit vote fold runs once per doc
-    val fp = simhashFingerprints(docs, bits, algo)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fp = CacheScope.persist(simhashFingerprints(docs, bits, algo))
     val bandRows = fp.select(
       $"doc_id", $"simhash",
       explode(array((0 until bands).map(b =>
@@ -250,11 +248,10 @@ object Dedup {
     // both union arms and every propagation round read the pair list —
     // materialize it once (the producing plan is often a whole dedup
     // pipeline, far too expensive to re-run per arm)
-    val p = pairs.select($"doc_a", $"doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = p.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = CacheScope.persist(pairs.select($"doc_a", $"doc_b"))
+    val edges = CacheScope.persist(
+      p.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(p.select($"doc_b".as("src"), $"doc_a".as("dst"))))
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("label", $"node")
       .localCheckpoint(true)
@@ -332,10 +329,9 @@ object Dedup {
     val spark = emb.sparkSession
     import spark.implicits._
     // vectors + norms feed the bucket explode and both verify sides
-    val corpus = emb
+    val corpus = CacheScope.persist(emb
       .select($"vec_id", asDouble($"embedding").as("v"))
-      .withColumn("nrm", l2Norm($"v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("nrm", l2Norm($"v")))
 
     val bucketRows = corpus.select(
       $"vec_id",

@@ -100,6 +100,10 @@ object Joins {
       time: String, start: String, end: String,
       binSeconds: Long = 3600L): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    val shared = (left.columns.toSet & intervals.columns.toSet) - key
+    require(shared.isEmpty,
+      s"rangeJoin requires left/interval column names disjoint apart from " +
+        s"'$key'; shared: ${shared.toSeq.sorted.mkString(", ")}")
     val binUs = binSeconds * 1000000L
     def binOf(c: String) =
       floor(unix_micros(col(c).cast("timestamp")) / binUs)

@@ -20,6 +20,13 @@ object GraftColumnBridge {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Spark's standard NON_FOLDABLE_ARGUMENT AnalysisException, for SQL
+    * builders whose shape parameters (signature width, band count) must
+    * be literals. */
+  def nonFoldableArgument(funcName: String, param: String,
+      dt: org.apache.spark.sql.types.DataType): Throwable =
+    errors.QueryCompilationErrors.nonFoldableArgumentError(funcName, param, dt)
+
   /** Register a function builder on an already-running session (the
     * programmatic twin of `spark.sql.extensions=graft.GraftExtensions`,
     * for sessions the library does not construct itself). */

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CacheScope, Dedup, Joins}
+
+/** Library-contract guards: operator persists must not outlive a
+  * [[CacheScope]] scope, malformed SQL arguments must fail with a clean
+  * AnalysisException (not an NPE at resolution), and rangeJoin's
+  * disjoint-column caller contract must fail with its own message
+  * rather than a downstream ambiguous-column error.
+  */
+class ContractSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+
+  test("withCachesReleased frees every operator persist at scope exit") {
+    // an earlier suite may have left an identical internal plan in the
+    // CacheManager, which would dedupe this spec's persists — start clean
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.withCachesReleased {
+      val pairs = Dedup.minhashLsh(docs, k = 5, numHashes = 32, bands = 8,
+        threshold = 0.4)
+      assert(pairs.count() >= 0)
+      // the signature frame is registered while the scope is open
+      assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+        "expected operator-internal persists inside the scope")
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty, s"blocks survived the scope: $leaked")
+  }
+
+  test("outside a scope, persists still register (ContextCleaner path)") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Dedup.ngramJaccard(docs, k = 5, threshold = 0.4)
+    assert(pairs.count() >= 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(added.nonEmpty, "unscoped operator should persist as before")
+    spark.catalog.clearCache()
+  }
+
+  test("graft_minhash rejects a non-literal numHashes with AnalysisException") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_minhash(array(text), cast(doc_id as int))
+           FROM contract_docs""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
+  test("graft_shingle_hashes rejects a non-literal k with AnalysisException") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_shingle_hashes(array(text), cast(doc_id as int))
+           FROM contract_docs""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
+  test("graft_simhash rejects a non-literal bits with AnalysisException") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_simhash(array(xxhash64(text)), cast(doc_id as int))
+           FROM contract_docs""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
+  test("rangeJoin rejects overlapping non-key column names up front") {
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val iv = Seq((1L, 0L, 20L, "y")).toDF("k", "s", "e", "payload")
+    val err = intercept[IllegalArgumentException] {
+      Joins.rangeJoin(left, iv, "k", "t", "s", "e")
+    }
+    assert(err.getMessage.contains("disjoint"), err.getMessage)
+    assert(err.getMessage.contains("payload"), err.getMessage)
+  }
+}
