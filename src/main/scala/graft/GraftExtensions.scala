@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashSignature, ShingleHashes, SimHashPacked}
+import graft.expressions.{ArrayDotProduct, MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked}
 
 /** `SparkSessionExtensions` hook registering graft's native expressions
   * as SQL functions — enable cluster-wide with
@@ -63,6 +63,14 @@ object GraftExtensions {
         new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
         (children: Seq[Expression]) => MinHashSignature(children.head,
           foldableInt("graft_minhash", "numHashes", children(1)))),
+      // graft_minhash_band_keys(shingles array<string>, numHashes int,
+      // bands int) — both shape args must be foldable int literals
+      (FunctionIdentifier("graft_minhash_band_keys"),
+        new ExpressionInfo(classOf[MinHashBandKeys].getName,
+          "graft_minhash_band_keys"),
+        (children: Seq[Expression]) => MinHashBandKeys(children.head,
+          foldableInt("graft_minhash_band_keys", "numHashes", children(1)),
+          foldableInt("graft_minhash_band_keys", "bands", children(2)))),
       // graft_shingle_hashes(toks array<string>, k int[, algo string])
       (FunctionIdentifier("graft_shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{MinHashSignature, ShingleHashes, SimHashPacked}
+import graft.expressions.{MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked}
 
 /** Text-analysis `Column` builders for the LLM-data-pipeline surface:
   * tokenization, shingling, quality signals, fingerprints. All pure
@@ -105,4 +105,13 @@ object TextOps {
   def minhashSignatureNative(shingleArr: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(shingleArr), numHashes))
+
+  /** Fused MinHash LSH band keys — shingles → per-seed minima → per-band
+    * XXH64 long-fold, one primitive-only pass
+    * ([[graft.expressions.MinHashBandKeys]]); no signature array or
+    * per-band string render ever materializes. */
+  def minhashBandKeysNative(shingleArr: Column, numHashes: Int,
+      bands: Int): Column =
+    GraftColumnBridge.column(MinHashBandKeys(
+      GraftColumnBridge.expression(shingleArr), numHashes, bands))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps._
@@ -125,29 +125,24 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
-    // signatures straight off the per-row shingle array — no
-    // explode/groupBy/collect_list round-trip, zero shuffle to this point
-    // reused by band explode, both sides of the candidate self-join and
-    // the verification joins — without the persist the signature lineage
-    // recomputes once per consumer
+    // band keys straight off the per-row shingle array — the fused
+    // kernel folds shingles → per-seed minima → per-band keys in one
+    // primitive-only codegen'd pass (no signature array, no per-band
+    // string render), zero shuffle to this point. Reused by both sides
+    // of the candidate self-join and the verification joins — without
+    // the persist the kernel lineage recomputes once per consumer.
     val sigs = CacheScope.persist(docs
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .withColumn("sh", array_distinct(shingles($"toks", k)))
       .select($"doc_id", $"sh",
-        minhashSignatureNative($"sh", numHashes).as("sig")))
+        minhashBandKeysNative($"sh", numHashes, bands).as("bk")))
 
-    // band key = (band index, hash of the band's signature slice)
-    val bandRows = sigs.select(
-      $"doc_id",
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          xxhash64(concat_ws(",", slice($"sig", b * rows + 1, rows)), lit(b))
-            .as("bh"))): _*))
-        .as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.bh".as("band_hash"))
+    // band key rows: (band index, key); the index keys the join so
+    // cross-band collisions are excluded
+    val bandRows = sigs.select($"doc_id",
+      posexplode($"bk").as(Seq("band", "band_hash")))
 
     val candidates = bandRows.as("a")
       .join(bandRows.as("b"),
@@ -229,16 +224,26 @@ object Dedup {
     *
     * Pregel-style min-label propagation: every node starts as its own
     * label; each round takes the min over neighbors' labels; converges
-    * in ≤ component-diameter rounds, one shuffle each. Each round's
-    * frontier is `localCheckpoint`ed — the label frame feeds BOTH sides
-    * of the next round's join, so without truncation the logical plan
-    * doubles per round and the analyzer goes exponential long before
-    * the data does (at cluster scale use reliable `checkpoint()` so a
-    * lost executor can recompute). Near-dup components are tiny and
+    * in ≤ component-diameter rounds. Near-dup components are tiny and
     * shallow (pairs share content), so rounds stay in the low single
     * digits; for adversarial long-chain graphs swap in the
     * large-star/small-star contraction (O(log n) rounds, same
     * per-round shape).
+    *
+    * Per-round cost is ONE live exchange: the edge list is shuffled onto
+    * its join key (`dst`) once up front and cached in that layout, and
+    * the label frontier rides checkpoint-preserved hash partitioning on
+    * `node` — so the neighbor join co-locates both sides, only the
+    * `groupBy(src)` re-shuffles, and the frontier-update join is again
+    * co-located (src and node share the hash layout). Each round's
+    * frontier is `localCheckpoint`ed — the label frame feeds BOTH sides
+    * of the next round's join, so without truncation the logical plan
+    * doubles per round and the analyzer goes exponential long before the
+    * data does (at cluster scale use reliable `checkpoint()` so a lost
+    * executor can recompute); the superseded round's checkpoint blocks
+    * are freed eagerly rather than waiting on the GC-driven
+    * ContextCleaner. The convergence count reads the just-materialized
+    * checkpoint blocks, so it costs a job launch, not a recompute.
     *
     * Output: one row per doc appearing in ≥ 1 pair —
     * (doc_id, component, is_keep). */
@@ -247,14 +252,17 @@ object Dedup {
     import spark.implicits._
     // both union arms and every propagation round read the pair list —
     // materialize it once (the producing plan is often a whole dedup
-    // pipeline, far too expensive to re-run per arm)
+    // pipeline, far too expensive to re-run per arm); cached already
+    // laid out on the join key so rounds reuse the exchange
     val p = CacheScope.persist(pairs.select($"doc_a", $"doc_b"))
     val edges = CacheScope.persist(
       p.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(p.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    var labels = edges.select($"src".as("node")).distinct()
+        .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .repartition($"dst"))
+    var frontier = edges.select($"dst".as("node")).distinct()
       .withColumn("label", $"node")
       .localCheckpoint(true)
+    var labels = frontier
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges.join(labels, $"dst" === $"node")
@@ -263,6 +271,10 @@ object Dedup {
         .select($"node", $"label",
           least($"label", coalesce($"nmin", $"label")).as("next"))
         .localCheckpoint(true)
+      // `updated` is materialized: the previous frontier's checkpoint
+      // blocks are now unreachable — free them before the next round
+      GraftColumnBridge.unpersistLocalCheckpoint(frontier)
+      frontier = updated
       changed = updated.filter($"next" =!= $"label").count()
       labels = updated.select($"node", $"next".as("label"))
     }

@@ -27,6 +27,17 @@ object GraftColumnBridge {
       dt: org.apache.spark.sql.types.DataType): Throwable =
     errors.QueryCompilationErrors.nonFoldableArgumentError(funcName, param, dt)
 
+  /** Free the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only talks to the CacheManager, so checkpoint
+    * blocks otherwise live until the GC-driven ContextCleaner notices
+    * the RDD is unreachable. Only call this once nothing can re-read
+    * the frame — a localCheckpoint has no lineage to recompute from. */
+  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function builder on an already-running session (the
     * programmatic twin of `spark.sql.extensions=graft.GraftExtensions`,
     * for sessions the library does not construct itself). */

@@ -81,7 +81,8 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
       val out = fuzzDocs.filter(size($"toks") >= 3).select(
         simhashPacked($"toks", 64).as("sh"),
         shingleHashes($"toks", 3, "md5_60").as("hs"),
-        minhashSignatureNative(array_distinct(shingles($"toks", 3)), 8).as("mh"))
+        minhashSignatureNative(array_distinct(shingles($"toks", 3)), 8).as("mh"),
+        minhashBandKeysNative(array_distinct(shingles($"toks", 3)), 8, 4).as("bk"))
       assert(out.count() > 0)
       val emb = Tables.load(spark, sf0001, "embeddings")
       assert(emb.select(dot(asDouble($"embedding"), asDouble($"embedding")))

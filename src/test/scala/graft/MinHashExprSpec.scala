@@ -26,6 +26,37 @@ class MinHashExprSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(size($"native") =!= 32).count() === 0)
   }
 
+  test("band keys equal the XXH64 long-fold of the signature's band slices") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val (numHashes, bands) = (32, 8)
+    val rows = numHashes / bands
+    val collected = shingled.limit(200).select(
+      minhashSignatureNative($"sh", numHashes).as("sig"),
+      minhashBandKeysNative($"sh", numHashes, bands).as("bk")).collect()
+    assert(collected.nonEmpty)
+    collected.foreach { r =>
+      val sig = r.getSeq[Long](0)
+      val bk = r.getSeq[Long](1)
+      assert(bk.length === bands)
+      (0 until bands).foreach { b =>
+        var h = b.toLong
+        (b * rows until (b + 1) * rows).foreach(j => h = XXH64.hashLong(sig(j), h))
+        assert(bk(b) === h, s"band $b key drifted from the signature fold")
+      }
+    }
+  }
+
+  test("graft_minhash_band_keys resolves in SQL and matches the DataFrame path") {
+    GraftExtensions.register(spark)
+    shingled.limit(50).createOrReplaceTempView("docs_bandkeys_test")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_minhash_band_keys(sh, 32, 8) AS bk FROM docs_bandkeys_test")
+    val viaDf = shingled.limit(50)
+      .select($"doc_id", minhashBandKeysNative($"sh", 32, 8).as("bk"))
+    assert(viaSql.exceptAll(viaDf).count() === 0)
+    assert(viaDf.exceptAll(viaSql).count() === 0)
+  }
+
   test("graft_minhash resolves in SQL and matches the DataFrame path") {
     GraftExtensions.register(spark)
     shingled.limit(50).createOrReplaceTempView("docs_minhash_test")
