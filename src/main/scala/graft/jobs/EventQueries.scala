@@ -74,6 +74,28 @@ object EventQueries {
         round(sum($"value"), 4).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Sliding-window aggregation (batch twin of the streaming
+    * `slidingCounts` plan, SURVEY §2.10): 1-hour windows sliding every
+    * 30 minutes, so every event lands in exactly length/slide = 2
+    * windows. Spark's `window()` IS the explode over covering window
+    * starts — the plan is one generator + the same single aggregation
+    * shuffle as q16, input amplified by the overlap factor (at 100 TB
+    * the factor is the knob: length/slide bounds both the explode and a
+    * stream's state). StreamingSpec pins `slidingCounts` equal to this
+    * frame; the DuckDB oracle rebuilds the covering starts by epoch
+    * arithmetic. */
+  def q43SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ev(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"sum_value")
+  }
+
   // ---------------------------------------------------------------- q40
   /** As-of join: each click attributed to the user's latest purchase at
     * or before it ([[graft.operators.Joins.asofJoin]] — union + ordered
@@ -127,6 +149,7 @@ object EventQueries {
     "q14_events_json" -> (q14EventsJson _),
     "q15_sessionize" -> (q15Sessionize _),
     "q16_tumbling_window" -> (q16TumblingWindow _),
+    "q43_sliding_window" -> (q43SlidingWindow _),
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_range_join" -> (q41RangeJoin _))
 
@@ -159,6 +182,18 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events, round(sum(value),4) AS sum_value
          FROM events GROUP BY date_trunc('hour', ts), event_type""",
+    "q43_sliding_window" ->
+      // covering window starts by epoch arithmetic: an event at t is in
+      // the windows starting at floor(t/slide)*slide - i*slide for
+      // i in 0..(length/slide - 1); length divides into exactly 2 slides
+      """WITH ex AS (
+           SELECT event_type, value,
+             make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                            - g.i * 1800000000) AS window_start
+           FROM events, (SELECT unnest(generate_series(0, 1)) AS i) g)
+         SELECT window_start, event_type,
+           count(*) AS n_events, round(sum(value),4) AS sum_value
+         FROM ex GROUP BY window_start, event_type""",
     "q40_asof_join" ->
       """WITH c AS (
            SELECT event_id, user_id, ts FROM events

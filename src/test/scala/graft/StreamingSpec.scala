@@ -173,26 +173,80 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
-  test("streaming sliding windows equal the batch explode-over-covering-windows twin") {
+  test("file stream ingests appended files incrementally; watermark drops late rows") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    // the seam Kafka can't exercise here: a file LANDING mid-query must
+    // emit only the new rows, and a row older than the watermark horizon
+    // must vanish instead of corrupting an already-emitted window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val watched = Files.createTempDirectory("graft_incr")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_incr_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), watched.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val maxTs = raw.agg(max($"ts")).as[Long].head()
+    val hourNs = 3600L * 1000000000L
+    // late: 4 h before the corpus max — its hour window finalized long
+    // before, under the 2-hour watermark. fresh: 1 h after the max —
+    // advances the watermark but its own window stays open.
+    val late = Seq((-10L, maxTs - 4 * hourNs, -1L, "late_type", 100.0,
+      null: String)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fresh = Seq((-11L, maxTs + hourNs, -1L, "fresh_type", 1.0,
+      null: String)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    stage(raw, "001.parquet")
+    val agg = EventsStream.tumblingCounts(
+      EventsStream.readEvents(spark, watched.toString))
+    val q = agg.writeStream.format("memory").queryName("incr_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val phase1 = spark.table("incr_test")
+        .select($"window_start", $"event_type", $"n_events").collect()
+        .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(phase1.nonEmpty, "append sink empty after first file — " +
+        "watermark-finalized windows should have emitted")
+
+      stage(late.unionByName(fresh), "002.parquet")
+      q.processAllAvailable()
+      val phase2 = spark.table("incr_test")
+        .select($"window_start", $"event_type", $"n_events").collect()
+        .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2))
+      // append-mode invariant: a window emits exactly once — the late
+      // arrival must not produce a second row for its (emitted) window
+      assert(phase2.map(_._1).distinct.length === phase2.length,
+        "duplicate window rows: a late arrival re-emitted a closed window")
+      assert(!phase2.exists(_._1._2 == "late_type"),
+        "row older than the watermark horizon must be dropped")
+      assert(!phase2.exists(_._1._2 == "fresh_type"),
+        "an open window must not emit before the watermark passes it")
+      // the watermark advance from the fresh row finalizes more windows:
+      // strictly new rows only, phase-1 rows untouched
+      assert(phase2.length > phase1.size, "no incremental emission")
+      phase1.foreach { case (k, n) =>
+        assert(phase2.toMap.get(k).contains(n), s"phase-1 row $k changed")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming sliding windows equal the declared batch q43") {
     import spark.implicits._
     // 1-hour windows sliding every 30 minutes: every event belongs to 2
-    // windows — the batch twin explodes each event into its covering
-    // window starts and aggregates
+    // windows — the batch side is the oracle-checked q43, so this pins
+    // stream == declared query == DuckDB oracle in one chain
     val streamed = EventsStream.runToBatch(
       EventsStream.slidingCounts(
         EventsStream.readEvents(spark, eventsDir), "1 hour", "30 minutes"),
       "sliding_test", "complete")
       .select($"window_start".cast("timestamp_ntz").as("window_start"),
         $"event_type", $"n_events", $"sum_value")
-    val ev = graft.Tables.load(spark, sf0001, "events")
-    val slideUs = 30L * 60 * 1000000
-    val batch = ev
-      .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
-      .withColumn("window_start", explode(array(
-        expr(s"cast(timestamp_micros((us div $slideUs) * $slideUs) as timestamp_ntz)"),
-        expr(s"cast(timestamp_micros(((us div $slideUs) - 1) * $slideUs) as timestamp_ntz)"))))
-      .groupBy($"window_start", $"event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    val batch = EventQueries.q43SlidingWindow(spark, sf0001)
     assert(streamed.count() == batch.count(),
       s"streamed ${streamed.count()} vs batch ${batch.count()}")
     assert(streamed.exceptAll(batch).count() == 0)
