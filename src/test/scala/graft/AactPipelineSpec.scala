@@ -245,6 +245,62 @@ class AactPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("C1→C3 lineage runs end-to-end as ONE lazy plan (reference dataflow)") {
+    // the reference's actual dataflow (init-user-db.sh:38-274 feeding
+    // ct_data.py:72-151) composed with zero intermediate
+    // materialization: conditionsCalculatedValues → studyEnrichment →
+    // enrichCalculatedValues → featureQueryRollup → featureFrame, built
+    // here from the raw fixtures in one expression so Catalyst sees the
+    // WHOLE lineage
+    val lineage = AactPipeline.featureFrame(
+      AactPipeline.featureQueryRollup(Star(
+        studies = studies,
+        calculatedValues = AactPipeline.enrichCalculatedValues(
+          calculatedValuesRaw,
+          AactPipeline.studyEnrichment(studies, designs, conditions,
+            AactPipeline.conditionsCalculatedValues(conditions, studies))),
+        eligibilities = eligibilities,
+        interventions = interventionsRaw,
+        sponsors = sponsors,
+        designGroupInterventions = designGroupInterventions,
+        designs = designs,
+        briefSummaries = briefSummaries)))
+
+    val projected = lineage.select($"nct_id", $"condition_stage",
+      $"number_of_arms_clean", $"start_epoch", $"status")
+      .as[(String, Int, Int, Int, Int)]
+    val qe = projected.queryExecution
+    val got = projected.collect().sortBy(_._1).toSeq
+    // the final frame is pinned (full-width expectations live in the
+    // feature-frame test; this one pins the composed plan's output)
+    assert(got == Seq(("N1", 1, 2, 2019, 0), ("N2", 2, 1, 2020, 1)))
+
+    // plan-depth note: the analyzed tree of the full C1→C3 lineage is
+    // deep (hundreds of nodes — 2 multi-join aggregations, 3 rollups, 7
+    // encoder ladders) but single-plan: the analyzer and optimizer
+    // handle it without checkpoints because nothing feeds both sides of
+    // a self-referencing loop (unlike dedupClusters). Keep this
+    // assertion as the canary: if composition ever needs a checkpoint
+    // to analyze, the library's "compose freely" contract broke.
+    val analyzedNodes = qe.analyzed.collect { case n => n }.size
+    assert(analyzedNodes > 50, s"suspiciously shallow plan: $analyzedNodes")
+
+    // shuffle inventory of the whole pipeline, post-AQE (broadcast and
+    // reused exchanges excluded): the two wide aggregations (conditions
+    // rollup, study enrichment) + the three fan-table rollups + the
+    // final wide-key group each cost one exchange, plus the distinct
+    // shuffles inside the multi-countDistinct Expands. The bound is the
+    // regression canary, not a target — it allows AQE re-plans without
+    // masking a quadratic blowup
+    val plan = qe.executedPlan.treeString
+    assert(plan.contains("isFinalPlan=true"),
+      s"AQE plan did not settle (${plan.length} chars):\n${plan.take(2000)}")
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(plan).size
+    assert(shuffles <= 14,
+      s"C1→C3 shuffle inventory grew to $shuffles:\n${plan.take(4000)}")
+  }
+
   test("C3 feature frame: encoders + condition_stage + drop list") {
     val ff = AactPipeline.featureFrame(AactPipeline.featureQueryRollup(star))
     val got = ff.select($"nct_id", $"condition_stage",
