@@ -131,6 +131,45 @@ object DocumentQueries {
       .filter($"rn" <= 20)
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Document-length distribution per language: exact p50/p90/p99 token
+    * counts — the primitive behind percentile-based length filtering in
+    * a training-data pipeline. Exact `percentile` is the declared,
+    * oracle-checked path (one sort-based agg per group); at 100 TB the
+    * drop-in is `approx_percentile` (t-digest sketch, map-side
+    * mergeable, no per-group sort) — the exact/approx pair is
+    * spec-locked within tolerance in ScaleOpsSpec, mirroring the
+    * count-distinct/HLL escape hatch. */
+  def q44TokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"lang", tokenCount($"text").as("n_tok"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile($"n_tok", lit(0.5)), 4).as("p50_tokens"),
+        round(percentile($"n_tok", lit(0.9)), 4).as("p90_tokens"),
+        round(percentile($"n_tok", lit(0.99)), 4).as("p99_tokens"),
+        max($"n_tok").as("max_tokens"))
+  }
+
+  /** The 100-TB variant: `approx_percentile` (t-digest-style sketch,
+    * `accuracy` trades memory for error) — mergeable partials instead of
+    * a per-group sort over every value. */
+  def q44TokenPercentilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"lang", tokenCount($"text").as("n_tok"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_percentile($"n_tok", lit(0.5), lit(accuracy)).as("p50_tokens"),
+        approx_percentile($"n_tok", lit(0.9), lit(accuracy)).as("p90_tokens"),
+        approx_percentile($"n_tok", lit(0.99), lit(accuracy)).as("p99_tokens"),
+        max($"n_tok").as("max_tokens"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -150,7 +189,8 @@ object DocumentQueries {
     "q22_simhash" -> (q22Simhash _),
     "q36_winnow_fingerprints" -> (q36WinnowFingerprints _),
     "q37_vocab_topk" -> (q37VocabTopk _),
-    "q42_dedup_clusters" -> (q42DedupClusters _))
+    "q42_dedup_clusters" -> (q42DedupClusters _),
+    "q44_token_percentiles" -> (q44TokenPercentiles _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -241,6 +281,15 @@ object DocumentQueries {
                                      ORDER BY n DESC, token ASC) AS INTEGER) AS rn
            FROM c)
          SELECT lang, token, n, rn FROM r WHERE rn <= 20""",
+    "q44_token_percentiles" ->
+      // DuckDB quantile_cont interpolates at rank p*(n-1) exactly as
+      // Spark's exact `percentile` does
+      """SELECT lang, count(*) AS n_docs,
+         round(quantile_cont(len(string_split(text,' ')), 0.5), 4) AS p50_tokens,
+         round(quantile_cont(len(string_split(text,' ')), 0.9), 4) AS p90_tokens,
+         round(quantile_cont(len(string_split(text,' ')), 0.99), 4) AS p99_tokens,
+         max(len(string_split(text,' '))) AS max_tokens
+         FROM documents GROUP BY lang""",
     "q42_dedup_clusters" ->
       s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (

@@ -284,6 +284,88 @@ object Dedup {
       ($"node" === $"label").as("is_keep"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — the adversarial-graph fallback to [[dedupClusters]].
+    *
+    * Min-label propagation needs diameter-many rounds: a pathological
+    * pair graph (a 10⁶-node chain from overlapping shingle windows, or
+    * template-chained boilerplate) would run 10⁶ shuffles. The star
+    * operations contract the graph instead: large-star points every
+    * neighbor LARGER than the pivot at the pivot's minimum
+    * neighborhood label; small-star re-points the smaller-or-equal
+    * ones. Alternating the two converges to a star forest centered at
+    * each component's minimum in O(log n) rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * published shape for trillion-edge graphs.
+    *
+    * Per half-round: one groupBy(pivot) for neighborhood minima, one
+    * join back, one distinct — edge-proportional shuffles, no fan-out.
+    * Same checkpoint discipline as [[dedupClusters]] (truncate lineage
+    * each round, free superseded blocks eagerly). `maxRounds` is a
+    * safety valve: hitting it raises rather than looping silently.
+    *
+    * Output contract matches [[dedupClusters]]: one row per doc in ≥ 1
+    * pair — (doc_id, component, is_keep), component = the component's
+    * minimum doc_id. */
+  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical undirected edges (u < v), the node universe fixed up front
+    var edges = pairs
+      .select(least($"doc_a", $"doc_b").as("u"),
+        greatest($"doc_a", $"doc_b").as("v"))
+      .filter($"u" =!= $"v").distinct()
+      .localCheckpoint(true)
+    val nodes = CacheScope.persist(
+      edges.select($"u".as("node")).union(edges.select($"v".as("node")))
+        .distinct())
+    // materialize NOW: nodes reads the round-0 edge checkpoint, whose
+    // blocks are freed as soon as round 1 supersedes it
+    nodes.count()
+
+    def directed(e: DataFrame): DataFrame =
+      e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+
+    // one star pass: point each pivot's selected neighbors at the
+    // pivot's neighborhood minimum m = min(pivot, min(neighbors))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val dir = directed(e)
+      val mins = dir.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u".as("pivot"), least($"u", $"mv").as("m"))
+      val joined = dir.join(mins, $"u" === $"pivot")
+      val repointed =
+        if (large) joined.filter($"v" > $"u").select($"v".as("a"), $"m".as("b"))
+        else joined.filter($"v" <= $"u").select($"v".as("a"), $"m".as("b"))
+          .union(mins.select($"pivot".as("a"), $"m".as("b")))
+      repointed
+        .select(least($"a", $"b").as("u"), greatest($"a", $"b").as("v"))
+        .filter($"u" =!= $"v").distinct()
+    }
+
+    var round = 0
+    var stable = false
+    while (!stable) {
+      round += 1
+      require(round <= maxRounds,
+        s"star contraction did not converge in $maxRounds rounds")
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // fixpoint: the edge set survived a full large+small round intact
+      // (sizes first — cheap; exceptAll only at equal counts)
+      stable = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      GraftColumnBridge.unpersistLocalCheckpoint(edges)
+      edges = next
+    }
+
+    // star forest: every edge is (component-min, member); centers (and
+    // any node whose component collapsed onto itself) carry no edge
+    nodes
+      .join(edges.select($"v".as("node"), $"u".as("comp")), Seq("node"), "left")
+      .select($"node".as("doc_id"), coalesce($"comp", $"node").as("component"))
+      .withColumn("is_keep", $"doc_id" === $"component")
+  }
+
   /** Winnowing (rolling-hash) document fingerprints — the MOSS
     * selection: hash every POSITIONAL k-gram (no dedup — position
     * matters), slide a w-wide window over the hash sequence, keep each

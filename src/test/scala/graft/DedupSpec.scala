@@ -171,6 +171,42 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(keepers.values.forall(_ == 1), s"keeper counts: $keepers")
   }
 
+  test("star contraction equals min-label propagation on mixed components") {
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (200L, 201L), (201L, 202L),
+      (200L, 202L), (301L, 300L))) // reversed pair: canonicalization path
+      .toDF("doc_a", "doc_b")
+    val viaLabels = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaStars = Dedup.dedupClustersStar(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaStars == viaLabels,
+      s"star diff: ${viaStars.diff(viaLabels)} / ${viaLabels.diff(viaStars)}")
+  }
+
+  test("star contraction equals min-label on the organic near-dup graph") {
+    val pairs = Dedup.ngramJaccard(docs, k = 5, threshold = 0.4)
+      .select($"doc_a", $"doc_b")
+    val viaLabels = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaStars = Dedup.dedupClustersStar(pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaLabels.nonEmpty)
+    assert(viaStars == viaLabels)
+  }
+
+  test("star contraction resolves a 512-node chain in O(log n) rounds") {
+    // the adversarial shape: diameter 511, so min-label would need ~511
+    // shuffle rounds; the star alternation must land the whole chain on
+    // component 0 within the 16-round budget (log2(512) = 9 + slack)
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClustersStar(pairs, maxRounds = 16)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 512)
+    assert(got.forall(_._2 == 0L), "every chain node must label to 0")
+    assert(got.count(_._3) == 1 && got.find(_._3).get._1 == 0L)
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -44,6 +44,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q44 approx percentiles track exact within sketch tolerance") {
+    import graft.jobs.DocumentQueries
+    def perLang(df: org.apache.spark.sql.DataFrame) = df
+      .select($"lang", $"p50_tokens".cast("double"),
+        $"p90_tokens".cast("double"), $"p99_tokens".cast("double"))
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = perLang(DocumentQueries.q44TokenPercentiles(spark, sf0001))
+    val approx = perLang(DocumentQueries.q44TokenPercentilesApprox(spark, sf0001))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (lang, (a50, a90, a99)) =>
+      val (e50, e90, e99) = exact(lang)
+      // approx returns an observed value, exact interpolates — the gap
+      // is bounded by the local inter-value spacing; 5% or 2 tokens
+      // covers it at every sf
+      Seq(("p50", a50, e50), ("p90", a90, e90), ("p99", a99, e99)).foreach {
+        case (p, a, e) =>
+          assert(math.abs(a - e) <= math.max(2.0, 0.05 * e),
+            s"$lang $p: approx $a vs exact $e beyond tolerance")
+      }
+    }
+  }
+
   test("q06's salted opt-in returns exactly the plain q06 result") {
     val plain = RelationalQueries.q06StarFeatures(spark, sf0001)
     val salted = RelationalQueries.q06StarFeaturesSalted(spark, sf0001, salt = 8)
