@@ -170,6 +170,56 @@ object DocumentQueries {
         max($"n_tok").as("max_tokens"))
   }
 
+  // ---------------------------------------------------------------- q45
+  /** Quality-aware dedup keep policy: the decision rule an LLM-data
+    * pipeline actually applies to near-dup pairs — keep the HIGHER
+    * quality-score document (q19's score; rounded on both engines so
+    * the comparison is deterministic cross-engine), tie-break on lower
+    * doc_id. Composes q20's pair discovery with q19's per-doc scoring:
+    * two broadcast-or-shuffle joins of a tiny pair list against the
+    * scored corpus — candidate-proportional, like the verify phases. */
+  def q45QualityKeep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = q19TextQuality(spark, dir)
+      .select($"doc_id", $"quality_score")
+    val pairs = q20NgramJaccard(spark, dir)
+    pairs
+      .join(quality.select($"doc_id".as("doc_a"), $"quality_score".as("qa")),
+        "doc_a")
+      .join(quality.select($"doc_id".as("doc_b"), $"quality_score".as("qb")),
+        "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard", $"qa", $"qb",
+        when($"qa" > $"qb" || ($"qa" === $"qb" && $"doc_a" < $"doc_b"),
+          $"doc_a").otherwise($"doc_b").as("keep_id"))
+      .withColumn("drop_id",
+        when($"keep_id" === $"doc_a", $"doc_b").otherwise($"doc_a"))
+  }
+
+  // ---------------------------------------------------------------- q46
+  /** Context-window chunking: fixed-size token windows with overlap —
+    * how documents become training sequences. size 50, stride 40 (10
+    * tokens of overlap); the final partial chunk is kept (truncated
+    * slice semantics agree across engines). Pure per-row expression
+    * work + one explode, no shuffle before the downstream consumer —
+    * the chunk fan-out (≈ n_tokens/stride per doc) is the only row
+    * amplification, exactly as at 100 TB. */
+  val chunkSize = 50
+  val chunkStride = 40
+  def q46TokenChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0), size($"toks") - 1, lit(chunkStride))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .select($"doc_id", $"chunk_idx",
+        slice($"toks", $"col" + 1, lit(chunkSize)).as("chunk"))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk").as("n_chunk_tokens"),
+        concat_ws(" ", $"chunk").as("chunk_text"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -190,7 +240,9 @@ object DocumentQueries {
     "q36_winnow_fingerprints" -> (q36WinnowFingerprints _),
     "q37_vocab_topk" -> (q37VocabTopk _),
     "q42_dedup_clusters" -> (q42DedupClusters _),
-    "q44_token_percentiles" -> (q44TokenPercentiles _))
+    "q44_token_percentiles" -> (q44TokenPercentiles _),
+    "q45_quality_keep" -> (q45QualityKeep _),
+    "q46_token_chunks" -> (q46TokenChunks _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -281,6 +333,39 @@ object DocumentQueries {
                                      ORDER BY n DESC, token ASC) AS INTEGER) AS rn
            FROM c)
          SELECT lang, token, n, rn FROM r WHERE rn <= 20""",
+    "q45_quality_keep" ->
+      s"""WITH q AS (
+           SELECT doc_id,
+             round(((1.0 - sr) + ur + least(CAST(tc AS DOUBLE)/50.0, 1.0))/3.0, 4)
+               AS quality_score
+           FROM (
+             SELECT doc_id, len(w) AS tc,
+               CAST(len(list_filter(w, x -> x IN ('the','a'))) AS DOUBLE)/len(w) AS sr,
+               CAST(len(list_distinct(w)) AS DOUBLE)/len(w) AS ur
+             FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+             WHERE len(w) > 0)),
+         p AS (SELECT * FROM ($ngramJaccardSql) z)
+         SELECT p.doc_a, p.doc_b, p.jaccard,
+           qa.quality_score AS qa, qb.quality_score AS qb,
+           CASE WHEN qa.quality_score > qb.quality_score
+                  OR (qa.quality_score = qb.quality_score AND p.doc_a < p.doc_b)
+                THEN p.doc_a ELSE p.doc_b END AS keep_id,
+           CASE WHEN qa.quality_score > qb.quality_score
+                  OR (qa.quality_score = qb.quality_score AND p.doc_a < p.doc_b)
+                THEN p.doc_b ELSE p.doc_a END AS drop_id
+         FROM p
+         JOIN q qa ON p.doc_a = qa.doc_id
+         JOIN q qb ON p.doc_b = qb.doc_id""",
+    "q46_token_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         s AS (
+           SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS st
+           FROM t WHERE len(toks) > 0)
+         SELECT doc_id, CAST(st // 40 AS INTEGER) AS chunk_idx,
+           CAST(len(toks[st+1:st+50]) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[st+1:st+50], ' ') AS chunk_text
+         FROM s""",
     "q44_token_percentiles" ->
       // DuckDB quantile_cont interpolates at rank p*(n-1) exactly as
       // Spark's exact `percentile` does
