@@ -220,6 +220,40 @@ object DocumentQueries {
         concat_ws(" ", $"chunk").as("chunk_text"))
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Train/eval contamination detection: which held-out documents share
+    * winnowing fingerprints with the training split — the
+    * decontamination pass every benchmark-clean training corpus needs
+    * (winnowing guarantees any ≥ w+k-1-token verbatim overlap shares a
+    * fingerprint, so verbatim leakage cannot hide). The split here is
+    * deterministic (`doc_id % 2`) so both engines agree; in production
+    * it's whatever defines the eval set.
+    *
+    * Scale design mirrors q20's posting lists: the fingerprint relation
+    * is the inverted index, a document-frequency cap keeps boilerplate
+    * fingerprints (shared across thousands of docs) from fanning the
+    * join, and the pair aggregation counts only surviving matches —
+    * cost ∝ true overlaps, not corpus². */
+  val maxFingerprintDF = 100
+  def q47Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = graft.operators.CacheScope.persist(
+      Dedup.winnowFingerprints(docs(spark, dir), k = 3, w = 4,
+        algo = "md5_60"))
+    val rare = fp.groupBy($"fingerprint")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxFingerprintDF)
+      .select($"fingerprint")
+    val capped = fp.join(rare, Seq("fingerprint"), "left_semi")
+    val train = capped.filter($"doc_id" % 2 === 0)
+      .select($"fingerprint", $"doc_id".as("train_id"))
+    val test = capped.filter($"doc_id" % 2 =!= 0)
+      .select($"fingerprint", $"doc_id".as("test_id"))
+    test.join(train, "fingerprint")
+      .groupBy($"test_id", $"train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -242,7 +276,8 @@ object DocumentQueries {
     "q42_dedup_clusters" -> (q42DedupClusters _),
     "q44_token_percentiles" -> (q44TokenPercentiles _),
     "q45_quality_keep" -> (q45QualityKeep _),
-    "q46_token_chunks" -> (q46TokenChunks _))
+    "q46_token_chunks" -> (q46TokenChunks _),
+    "q47_contamination" -> (q47Contamination _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -304,22 +339,22 @@ object DocumentQueries {
            FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pairs WHERE hamming <= 3""",
-    "q36_winnow_fingerprints" ->
-      """WITH t AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         s AS (
-           SELECT doc_id, list_transform(range(len(toks)-3+1), i ->
-             concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS sh
-           FROM t WHERE len(toks) >= 3),
-         h AS (
-           SELECT doc_id, list_transform(sh, g ->
-             CAST(CAST(('0x'||substr(md5(g),1,15)) AS UBIGINT) AS BIGINT)) AS hs
-           FROM s),
-         w AS (
-           SELECT doc_id, list_distinct(list_transform(range(len(hs)-4+1), i ->
-             list_min(hs[i+1:i+4]))) AS fps
-           FROM h WHERE len(hs) >= 4)
-         SELECT doc_id, unnest(fps) AS fingerprint FROM w""",
+    "q36_winnow_fingerprints" -> winnowSql,
+    "q47_contamination" ->
+      s"""WITH fp AS (SELECT * FROM ($winnowSql) z),
+         rare AS (
+           SELECT fingerprint FROM fp GROUP BY fingerprint
+           HAVING count(*) <= $maxFingerprintDF),
+         capped AS (
+           SELECT * FROM fp WHERE fingerprint IN (SELECT fingerprint FROM rare)),
+         te AS (
+           SELECT fingerprint, doc_id AS test_id FROM capped WHERE doc_id % 2 <> 0),
+         tr AS (
+           SELECT fingerprint, doc_id AS train_id FROM capped WHERE doc_id % 2 = 0)
+         SELECT te.test_id, tr.train_id, count(*) AS n_shared
+         FROM te JOIN tr ON te.fingerprint = tr.fingerprint
+         GROUP BY te.test_id, tr.train_id
+         HAVING count(*) >= 2""",
     "q37_vocab_topk" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split(text, ' ')) AS token
@@ -388,6 +423,26 @@ object DocumentQueries {
            least(src, min(dst)) AS component,
            least(src, min(dst)) = src AS is_keep
          FROM reach GROUP BY src""")
+
+  /** Winnowing fingerprints (mirrors [[Dedup.winnowFingerprints]] with
+    * k=3, w=4, md5-60 hashes): shared by q36 (directly) and q47 (the
+    * contamination join runs over the same fingerprint relation). */
+  private lazy val winnowSql: String =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       s AS (
+         SELECT doc_id, list_transform(range(len(toks)-3+1), i ->
+           concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS sh
+         FROM t WHERE len(toks) >= 3),
+       h AS (
+         SELECT doc_id, list_transform(sh, g ->
+           CAST(CAST(('0x'||substr(md5(g),1,15)) AS UBIGINT) AS BIGINT)) AS hs
+         FROM s),
+       w AS (
+         SELECT doc_id, list_distinct(list_transform(range(len(hs)-4+1), i ->
+           list_min(hs[i+1:i+4]))) AS fps
+         FROM h WHERE len(hs) >= 4)
+       SELECT doc_id, unnest(fps) AS fingerprint FROM w"""
 
   /** Two-phase exact 5-gram Jaccard, DF-capped candidates (mirrors
     * [[Dedup.ngramJaccard]] with maxDF=100): shared by q20 (directly)

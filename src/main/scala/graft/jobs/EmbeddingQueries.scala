@@ -94,13 +94,36 @@ object EmbeddingQueries {
       probes = q34Probes, k = q34K, cellCap = q34CellCap)
   }
 
+  // ---------------------------------------------------------------- q48
+  /** Symmetric int8 quantization — the memory-side half of a
+    * production ANN index (a 64-dim float vector becomes 64 bytes + one
+    * scale): per-vector scale = max|v|/127, element q = floor(v/scale).
+    * Floor (not round) keeps the arithmetic bit-deterministic across
+    * engines — every step is an IEEE-754 double op both sides. Pure
+    * per-row expression work + one explode (the exploded form is the
+    * declared, hashable shape; the packed `array<int>` stays one
+    * `transform` away). */
+  def q48EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    emb(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("amax", array_max(transform($"v", x => abs(x))))
+      .filter($"amax" > 0)
+      .select($"vec_id", round($"amax" / 127.0, 6).as("scale"),
+        posexplode(transform($"v",
+          x => floor(x / ($"amax" / 127.0)).cast("int"))))
+      .withColumnRenamed("pos", "dim_idx")
+      .withColumnRenamed("col", "qval")
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_embed_norms" -> (q23EmbedNorms _),
     "q24_cosine_topk" -> (q24CosineTopk _),
     "q25_ann_blocked" -> (q25AnnBlocked _),
     "q33_embed_neardup" -> (q33EmbedNearDup _),
-    "q34_ann_ivf" -> (q34AnnIvf _))
+    "q34_ann_ivf" -> (q34AnnIvf _),
+    "q48_embed_quantize" -> (q48EmbedQuantize _))
 
   val oracle: Map[String, String] = Map(
     "q23_embed_norms" ->
@@ -196,6 +219,23 @@ object EmbeddingQueries {
            JOIN n x ON x.vec_id = c.vec_a
            JOIN n y ON y.vec_id = c.vec_b
          WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) + 0.0 >= 0.4""",
+    "q48_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         a AS (
+           SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+           FROM e),
+         x AS (
+           SELECT vec_id, v, amax,
+             unnest(generate_series(1, len(v))) AS i
+           FROM a WHERE amax > 0)
+         SELECT vec_id, round(amax/127.0, 6) AS scale,
+           CAST(i - 1 AS INT) AS dim_idx,
+           CAST(floor(v[i] / (amax/127.0)) AS INT) AS qval
+         FROM x""",
     "q34_ann_ivf" ->
       """WITH e AS (
            SELECT vec_id,
