@@ -195,6 +195,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(viaStars == viaLabels)
   }
 
+  test("star contraction equals min-label on seeded random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 3).foreach { trial =>
+      // sparse G(n, m): disconnected fragments, chains, and cliques mix
+      val n = 60 + rnd.nextInt(80)
+      val m = n / 2 + rnd.nextInt(n)
+      val pairs = Seq.fill(m) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+      val viaLabels = Dedup.dedupClusters(pairs)
+        .as[(Long, Long, Boolean)].collect().toSet
+      val viaStars = Dedup.dedupClustersStar(pairs)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(viaStars == viaLabels,
+        s"trial $trial (n=$n m=$m): star ${viaStars.diff(viaLabels)} / " +
+          s"labels ${viaLabels.diff(viaStars)}")
+    }
+  }
+
   test("star contraction resolves a 512-node chain in O(log n) rounds") {
     // the adversarial shape: diameter 511, so min-label would need ~511
     // shuffle rounds; the star alternation must land the whole chain on
