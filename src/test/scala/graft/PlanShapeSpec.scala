@@ -59,6 +59,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q01 scan lost its pushed filter:\n$p")
   }
 
+  test("pure per-row queries plan with zero shuffle exchanges") {
+    // these are expression-tree-only pipelines (project/filter/explode):
+    // a shuffle appearing in any of them means an accidental
+    // groupBy/distinct/repartition crept in — at 100 TB that's the
+    // difference between a single corpus pass and a corpus re-shuffle
+    Seq("q19_text_quality", "q23_embed_norms", "q28_multimodal_meta",
+      "q30_oncology_flags", "q36_winnow_fingerprints", "q46_token_chunks",
+      "q48_embed_quantize").foreach { name =>
+      val p = finalPlan(name)
+      assert(!p.contains("Exchange hashpartitioning") &&
+        !p.contains("Exchange rangepartitioning") &&
+        !p.contains("Exchange RoundRobinPartitioning"),
+        s"$name gained a shuffle:\n$p")
+    }
+  }
+
   test("q02 prunes lineitem scan to the referenced columns") {
     val p = finalPlan("q02_type_rollup")
     // the lineitem scan must not read the full 11-column schema
