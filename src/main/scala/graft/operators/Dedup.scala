@@ -259,8 +259,12 @@ object Dedup {
       p.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .repartition($"dst"))
-    var frontier = edges.select($"dst".as("node")).distinct()
-      .withColumn("label", $"node")
+    // seed = min(node, min(neighbors)): the same shuffle a plain
+    // distinct would cost, but it folds the first propagation round into
+    // the seed — a clique/star component (the common near-dup shape)
+    // then converges in ONE confirming round instead of two
+    var frontier = edges.groupBy($"src").agg(min($"dst").as("mind"))
+      .select($"src".as("node"), least($"src", $"mind").as("label"))
       .localCheckpoint(true)
     var labels = frontier
     var changed = 1L
