@@ -254,6 +254,30 @@ object DocumentQueries {
       .filter($"n_shared" >= 2)
   }
 
+  // ---------------------------------------------------------------- q49
+  /** Deterministic hash split (80/10/10 train/validate/test): the
+    * production-reproducible alternative to `randomSplit` (M1) — a
+    * content-independent md5 bucket of the document id, so the split is
+    * stable across reruns, cluster topologies, and engines (md5 agrees
+    * everywhere; `randomSplit` does not even survive a repartition).
+    * Declared as the per-split profile (counts + token mass per lang ×
+    * split); the per-doc assignment is the same expression un-aggregated.
+    * One hash + one aggregation shuffle — no data movement beyond the
+    * rollup. */
+  def q49HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = md5Hash60($"doc_id".cast("string")) % 100
+    docs(spark, dir)
+      .withColumn("split",
+        when(bucket < 80, "train")
+          .when(bucket < 90, "validate")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount($"text")).cast("long").as("total_tokens"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -277,7 +301,8 @@ object DocumentQueries {
     "q44_token_percentiles" -> (q44TokenPercentiles _),
     "q45_quality_keep" -> (q45QualityKeep _),
     "q46_token_chunks" -> (q46TokenChunks _),
-    "q47_contamination" -> (q47Contamination _))
+    "q47_contamination" -> (q47Contamination _),
+    "q49_hash_split" -> (q49HashSplit _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -340,6 +365,19 @@ object DocumentQueries {
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pairs WHERE hamming <= 3""",
     "q36_winnow_fingerprints" -> winnowSql,
+    "q49_hash_split" ->
+      """WITH b AS (
+           SELECT lang, text,
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100
+               AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'validate'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+         FROM b GROUP BY 1, 2""",
     "q47_contamination" ->
       s"""WITH fp AS (SELECT * FROM ($winnowSql) z),
          rare AS (
