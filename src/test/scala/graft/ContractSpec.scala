@@ -73,6 +73,21 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("hash split lands near 80/10/10 and is stable across reruns") {
+    import graft.jobs.DocumentQueries
+    def fractions = DocumentQueries.q49HashSplit(spark, sf0001)
+      .groupBy($"split").agg(org.apache.spark.sql.functions.sum($"n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val f1 = fractions
+    val total = f1.values.sum.toDouble
+    // md5 buckets are uniform: 500 docs → binomial(500, 0.8) is within
+    // ±6% of 0.8 at > 5 sigma
+    assert(math.abs(f1("train") / total - 0.8) < 0.06, s"train: $f1")
+    assert(math.abs(f1("validate") / total - 0.1) < 0.05, s"validate: $f1")
+    assert(math.abs(f1("test") / total - 0.1) < 0.05, s"test: $f1")
+    assert(fractions == f1, "split must be deterministic across reruns")
+  }
+
   test("rangeJoin rejects overlapping non-key column names up front") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
     val iv = Seq((1L, 0L, 20L, "y")).toDF("k", "s", "e", "payload")
