@@ -144,6 +144,64 @@ object EventQueries {
         countDistinct($"event_type").as("n_types"))
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Ordered conversion funnel with a 24-hour attribution window:
+    * view → click (within 24 h after the first view) → purchase
+    * (within 24 h after that click), per user — the stage-depth query
+    * behind every product funnel dashboard. Strictly-ordered, windowed
+    * semantics: a click before the first view, or one outside the
+    * window, does not count. Three stage-aggregations, each a filtered
+    * min over the (small) per-user key space, composed by
+    * broadcast-or-shuffle joins on user_id; output is one row per
+    * funnel depth. */
+  val funnelWindowUs: Long = 24L * 3600 * 1000000
+  def q50Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).withColumn("us", tsMicros)
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("tv"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, "user_id")
+      .filter($"us" > $"tv" && $"us" <= $"tv" + funnelWindowUs)
+      .groupBy($"user_id").agg(min($"us").as("tc"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, "user_id")
+      .filter($"us" > $"tc" && $"us" <= $"tc" + funnelWindowUs)
+      .groupBy($"user_id").agg(min($"us").as("tp"))
+    e.select($"user_id").distinct()
+      .join(v.select($"user_id", lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select($"user_id", lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select($"user_id", lit(1).as("s3")), Seq("user_id"), "left")
+      .select(
+        (coalesce($"s1", lit(0)) + coalesce($"s2", lit(0)) +
+          coalesce($"s3", lit(0))).as("funnel_stage"))
+      .groupBy($"funnel_stage")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** Cohort retention: users grouped by the ISO week of their first
+    * event; for each later week, how many of the cohort were active.
+    * Week offsets by exact epoch arithmetic (cross-engine safe, no
+    * datediff dialect). Two aggregations + one join on user_id —
+    * the activity relation is pre-deduped to (user, week) so the join
+    * fan is bounded by weeks-per-user, not events. */
+  def q51Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekUs = 7L * 86400 * 1000000
+    val activity = ev(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(date_trunc('week', ts) as timestamp))").as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    activity.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_wk",
+        (($"wk" - $"cohort_wk") / weekUs).cast("int").as("week_offset"))
+      .groupBy(expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
+        .as("cohort_week"), $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
@@ -151,7 +209,9 @@ object EventQueries {
     "q16_tumbling_window" -> (q16TumblingWindow _),
     "q43_sliding_window" -> (q43SlidingWindow _),
     "q40_asof_join" -> (q40AsofJoin _),
-    "q41_range_join" -> (q41RangeJoin _))
+    "q41_range_join" -> (q41RangeJoin _),
+    "q50_funnel" -> (q50Funnel _),
+    "q51_retention" -> (q51Retention _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -194,6 +254,45 @@ object EventQueries {
          SELECT window_start, event_type,
            count(*) AS n_events, round(sum(value),4) AS sum_value
          FROM ex GROUP BY window_start, event_type""",
+    "q50_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+             AND epoch_us(e.ts) <= v.tv + 86400000000
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+             AND epoch_us(e.ts) <= c.tc + 86400000000
+           GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END +
+                 CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END +
+                 CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)
+                  AS funnel_stage,
+           count(*) AS n_users
+         FROM u
+         LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id
+         GROUP BY 1""",
+    "q51_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             epoch_us(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS wk
+           FROM events),
+         coh AS (
+           SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+         SELECT make_timestamp(coh.cohort_wk) AS cohort_week,
+           CAST((act.wk - coh.cohort_wk) // 604800000000 AS INT) AS week_offset,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+         FROM act JOIN coh ON act.user_id = coh.user_id
+         GROUP BY 1, 2""",
     "q40_asof_join" ->
       """WITH c AS (
            SELECT event_id, user_id, ts FROM events
