@@ -202,6 +202,27 @@ object EventQueries {
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
+  /** A2 scale variant of q51 — HLL++ sketch in place of the exact
+    * distinct count: cohort × offset cells at 100 TB hold millions of
+    * users each, and the sketch turns the distinct shuffle into
+    * mergeable fixed-size partials (ScaleOpsSpec bounds the error). */
+  def q51RetentionApprox(spark: SparkSession, dir: String,
+      rsd: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val weekUs = 7L * 86400 * 1000000
+    val activity = ev(spark, dir)
+      .select($"user_id",
+        expr("unix_micros(cast(date_trunc('week', ts) as timestamp))").as("wk"))
+      .distinct()
+    val cohorts = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    activity.join(cohorts, "user_id")
+      .select($"user_id", $"cohort_wk",
+        (($"wk" - $"cohort_wk") / weekUs).cast("int").as("week_offset"))
+      .groupBy(expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
+        .as("cohort_week"), $"week_offset")
+      .agg(approx_count_distinct($"user_id", rsd).as("n_active"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),

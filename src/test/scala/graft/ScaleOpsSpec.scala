@@ -67,6 +67,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q51 HLL variant tracks exact cohort retention within 3×rsd") {
+    import graft.jobs.EventQueries
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(concat_ws("|", $"cohort_week", $"week_offset"),
+        $"n_active".cast("long"))
+      .as[(String, Long)].collect().toMap
+    val exact = cells(EventQueries.q51Retention(spark, sf0001))
+    val approx = cells(EventQueries.q51RetentionApprox(spark, sf0001, rsd = 0.05))
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, est) =>
+      val e = exact(k).toDouble
+      assert(math.abs(est - e) / e <= 0.15,
+        s"$k: estimate $est vs exact $e beyond 3×rsd")
+    }
+  }
+
   test("q06's salted opt-in returns exactly the plain q06 result") {
     val plain = RelationalQueries.q06StarFeatures(spark, sf0001)
     val salted = RelationalQueries.q06StarFeaturesSalted(spark, sf0001, salt = 8)
