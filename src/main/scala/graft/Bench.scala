@@ -63,10 +63,11 @@ object Bench {
         try { run(name); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
-      if (times.size < iters && !errors.contains(name)) errors += name
-      val median =
-        if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
+      // ANY failed iteration marks the query failed (-1.0, excluded from
+      // the total) — a query flaking 2 of 3 runs must not report its one
+      // lucky time as a healthy median
+      if (times.size < iters) { errors += name; name -> -1.0 }
+      else name -> times.sorted.apply(times.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

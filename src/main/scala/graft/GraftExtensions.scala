@@ -42,17 +42,29 @@ object GraftExtensions {
     v.toString
   }
 
+  /** Wrong argument counts get the standard WRONG_NUM_ARGS
+    * AnalysisException instead of a raw IndexOutOfBounds at
+    * resolution. */
+  private def requireArity(fn: String, children: Seq[Expression],
+      allowed: Seq[Int]): Unit =
+    if (!allowed.contains(children.size))
+      throw GraftColumnBridge.wrongNumArgs(fn, allowed, children.size)
+
   /** (name, info, builder) triples for every native graft expression. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))),
+        (children: Seq[Expression]) => {
+          requireArity("graft_dot", children, Seq(2))
+          ArrayDotProduct(children(0), children(1))
+        }),
       // graft_simhash(hashes array<bigint>[, bits int]) — bits must be a
       // foldable int literal (it shapes the generated loop)
       (FunctionIdentifier("graft_simhash"),
         new ExpressionInfo(classOf[SimHashPacked].getName, "graft_simhash"),
         (children: Seq[Expression]) => {
+          requireArity("graft_simhash", children, Seq(1, 2))
           val bits = children.lift(1)
             .map(foldableInt("graft_simhash", "bits", _)).getOrElse(64)
           SimHashPacked(children.head, bits)
@@ -61,24 +73,33 @@ object GraftExtensions {
       // must be a foldable int literal (it sizes the signature)
       (FunctionIdentifier("graft_minhash"),
         new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-        (children: Seq[Expression]) => MinHashSignature(children.head,
-          foldableInt("graft_minhash", "numHashes", children(1)))),
+        (children: Seq[Expression]) => {
+          requireArity("graft_minhash", children, Seq(2))
+          MinHashSignature(children.head,
+            foldableInt("graft_minhash", "numHashes", children(1)))
+        }),
       // graft_minhash_band_keys(shingles array<string>, numHashes int,
       // bands int) — both shape args must be foldable int literals
       (FunctionIdentifier("graft_minhash_band_keys"),
         new ExpressionInfo(classOf[MinHashBandKeys].getName,
           "graft_minhash_band_keys"),
-        (children: Seq[Expression]) => MinHashBandKeys(children.head,
-          foldableInt("graft_minhash_band_keys", "numHashes", children(1)),
-          foldableInt("graft_minhash_band_keys", "bands", children(2)))),
+        (children: Seq[Expression]) => {
+          requireArity("graft_minhash_band_keys", children, Seq(3))
+          MinHashBandKeys(children.head,
+            foldableInt("graft_minhash_band_keys", "numHashes", children(1)),
+            foldableInt("graft_minhash_band_keys", "bands", children(2)))
+        }),
       // graft_shingle_hashes(toks array<string>, k int[, algo string])
       (FunctionIdentifier("graft_shingle_hashes"),
         new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-        (children: Seq[Expression]) => ShingleHashes(children.head,
-          foldableInt("graft_shingle_hashes", "k", children(1)),
-          children.lift(2)
-            .map(foldableString("graft_shingle_hashes", "algo", _))
-            .getOrElse("xx64"))))
+        (children: Seq[Expression]) => {
+          requireArity("graft_shingle_hashes", children, Seq(2, 3))
+          ShingleHashes(children.head,
+            foldableInt("graft_shingle_hashes", "k", children(1)),
+            children.lift(2)
+              .map(foldableString("graft_shingle_hashes", "algo", _))
+              .getOrElse("xx64"))
+        }))
 
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -38,7 +38,6 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   require(bands >= 1 && numHashes % bands == 0,
     s"bands must be positive and divide numHashes, got $bands of $numHashes")
 
-  private val rows = numHashes / bands
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -55,74 +54,24 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
   override def prettyName: String = "graft_minhash_band_keys"
 
   override def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
-    val n = sh.numElements()
-    if (n == 0) return null
-    val minv = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (sh.isNullAt(i)) return null
-      val base = XXH64.hashUTF8String(sh.getUTF8String(i), 42L)
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashInt(j, base)
-        if (h < minv(j)) minv(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    val keys = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var h = b.toLong
-      var j = b * rows
-      while (j < (b + 1) * rows) {
-        h = XXH64.hashLong(minv(j), h)
-        j += 1
-      }
-      keys(b) = h
-      b += 1
-    }
-    new GenericArrayData(keys)
+    val minv = MinHashKernel.minima(input.asInstanceOf[ArrayData], numHashes)
+    if (minv == null) null
+    else new GenericArrayData(MinHashKernel.bandKeys(minv, bands))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val xxh = classOf[XXH64].getName
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val b = ctx.freshName("b")
-      val base = ctx.freshName("base")
-      val h = ctx.freshName("h")
+      // generated code calls the SAME static kernel as the interpreted
+      // path and as MinHashSignature — one implementation, no drift
+      val kernel = MinHashKernel.getClass.getName.stripSuffix("$")
       val minv = ctx.freshName("minv")
-      val keys = ctx.freshName("keys")
       s"""
-         |final int $n = $a.numElements();
-         |if ($n == 0) {
+         |final long[] $minv = $kernel.minima($a, $numHashes);
+         |if ($minv == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  final long[] $minv = new long[$numHashes];
-         |  java.util.Arrays.fill($minv, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final long $base = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
-         |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      final long $h = $xxh.hashInt($j, $base);
-         |      if ($h < $minv[$j]) $minv[$j] = $h;
-         |    }
-         |  }
-         |  if (!${ev.isNull}) {
-         |    final long[] $keys = new long[$bands];
-         |    for (int $b = 0; $b < $bands; $b++) {
-         |      long $h = (long) $b;
-         |      for (int $j = $b * $rows; $j < ($b + 1) * $rows; $j++) {
-         |        $h = $xxh.hashLong($minv[$j], $h);
-         |      }
-         |      $keys[$b] = $h;
-         |    }
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
-         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    $kernel.bandKeys($minv, $bands));
          |}
        """.stripMargin
     })

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -46,52 +46,22 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData]
-    val n = sh.numElements()
-    if (n == 0) return null
-    val minv = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (sh.isNullAt(i)) return null
-      val base = XXH64.hashUTF8String(sh.getUTF8String(i), 42L)
-      var j = 0
-      while (j < numHashes) {
-        val h = XXH64.hashInt(j, base)
-        if (h < minv(j)) minv(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(minv)
+    val minv = MinHashKernel.minima(input.asInstanceOf[ArrayData], numHashes)
+    if (minv == null) null else new GenericArrayData(minv)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val xxh = classOf[XXH64].getName
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val base = ctx.freshName("base")
-      val h = ctx.freshName("h")
+      // generated code calls the SAME static kernel as the interpreted
+      // path (Spark's own XXH64 pattern) — one implementation, no drift
+      val kernel = MinHashKernel.getClass.getName.stripSuffix("$")
       val minv = ctx.freshName("minv")
       s"""
-         |final int $n = $a.numElements();
-         |if ($n == 0) {
+         |final long[] $minv = $kernel.minima($a, $numHashes);
+         |if ($minv == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  final long[] $minv = new long[$numHashes];
-         |  java.util.Arrays.fill($minv, Long.MAX_VALUE);
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final long $base = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
-         |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      final long $h = $xxh.hashInt($j, $base);
-         |      if ($h < $minv[$j]) $minv[$j] = $h;
-         |    }
-         |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($minv);
-         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($minv);
          |}
        """.stripMargin
     })

@@ -140,10 +140,16 @@ object DocumentQueries {
     * mergeable, no per-group sort) — the exact/approx pair is
     * spec-locked within tolerance in ScaleOpsSpec, mirroring the
     * count-distinct/HLL escape hatch. */
+  /** Shared per-language token-count frame for q44 and its sketch
+    * variant — one scaffold, two aggregates, no silent divergence. */
+  private def langTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select($"lang", tokenCount($"text").as("n_tok"))
+  }
+
   def q44TokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select($"lang", tokenCount($"text").as("n_tok"))
+    langTokenCounts(spark, dir)
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -159,8 +165,7 @@ object DocumentQueries {
   def q44TokenPercentilesApprox(spark: SparkSession, dir: String,
       accuracy: Int = 10000): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
-      .select($"lang", tokenCount($"text").as("n_tok"))
+    langTokenCounts(spark, dir)
       .groupBy($"lang")
       .agg(
         count(lit(1)).as("n_docs"),

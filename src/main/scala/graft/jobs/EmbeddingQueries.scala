@@ -97,12 +97,17 @@ object EmbeddingQueries {
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
-    * scale): per-vector scale = max|v|/127, element q = floor(v/scale).
-    * Floor (not round) keeps the arithmetic bit-deterministic across
-    * engines — every step is an IEEE-754 double op both sides. Pure
-    * per-row expression work + one explode (the exploded form is the
-    * declared, hashable shape; the packed `array<int>` stays one
-    * `transform` away). */
+    * scale): per-vector scale = max|v|/127, element
+    * q = clamp(floor(v/scale), −127, 127). Floor (not round) keeps the
+    * arithmetic bit-deterministic across engines — every step is an
+    * IEEE-754 double op both sides — and the clamp pins the one edge
+    * floor can overshoot (v = −max|v| can land a hair below −127 in
+    * floating point). The published `scale` column is rounded to 6
+    * decimals for stable cross-engine hashing; quantization itself uses
+    * the unrounded value (the ≤ 5·10⁻⁷ relative display error is noise
+    * next to int8's own 1/254 step). Pure per-row expression work + one
+    * explode (the exploded form is the declared, hashable shape; the
+    * packed `array<int>` stays one `transform` away). */
   def q48EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     emb(spark, dir)
@@ -111,7 +116,8 @@ object EmbeddingQueries {
       .filter($"amax" > 0)
       .select($"vec_id", round($"amax" / 127.0, 6).as("scale"),
         posexplode(transform($"v",
-          x => floor(x / ($"amax" / 127.0)).cast("int"))))
+          x => greatest(lit(-127), least(lit(127),
+            floor(x / ($"amax" / 127.0)))).cast("int"))))
       .withColumnRenamed("pos", "dim_idx")
       .withColumnRenamed("col", "qval")
   }
@@ -234,7 +240,8 @@ object EmbeddingQueries {
            FROM a WHERE amax > 0)
          SELECT vec_id, round(amax/127.0, 6) AS scale,
            CAST(i - 1 AS INT) AS dim_idx,
-           CAST(floor(v[i] / (amax/127.0)) AS INT) AS qval
+           CAST(greatest(-127, least(127, floor(v[i] / (amax/127.0)))) AS INT)
+             AS qval
          FROM x""",
     "q34_ann_ivf" ->
       """WITH e AS (

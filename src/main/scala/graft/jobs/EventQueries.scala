@@ -186,7 +186,10 @@ object EventQueries {
     * datediff dialect). Two aggregations + one join on user_id —
     * the activity relation is pre-deduped to (user, week) so the join
     * fan is bounded by weeks-per-user, not events. */
-  def q51Retention(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared cohort scaffold for q51 and its HLL variant: one row per
+    * (user, cohort week, week offset) — both aggregates sit on top, so
+    * the cohort arithmetic cannot silently diverge between them. */
+  private def retentionOffsets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val weekUs = 7L * 86400 * 1000000
     val activity = ev(spark, dir)
@@ -195,10 +198,16 @@ object EventQueries {
       .distinct()
     val cohorts = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
     activity.join(cohorts, "user_id")
-      .select($"user_id", $"cohort_wk",
+      .select($"user_id",
+        expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
+          .as("cohort_week"),
         (($"wk" - $"cohort_wk") / weekUs).cast("int").as("week_offset"))
-      .groupBy(expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
-        .as("cohort_week"), $"week_offset")
+  }
+
+  def q51Retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    retentionOffsets(spark, dir)
+      .groupBy($"cohort_week", $"week_offset")
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
@@ -209,17 +218,8 @@ object EventQueries {
   def q51RetentionApprox(spark: SparkSession, dir: String,
       rsd: Double = 0.05): DataFrame = {
     import spark.implicits._
-    val weekUs = 7L * 86400 * 1000000
-    val activity = ev(spark, dir)
-      .select($"user_id",
-        expr("unix_micros(cast(date_trunc('week', ts) as timestamp))").as("wk"))
-      .distinct()
-    val cohorts = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
-    activity.join(cohorts, "user_id")
-      .select($"user_id", $"cohort_wk",
-        (($"wk" - $"cohort_wk") / weekUs).cast("int").as("week_offset"))
-      .groupBy(expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
-        .as("cohort_week"), $"week_offset")
+    retentionOffsets(spark, dir)
+      .groupBy($"cohort_week", $"week_offset")
       .agg(approx_count_distinct($"user_id", rsd).as("n_active"))
   }
 

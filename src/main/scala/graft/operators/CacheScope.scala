@@ -40,10 +40,15 @@ object CacheScope {
   }
 
   /** Persist MEMORY_AND_DISK and register with the innermost open scope
-    * (no-op registration when no scope is open). */
+    * (no-op registration when no scope is open). A plan the CacheManager
+    * already holds — e.g. an identical frame persisted by the CALLER
+    * before the scope opened — is NOT registered: Spark dedupes the
+    * persist onto the existing entry, and unpersisting it at scope exit
+    * would silently evict the caller's still-live cache. */
   private[graft] def persist(df: DataFrame): DataFrame = {
+    val preowned = org.apache.spark.sql.GraftColumnBridge.isCached(df)
     df.persist(StorageLevel.MEMORY_AND_DISK)
-    stack.get() match {
+    if (!preowned) stack.get() match {
       case top :: _ => top += df
       case Nil      => ()
     }

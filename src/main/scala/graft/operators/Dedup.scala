@@ -314,18 +314,22 @@ object Dedup {
   def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // canonical undirected edges (u < v), the node universe fixed up front
-    var edges = pairs
+    // canonical undirected pairs; the node universe is fixed BEFORE
+    // self-loops are dropped, so a doc appearing only as (a, a) still
+    // gets its output row — same contract as dedupClusters
+    val canon = pairs
       .select(least($"doc_a", $"doc_b").as("u"),
         greatest($"doc_a", $"doc_b").as("v"))
+    // checkpointed (not merely cached): the frame outlives the round-0
+    // edge checkpoint it derives from, so it must not keep a recompute
+    // path through blocks the loop frees eagerly
+    val nodes = canon
+      .select($"u".as("node")).union(canon.select($"v".as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = canon
       .filter($"u" =!= $"v").distinct()
       .localCheckpoint(true)
-    val nodes = CacheScope.persist(
-      edges.select($"u".as("node")).union(edges.select($"v".as("node")))
-        .distinct())
-    // materialize NOW: nodes reads the round-0 edge checkpoint, whose
-    // blocks are freed as soon as round 1 supersedes it
-    nodes.count()
 
     def directed(e: DataFrame): DataFrame =
       e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
@@ -348,6 +352,7 @@ object Dedup {
 
     var round = 0
     var stable = false
+    var edgeCount = edges.count()
     while (!stable) {
       round += 1
       require(round <= maxRounds,
@@ -355,11 +360,13 @@ object Dedup {
       val next = star(star(edges, large = true), large = false)
         .localCheckpoint(true)
       // fixpoint: the edge set survived a full large+small round intact
-      // (sizes first — cheap; exceptAll only at equal counts)
-      stable = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // (sizes first — cheap, and the old side's count is carried from
+      // the previous round; exceptAll only at equal counts)
+      val nextCount = next.count()
+      stable = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       GraftColumnBridge.unpersistLocalCheckpoint(edges)
       edges = next
+      edgeCount = nextCount
     }
 
     // star forest: every edge is (component-min, member); centers (and

@@ -27,6 +27,21 @@ object GraftColumnBridge {
       dt: org.apache.spark.sql.types.DataType): Throwable =
     errors.QueryCompilationErrors.nonFoldableArgumentError(funcName, param, dt)
 
+  /** Spark's standard WRONG_NUM_ARGS AnalysisException, for SQL builders
+    * invoked with an argument count outside [min, max]. */
+  def wrongNumArgs(funcName: String, expected: Seq[Int],
+      actual: Int): Throwable =
+    errors.QueryCompilationErrors.wrongNumArgsError(
+      funcName, expected.map(_.toString), actual)
+
+  /** Whether the CacheManager already holds this frame's plan — i.e. a
+    * fresh `persist` would dedupe onto an entry someone else created
+    * (the "Asked to cache already cached data" path). */
+  def isCached(df: Dataset[Row]): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** Free the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only talks to the CacheManager, so checkpoint
     * blocks otherwise live until the GC-driven ContextCleaner notices

@@ -174,7 +174,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
   test("star contraction equals min-label propagation on mixed components") {
     val chain = (0L until 6L).map(i => (i, i + 1))
     val pairs = (chain ++ Seq((100L, 101L), (200L, 201L), (201L, 202L),
-      (200L, 202L), (301L, 300L))) // reversed pair: canonicalization path
+      (200L, 202L), (301L, 300L), // reversed pair: canonicalization path
+      (400L, 400L)))              // self-pair: node must still get a row
       .toDF("doc_a", "doc_b")
     val viaLabels = Dedup.dedupClusters(pairs)
       .as[(Long, Long, Boolean)].collect().toSet
