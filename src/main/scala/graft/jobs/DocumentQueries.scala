@@ -283,6 +283,31 @@ object DocumentQueries {
         sum(tokenCount($"text")).cast("long").as("total_tokens"))
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Per-document novelty: the fraction of a doc's distinct 5-gram
+    * shingles it is the FIRST (lowest doc_id) to contribute — the
+    * curve corpus builders watch to decide when additional data stops
+    * adding signal (novelty → 0 ⇒ the source is exhausted or
+    * boilerplate). One explode + one groupBy(shingle) for first-seen
+    * owners + a join back: the same inverted-index shape as q20's
+    * postings. At 100 TB the shingle key would be xxhash64'd to an
+    * 8-byte shuffle key (collisions only merge first-seen owners —
+    * novelty biased a hair LOW, never high); declared here on string
+    * keys so the oracle reproduces it exactly. */
+  def q52Novelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingleTable(docs(spark, dir), k = 5)
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1).otherwise(0)).cast("long")
+          .as("n_novel"))
+      .withColumn("novelty",
+        round($"n_novel".cast("double") / $"n_shingles", 4))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -307,7 +332,8 @@ object DocumentQueries {
     "q45_quality_keep" -> (q45QualityKeep _),
     "q46_token_chunks" -> (q46TokenChunks _),
     "q47_contamination" -> (q47Contamination _),
-    "q49_hash_split" -> (q49HashSplit _))
+    "q49_hash_split" -> (q49HashSplit _),
+    "q52_novelty" -> (q52Novelty _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -370,6 +396,25 @@ object DocumentQueries {
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pairs WHERE hamming <= 3""",
     "q36_winnow_fingerprints" -> winnowSql,
+    "q52_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, len(w)-4)) AS i
+           FROM toks WHERE len(w) >= 5),
+         sh AS (
+           SELECT DISTINCT doc_id,
+             w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+           FROM idx),
+         first AS (
+           SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+         SELECT s.doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS novelty
+         FROM sh s JOIN first f ON s.shingle = f.shingle
+         GROUP BY s.doc_id""",
     "q49_hash_split" ->
       """WITH b AS (
            SELECT lang, text,
