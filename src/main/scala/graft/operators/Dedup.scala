@@ -218,6 +218,22 @@ object Dedup {
       .filter($"hamming" <= maxHamming)
   }
 
+  /** Eager lineage-truncating checkpoint: `reliable = false` (default)
+    * uses `localCheckpoint` (block-manager storage — fast, but blocks
+    * die with their executor); `reliable = true` writes to the
+    * checkpoint dir the caller set via
+    * `spark.sparkContext.setCheckpointDir` so a lost executor recomputes
+    * from reliable storage — the right mode for multi-hour cluster runs
+    * where a single executor loss must not abort the whole CC job. */
+  private def ckpt(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
+  /** Eagerly free a superseded checkpoint's block-manager storage.
+    * Reliable checkpoints live as files, not blocks — those are left to
+    * the ContextCleaner (`spark.cleaner.referenceTracking.cleanCheckpoints`). */
+  private def freeCkpt(df: DataFrame, reliable: Boolean): Unit =
+    if (!reliable) GraftColumnBridge.unpersistLocalCheckpoint(df)
+
   /** Near-dup pairs → canonical clusters: connected components over the
     * pair graph, labeled by each component's minimum doc_id, plus the
     * keep/drop flag a dedup pipeline acts on (minimum id keeps).
@@ -226,9 +242,15 @@ object Dedup {
     * label; each round takes the min over neighbors' labels; converges
     * in ≤ component-diameter rounds. Near-dup components are tiny and
     * shallow (pairs share content), so rounds stay in the low single
-    * digits; for adversarial long-chain graphs swap in the
-    * large-star/small-star contraction (O(log n) rounds, same
-    * per-round shape).
+    * digits — but the caller should NOT have to know their graph's
+    * diameter, so after `fallbackAfter` unconverged rounds the operator
+    * contracts the graph by the partial labels (every edge (u,v) becomes
+    * (label(u), label(v)) — the quotient of a connected graph is
+    * connected, and the component minimum is a fixed point of min-label,
+    * so components and minima are preserved) and finishes with
+    * [[dedupClustersStar]]'s O(log n) large-star/small-star alternation.
+    * A 10⁶-node chain thus costs `fallbackAfter` + O(log n) rounds, not
+    * 10⁶.
     *
     * Per-round cost is ONE live exchange: the edge list is shuffled onto
     * its join key (`dst`) once up front and cached in that layout, and
@@ -236,20 +258,26 @@ object Dedup {
     * `node` — so the neighbor join co-locates both sides, only the
     * `groupBy(src)` re-shuffles, and the frontier-update join is again
     * co-located (src and node share the hash layout). Each round's
-    * frontier is `localCheckpoint`ed — the label frame feeds BOTH sides
-    * of the next round's join, so without truncation the logical plan
-    * doubles per round and the analyzer goes exponential long before the
-    * data does (at cluster scale use reliable `checkpoint()` so a lost
-    * executor can recompute); the superseded round's checkpoint blocks
-    * are freed eagerly rather than waiting on the GC-driven
-    * ContextCleaner. The convergence count reads the just-materialized
-    * checkpoint blocks, so it costs a job launch, not a recompute.
+    * frontier is checkpointed — the label frame feeds BOTH sides of the
+    * next round's join, so without truncation the logical plan doubles
+    * per round and the analyzer goes exponential long before the data
+    * does; the superseded round's checkpoint blocks are freed eagerly
+    * rather than waiting on the GC-driven ContextCleaner. The
+    * convergence count reads the just-materialized checkpoint blocks, so
+    * it costs a job launch, not a recompute — and it runs at round 1
+    * (keeping the common shallow graph at one round + one count) then
+    * only every `checkEvery` rounds, so a deep graph pays the extra job
+    * launch half as often on its way to the star fallback.
     *
     * Output: one row per doc appearing in ≥ 1 pair —
     * (doc_id, component, is_keep). */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame, fallbackAfter: Int = 8,
+      checkEvery: Int = 2, reliable: Boolean = false,
+      maxStarRounds: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    require(fallbackAfter >= 1, "fallbackAfter must be >= 1")
+    require(checkEvery >= 1, "checkEvery must be >= 1")
     // both union arms and every propagation round read the pair list —
     // materialize it once (the producing plan is often a whole dedup
     // pipeline, far too expensive to re-run per arm); cached already
@@ -263,29 +291,50 @@ object Dedup {
     // distinct would cost, but it folds the first propagation round into
     // the seed — a clique/star component (the common near-dup shape)
     // then converges in ONE confirming round instead of two
-    var frontier = edges.groupBy($"src").agg(min($"dst").as("mind"))
-      .select($"src".as("node"), least($"src", $"mind").as("label"))
-      .localCheckpoint(true)
+    var frontier = ckpt(edges.groupBy($"src").agg(min($"dst").as("mind"))
+      .select($"src".as("node"), least($"src", $"mind").as("label")),
+      reliable)
     var labels = frontier
-    var changed = 1L
-    while (changed > 0) {
+    var converged = false
+    var round = 0
+    while (!converged && round < fallbackAfter) {
+      round += 1
       val neighborMin = edges.join(labels, $"dst" === $"node")
         .groupBy($"src").agg(min($"label").as("nmin"))
-      val updated = labels.join(neighborMin, $"node" === $"src", "left")
+      val updated = ckpt(labels.join(neighborMin, $"node" === $"src", "left")
         .select($"node", $"label",
-          least($"label", coalesce($"nmin", $"label")).as("next"))
-        .localCheckpoint(true)
+          least($"label", coalesce($"nmin", $"label")).as("next")), reliable)
       // `updated` is materialized: the previous frontier's checkpoint
       // blocks are now unreachable — free them before the next round
-      GraftColumnBridge.unpersistLocalCheckpoint(frontier)
+      freeCkpt(frontier, reliable)
       frontier = updated
-      changed = updated.filter($"next" =!= $"label").count()
       labels = updated.select($"node", $"next".as("label"))
+      if (round == 1 || round % checkEvery == 0 || round == fallbackAfter)
+        converged = updated.filter($"next" =!= $"label").count() == 0L
     }
+    val out =
+      if (converged)
+        labels.select($"node".as("doc_id"), $"label".as("component"),
+          ($"node" === $"label").as("is_keep"))
+      else {
+        // adaptive fallback: the graph is deeper than fallbackAfter —
+        // contract every pair to its endpoints' current labels (the
+        // quotient keeps one node per partial-label class; star then
+        // resolves the quotient's components in O(log n) rounds) and map
+        // each original node through its label to the star component
+        val la = labels.select($"node".as("doc_a"), $"label".as("la"))
+        val lb = labels.select($"node".as("doc_b"), $"label".as("lb"))
+        val contracted = p.join(la, "doc_a").join(lb, "doc_b")
+          .select($"la".as("doc_a"), $"lb".as("doc_b")).distinct()
+        val starOut = dedupClustersStar(contracted, maxStarRounds, reliable)
+        labels
+          .join(starOut.select($"doc_id".as("label"), $"component"), "label")
+          .select($"node".as("doc_id"), $"component",
+            ($"node" === $"component").as("is_keep"))
+      }
     edges.unpersist()
     p.unpersist()
-    labels.select($"node".as("doc_id"), $"label".as("component"),
-      ($"node" === $"label").as("is_keep"))
+    out
   }
 
   /** Connected components by alternating large-star / small-star
@@ -311,7 +360,8 @@ object Dedup {
     * Output contract matches [[dedupClusters]]: one row per doc in ≥ 1
     * pair — (doc_id, component, is_keep), component = the component's
     * minimum doc_id. */
-  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def dedupClustersStar(pairs: DataFrame, maxRounds: Int = 64,
+      reliable: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // canonical undirected pairs; the node universe is fixed BEFORE
@@ -323,13 +373,11 @@ object Dedup {
     // checkpointed (not merely cached): the frame outlives the round-0
     // edge checkpoint it derives from, so it must not keep a recompute
     // path through blocks the loop frees eagerly
-    val nodes = canon
+    val nodes = ckpt(canon
       .select($"u".as("node")).union(canon.select($"v".as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    var edges = canon
-      .filter($"u" =!= $"v").distinct()
-      .localCheckpoint(true)
+      .distinct(), reliable)
+    var edges = ckpt(canon
+      .filter($"u" =!= $"v").distinct(), reliable)
 
     def directed(e: DataFrame): DataFrame =
       e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
@@ -357,14 +405,14 @@ object Dedup {
       round += 1
       require(round <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint(true)
+      val next = ckpt(star(star(edges, large = true), large = false),
+        reliable)
       // fixpoint: the edge set survived a full large+small round intact
       // (sizes first — cheap, and the old side's count is carried from
       // the previous round; exceptAll only at equal counts)
       val nextCount = next.count()
       stable = nextCount == edgeCount && next.exceptAll(edges).isEmpty
-      GraftColumnBridge.unpersistLocalCheckpoint(edges)
+      freeCkpt(edges, reliable)
       edges = next
       edgeCount = nextCount
     }

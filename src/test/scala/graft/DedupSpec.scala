@@ -227,6 +227,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got.count(_._3) == 1 && got.find(_._3).get._1 == 0L)
   }
 
+  test("dedupClusters auto-falls-back to star contraction on a 512-node chain") {
+    // diameter 511: min-label alone needs ~511 rounds, so with
+    // fallbackAfter=8 a correct answer is only reachable via the
+    // contraction fallback — the labels after 8 truncated rounds are NOT
+    // the component minima, so a green assertion here proves the quotient
+    // graph was built and star contraction finished the job in O(log n)
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs, fallbackAfter = 8, checkEvery = 2,
+        maxStarRounds = 16)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 512)
+    assert(got.forall(_._2 == 0L), "every chain node must label to 0")
+    assert(got.count(_._3) == 1 && got.find(_._3).get._1 == 0L)
+  }
+
+  test("dedupClusters reliable-checkpoint mode matches local-checkpoint mode") {
+    // same graph, reliable=true routes every checkpoint through the
+    // configured checkpoint dir instead of executor block storage —
+    // results must be identical (the mode only changes fault tolerance)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L))).toDF("doc_a", "doc_b")
+    val viaLocal = Dedup.dedupClusters(pairs, fallbackAfter = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val viaReliable = Dedup.dedupClusters(pairs, fallbackAfter = 4,
+        reliable = true)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(viaReliable == viaLocal)
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
