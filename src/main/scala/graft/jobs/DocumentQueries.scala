@@ -290,13 +290,37 @@ object DocumentQueries {
     * adding signal (novelty → 0 ⇒ the source is exhausted or
     * boilerplate). One explode + one groupBy(shingle) for first-seen
     * owners + a join back: the same inverted-index shape as q20's
-    * postings. At 100 TB the shingle key would be xxhash64'd to an
-    * 8-byte shuffle key (collisions only merge first-seen owners —
-    * novelty biased a hair LOW, never high); declared here on string
-    * keys so the oracle reproduces it exactly. */
+    * postings. At 100 TB run [[q52NoveltyHashed]] — same pipeline on
+    * xxhash64'd 8-byte shuffle keys; declared here on string keys so
+    * the oracle reproduces it exactly. */
   def q52Novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Dedup.shingleTable(docs(spark, dir), k = 5)
+    val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1).otherwise(0)).cast("long")
+          .as("n_novel"))
+      .withColumn("novelty",
+        round($"n_novel".cast("double") / $"n_shingles", 4))
+  }
+
+  /** The 100-TB form of [[q52Novelty]]: identical pipeline, but the
+    * explode emits `xxhash64(shingle)` so every shuffle (the
+    * first-seen groupBy and the join back) moves 8-byte longs instead
+    * of ~40-byte strings — a 3-5× cut in shuffle bytes on the two
+    * largest exchanges of the query. Hash collisions can only MERGE
+    * two distinct shingles into one first-seen owner, so a doc's
+    * novel-shingle count — and therefore its novelty — is biased low,
+    * never high (spec-locked against the string-key query: hashed
+    * novelty ≤ exact novelty per doc, equal in the collision-free
+    * common case). Not oracle-declared: DuckDB has no xxhash64. */
+  def q52NoveltyHashed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingleTable(docs(spark, dir), k = 5)
+      .select($"doc_id", xxhash64($"shingle").as("shingle"))
     val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
     sh.join(first, "shingle")
       .groupBy($"doc_id")

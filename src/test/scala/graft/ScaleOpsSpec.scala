@@ -83,6 +83,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q52 hashed-key novelty matches the string-key query (≤, equal sans collisions)") {
+    // the 8-byte-shuffle-key form: collisions can only merge first-seen
+    // owners, so per-doc novelty is biased low, never high — and at
+    // sf0.001's shingle count a 64-bit collision is vanishingly rare,
+    // so the two should in fact be equal
+    val exact = graft.jobs.DocumentQueries.q52Novelty(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"novelty")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val hashed = graft.jobs.DocumentQueries.q52NoveltyHashed(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"novelty")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hashed.keySet == exact.keySet)
+    hashed.foreach { case (d, (n, nov)) =>
+      assert(n == exact(d)._1, s"doc $d shingle count drifted")
+      assert(nov <= exact(d)._2 + 1e-9, s"doc $d hashed novelty above exact")
+    }
+    // collision-free in practice at this scale: values actually equal
+    assert(hashed.count { case (d, (_, nov)) => nov == exact(d)._2 } == hashed.size)
+  }
+
   test("q06's salted opt-in returns exactly the plain q06 result") {
     val plain = RelationalQueries.q06StarFeatures(spark, sf0001)
     val salted = RelationalQueries.q06StarFeaturesSalted(spark, sf0001, salt = 8)
