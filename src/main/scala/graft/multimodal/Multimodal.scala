@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-local batches.
   *
   * The Spark-side shape is real and tested — schema, encoders, batch
-  * iteration, partitioning — while the actual codec call is STUBBED with
-  * a deterministic fake (image/audio libraries are not available in this
-  * environment). Swap [[Multimodal.decodeStub]] for a real decoder (JNI /
-  * process-per-partition) without touching the plan shape.
+  * iteration, partitioning. The codec seam carries TWO decoders: a
+  * deterministic STUB ([[Multimodal.decodeStub]], oracle-checkable, no
+  * external libraries) and a REAL `javax.imageio` image decoder
+  * ([[Multimodal.decodeImage]]) proving the same `mapPartitions`
+  * plumbing holds for a non-synthetic codec. Video/audio decoders slot
+  * in the same way (JNI / process-per-partition) without touching the
+  * plan shape.
   */
 object Multimodal {
 
@@ -56,6 +59,63 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.content.length, w, h,
           BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP)
             .toDouble)
+      }
+    }
+  }
+
+  case class ImageFeatures(doc_id: Long, n_bytes: Int, width: Int,
+                           height: Int, mean_luma: Double, ok: Boolean)
+
+  /** REAL image decode — `javax.imageio` (present on every JVM, no
+    * extra dependency): actual pixel dimensions and mean luma
+    * (ITU-R BT.601: 0.299 R + 0.587 G + 0.114 B, normalized to [0,1])
+    * over the decoded raster. Returns None for payloads no registered
+    * reader accepts — a corpus-scale pipeline must carry decode
+    * failures as data (a dropped-silently row is a lost audit trail),
+    * so [[extractImageFeatures]] flags rather than filters them.
+    * Proves the [[decodeStub]] seam holds for a non-synthetic codec:
+    * same signature shape, same partition-local batching. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum / (255.0 * w * h))
+    }
+  }
+
+  /** [[extractFeatures]] with the REAL decoder: identical
+    * `mapPartitions` plumbing (one codec context per partition, rows
+    * streamed through, no shuffle), `javax.imageio` in place of the
+    * stub. Undecodable payloads come out as `ok = false` with zeroed
+    * features so downstream can count/quarantine them. */
+  def extractImageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder context: ImageIO scans its reader
+      // registry once per JVM; nothing per-row beyond the decode
+      rows.map { r =>
+        decodeImage(r.content) match {
+          case Some((w, h, luma)) =>
+            ImageFeatures(r.doc_id, r.content.length, w, h,
+              BigDecimal(luma).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, ok = true)
+          case None =>
+            ImageFeatures(r.doc_id, r.content.length, 0, 0, 0.0, ok = false)
+        }
       }
     }
   }

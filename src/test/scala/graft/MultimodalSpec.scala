@@ -32,6 +32,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(viaExpr.exceptAll(viaPartitions).count() == 0)
   }
 
+  test("real javax.imageio decoder: PNG bytes through the same seam") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // paint a solid-gray w×h PNG: mean luma is exactly gray/255 (BT.601
+    // weights sum to 1), so the expected features are known in closed form
+    def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, rgb)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(im, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, png(7, 5, 0), "image/png"),     // black
+      Multimodal.MediaRow(2L, png(16, 9, 255), "image/png"),  // white
+      Multimodal.MediaRow(3L, png(3, 3, 128), "image/png"),   // mid-gray
+      Multimodal.MediaRow(4L, "not an image".getBytes("UTF-8"),
+        "application/octet-stream"))                          // undecodable
+      .toDS().repartition(2)
+    val got = Multimodal.extractImageFeatures(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).width == 7 && got(1L).height == 5 && got(1L).ok)
+    assert(got(1L).mean_luma == 0.0)
+    assert(got(2L).width == 16 && got(2L).height == 9)
+    assert(got(2L).mean_luma == 1.0)
+    assert(got(3L).width == 3 && got(3L).height == 3)
+    // 128/255 with BT.601 weights (which sum to 1) = 0.50196...
+    assert(math.abs(got(3L).mean_luma - 128.0 / 255.0) < 1e-3)
+    assert(!got(4L).ok && got(4L).width == 0 && got(4L).mean_luma == 0.0)
+    assert(got(4L).n_bytes == "not an image".length)
+  }
+
   test("frame sampling: batched path equals the expression twin, corpus + edge payloads") {
     val organic = Multimodal.toMediaTable(Tables.load(spark, sf0001, "documents"))
     val edges = Multimodal.toMediaTable(Seq(
