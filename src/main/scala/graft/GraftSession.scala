@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The single config seam for graft sessions: every entrypoint (Verify,
+  * Bench, BenchOne, the test harness) routes its builder through
+  * [[defaults]], and a library consumer embedding graft in their own
+  * application applies the same call to their builder.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` lives HERE and nowhere else:
+  * the events table is parquet TIMESTAMP(NANOS), which Spark rejects
+  * unless this flag is on — and the flag is consulted at query
+  * EXECUTION (the parquet scan re-converts the footer schema per file),
+  * so a loader cannot scope-and-restore it around a lazy read. Earlier
+  * revisions mutated it into the running session from `Tables.load`,
+  * which a consumer sharing the session inherited silently; now loaders
+  * fail fast with a pointer to this seam instead (ContractSpec pins
+  * both behaviors).
+  */
+object GraftSession {
+
+  val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Apply graft's shared session defaults to a builder. Master,
+    * parallelism, and app-specific conf stay with the caller. */
+  def defaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config(NanosKey, "true")
+
+  /** Loader-side guard: events reads require [[NanosKey]] at execution
+    * time. Failing here, with the remedy in the message, beats the
+    * PARQUET_TYPE_ILLEGAL error surfacing mid-job from a task. */
+  def requireNanosConf(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosKey).contains("true"))
+      throw new IllegalStateException(
+        s"events.parquet is TIMESTAMP(NANOS): set $NanosKey=true when " +
+          "building the session (GraftSession.defaults does this). " +
+          "Loaders do not mutate a running session's conf.")
+}

@@ -25,9 +25,17 @@ object Tables {
     * sub-microsecond components, so `div 1000` is lossless (cross-checked
     * by the DuckDB oracle, which reads the nanos natively). Integer `div`
     * keeps the arithmetic exact — a double division would lose precision
-    * above 2^53 ns. */
+    * above 2^53 ns.
+    *
+    * The nanos flag must come from the session builder
+    * ([[GraftSession.defaults]]) — it is consulted again at execution
+    * time, so a loader can neither scope-and-restore it nor pass it as
+    * a per-read option (execution overwrites the option from session
+    * conf). This loader only VERIFIES it, failing fast with the remedy
+    * rather than mutating shared session state (ContractSpec pins
+    * both). */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.requireNanosConf(spark)
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))

@@ -38,9 +38,11 @@ object EventsStream {
   /** Streaming read of an events parquet DIRECTORY (Spark's file source
     * requires a directory it can watch for new files; schema must be
     * declared). ts arrives as nanos → converted exactly as the batch
-    * loader does, but to TimestampType for watermark support. */
+    * loader does, but to TimestampType for watermark support. The nanos
+    * conf must come from the session builder ([[graft.GraftSession]]);
+    * like the batch loader, this verifies rather than mutates. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.GraftSession.requireNanosConf(spark)
     spark.readStream
       .schema(eventSchema)
       .parquet(eventsDir)

@@ -97,4 +97,35 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("disjoint"), err.getMessage)
     assert(err.getMessage.contains("payload"), err.getMessage)
   }
+
+  test("events loaders verify the nanos conf instead of mutating it") {
+    val key = GraftSession.NanosKey
+    val before = spark.conf.getOption(key)
+    try {
+      // builder-provided conf: load works end-to-end and leaves the
+      // session exactly as it found it
+      assert(before.contains("true"), "GraftSession.defaults must set the flag")
+      val events = Tables.load(spark, sf0001, "events")
+      assert(events.count() > 0)
+      assert(events.schema("ts").dataType.typeName == "timestamp_ntz")
+      assert(spark.conf.getOption(key) == before)
+      // conf absent: fail fast at the loader with the remedy in the
+      // message — NOT a silent spark.conf.set, NOT a mid-job parquet
+      // error from a task
+      spark.conf.unset(key)
+      val err = intercept[IllegalStateException] {
+        Tables.load(spark, sf0001, "events")
+      }
+      assert(err.getMessage.contains(key), err.getMessage)
+      assert(err.getMessage.contains("GraftSession"), err.getMessage)
+      // unset falls back to the SQLConf DEFAULT ("false"), not absence —
+      // the point is the loader didn't flip it back to "true"
+      assert(!spark.conf.getOption(key).contains("true"),
+        "the loader itself must not re-set the conf")
+      val errStream = intercept[IllegalStateException] {
+        graft.streaming.EventsStream.readEvents(spark, "/tmp/nowhere")
+      }
+      assert(errStream.getMessage.contains(key), errStream.getMessage)
+    } finally before.foreach(spark.conf.set(key, _))
+  }
 }

@@ -27,7 +27,6 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   private def runCustomSessions(chunks: Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
     val watched = Files.createTempDirectory(s"graft_fmgws_$chunks")
 
@@ -98,7 +97,6 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   test("flatMapGroupsWithState state survives a checkpointed stop/restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
     val watched = Files.createTempDirectory("graft_fmgws_restart")
     val outDir = Files.createTempDirectory("graft_fmgws_out").toString
@@ -179,7 +177,6 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the seam Kafka can't exercise here: a file LANDING mid-query must
     // emit only the new rows, and a row older than the watermark horizon
     // must vanish instead of corrupting an already-emitted window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
     val watched = Files.createTempDirectory("graft_incr")
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
