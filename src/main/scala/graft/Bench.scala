@@ -70,7 +70,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // quality metrics ride the same JSON line (untimed — they are index
+    // health numbers, not query throughput): trained-IVF recall@10 with
+    // q34's production parameters, so a round that silently degrades the
+    // index shows up as a metrics regression even while timings hold
+    val metrics =
+      try {
+        val recall = graft.operators.Similarity.ivfRecallAtK(
+          Tables.load(spark, sfDir, "embeddings"),
+          numCells = 32, probes = 8, k = 10, trainFraction = 0.25)
+        f"""{"ivf_recall_at_10":$recall%.4f}"""
+      } catch { case _: Throwable => "{}" }
+      finally spark.catalog.clearCache()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,4 +173,24 @@ object Similarity {
       .toDF("cell", "centroid")
     ivfTopKWithCentroids(emb, centroids, probes, k, cellCap)
   }
+
+  /** Measured recall@k of the trained-IVF path against brute-force
+    * truth — the index-quality number a recall-sensitive deployment
+    * tracks per index build (emitted into the bench metrics block;
+    * SimilaritySpec pins a floor). Computed distributively: the exact
+    * and approximate top-k tables are joined on (query, neighbor) and
+    * hits are counted — mean per-query recall equals total hits /
+    * (n·k) since every query contributes exactly k truth rows. */
+  def ivfRecallAtK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
+      seed: Long = 42L, trainFraction: Double = 1.0): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(emb, lit(true), k)
+      .select($"query_id", $"neighbor_id")
+    val approx = ivfTopK(emb, numCells, probes, k, seed = seed,
+      trainFraction = trainFraction)
+      .select($"vec_id".as("query_id"), $"neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / (emb.count() * k)
+  }
 }

@@ -59,18 +59,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val sf01 = "/root/testdata/sf0.1"
     val emb = Tables.load(spark, sf01, "embeddings")
     val k = 10
-    val truth = Similarity.bruteForceTopK(emb, lit(true), k)
-      .select($"query_id", $"neighbor_id").as[(Long, Long)]
-      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Similarity.ivfTopK(emb, numCells = 32, probes = 8, k = k,
-      trainFraction = 0.25)
-      .select($"vec_id", $"neighbor_id").as[(Long, Long)]
-      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    assert(ivf.keySet == truth.keySet, "every vector must be answered")
-    val recall = truth.map { case (q, t) =>
-      ivf(q).intersect(t).size.toDouble / k }.sum / truth.size
+    // same shared measurement Bench emits into its metrics block — the
+    // spec floor and the tracked artifact can never drift apart
+    val recall = Similarity.ivfRecallAtK(emb, numCells = 32, probes = 8,
+      k = k, trainFraction = 0.25)
+    val answered = Similarity.ivfTopK(emb, numCells = 32, probes = 8, k = k,
+      trainFraction = 0.25).select($"vec_id").distinct().count()
+    assert(answered == emb.count(), "every vector must be answered")
     info(f"trained-IVF recall@$k at sf0.1 = $recall%.4f " +
-      s"(cells=32, probes=8, trainFraction=0.25, n=${truth.size})")
+      s"(cells=32, probes=8, trainFraction=0.25, n=$answered)")
     // seeded fit + fixed corpus → deterministic; measured 0.6652 — the
     // floor pins it against silent index regressions
     assert(recall >= 0.6, f"recall@$k $recall%.4f collapsed below 0.6")
