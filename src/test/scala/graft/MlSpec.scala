@@ -18,6 +18,31 @@ class MlSpec extends AnyFunSuite with SparkSpec {
     assert(accuracy >= 0.55, s"accuracy $accuracy below floor")
   }
 
+  test("outcome pipeline at sf0.1: accuracy + confusion reported, floor pinned") {
+    // the reference's only quality signal is a printed accuracy
+    // (ct_estimator.py:133); this records ours at the largest local SF
+    // as a tracked number. Seeded fit + seeded split → deterministic:
+    // measured 0.6683 on 44361 test rows. The confusion matrix is
+    // reported too because it tells the real story: with the
+    // reference's 5×8 topology and 60 iterations the net converges to
+    // the majority class at this scale — accuracy equals the class
+    // prior, which is exactly what the reference's printed number
+    // would show. The floor guards the pipeline (split, encode,
+    // assemble, train) staying wired, not model quality.
+    val f = OutcomePipeline.fit(spark, "/root/testdata/sf0.1")
+    val report = OutcomePipeline.predictionReport(f, f.test).cache()
+    val total = report.count()
+    val accuracy = report.filter($"is_correct").count().toDouble / total
+    val confusion = report
+      .groupBy("expected_label", "predicted_label").count()
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2))
+    info(f"sf0.1 test accuracy = $accuracy%.4f over $total rows")
+    confusion.foreach { case (exp, pred, n) =>
+      info(s"confusion: expected=$exp predicted=$pred n=$n") }
+    assert(total > 40000L)
+    assert(accuracy >= 0.6, f"sf0.1 accuracy $accuracy%.4f below floor")
+  }
+
   test("prediction report: schema, decode round-trip, probability pick (M10/M11)") {
     val f = OutcomePipeline.fit(spark, sf0001)
     val report = OutcomePipeline.predictionReport(f, f.validate).cache()
