@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked}
+import graft.expressions.{ArrayDotProduct, MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked, WinnowMins}
 
 /** `SparkSessionExtensions` hook registering graft's native expressions
   * as SQL functions — enable cluster-wide with
@@ -99,6 +99,15 @@ object GraftExtensions {
             children.lift(2)
               .map(foldableString("graft_shingle_hashes", "algo", _))
               .getOrElse("xx64"))
+        }),
+      // graft_winnow_mins(hashes array<bigint>, w int) — w must be a
+      // foldable int literal (it shapes the window loop)
+      (FunctionIdentifier("graft_winnow_mins"),
+        new ExpressionInfo(classOf[WinnowMins].getName, "graft_winnow_mins"),
+        (children: Seq[Expression]) => {
+          requireArity("graft_winnow_mins", children, Seq(2))
+          WinnowMins(children.head,
+            foldableInt("graft_winnow_mins", "w", children(1)))
         }))
 
   /** Register on an already-running session (tests, notebooks). */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked}
+import graft.expressions.{MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked, WinnowMins}
 
 /** Text-analysis `Column` builders for the LLM-data-pipeline surface:
   * tokenization, shingling, quality signals, fingerprints. All pure
@@ -105,6 +105,21 @@ object TextOps {
   def minhashSignatureNative(shingleArr: Column, numHashes: Int): Column =
     GraftColumnBridge.column(MinHashSignature(
       GraftColumnBridge.expression(shingleArr), numHashes))
+
+  /** Winnowing window minima, HOF reference form: each w-window's
+    * minimum over the hash sequence, distinct keep-first — kept as the
+    * semantics twin for the parity spec. O(n·w) per row (each window
+    * re-sliced); callers guard `size(hashes) >= w`. */
+  def winnowMinsHof(hashes: Column, w: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(hashes) - w),
+      i => array_min(slice(hashes, i + 1, lit(w)))))
+
+  /** Fused winnowing window minima — native monotonic-deque one-pass
+    * loop ([[graft.expressions.WinnowMins]]), O(n) regardless of w;
+    * bit- and order-identical to [[winnowMinsHof]]. */
+  def winnowMins(hashes: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowMins(
+      GraftColumnBridge.expression(hashes), w))
 
   /** Fused MinHash LSH band keys — shingles → per-seed minima → per-band
     * XXH64 long-fold, one primitive-only pass

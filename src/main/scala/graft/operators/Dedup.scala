@@ -434,11 +434,13 @@ object Dedup {
     * selected subset (≈ 2/(w+1) of all k-grams) sufficient for
     * plagiarism/overlap detection at a fraction of the index size.
     *
-    * Pure per-row expression work (the hash sequence is a materialized
-    * column, so each window's `slice` reads it without recomputing),
-    * one explode, no shuffle — scales linearly like the other
-    * fingerprint operators (k-gram hashing fused via
-    * [[graft.expressions.ShingleHashes]]). Output: distinct
+    * Pure per-row expression work, one explode, no shuffle — scales
+    * linearly like the other fingerprint operators. Both passes are
+    * fused native kernels: k-gram hashing via
+    * [[graft.expressions.ShingleHashes]], window minima via
+    * [[graft.expressions.WinnowMins]] (monotonic deque — O(n) per doc
+    * regardless of w, where the HOF `slice`+`array_min` form the parity
+    * spec keeps as the semantics twin is O(n·w)). Output: distinct
     * (doc_id, fingerprint). */
   def winnowFingerprints(docs: DataFrame, k: Int, w: Int,
       algo: String = "xx64"): DataFrame = {
@@ -449,11 +451,7 @@ object Dedup {
       .filter(size($"toks") >= k)
       .withColumn("hs", shingleHashes($"toks", k, algo))
       .filter(size($"hs") >= w)
-      .select($"doc_id",
-        explode(array_distinct(
-          transform(sequence(lit(0), size($"hs") - w),
-            i => array_min(slice($"hs", i + 1, lit(w))))))
-          .as("fingerprint"))
+      .select($"doc_id", explode(winnowMins($"hs", w)).as("fingerprint"))
   }
 
   /** Embedding-cosine near-duplicates over an `emb(vec_id, embedding

@@ -63,6 +63,17 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("graft_winnow_mins rejects a non-literal w with AnalysisException") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_winnow_mins(graft_shingle_hashes(array(text), 1),
+                                    cast(doc_id as int))
+           FROM contract_docs""").collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("graft_simhash rejects a non-literal bits with AnalysisException") {
     docs.limit(1).createOrReplaceTempView("contract_docs")
     val e = intercept[AnalysisException] {

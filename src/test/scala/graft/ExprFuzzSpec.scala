@@ -72,6 +72,22 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(to_json($"native") =!= to_json($"hof")).count() === 0)
   }
 
+  test("winnow mins native == HOF on adversarial random docs, several widths") {
+    // bit- AND order-identical: array_distinct keeps first occurrence,
+    // so a same-set-different-order bug in the deque/dedup pass fails
+    // the to_json compare
+    Seq(1, 2, 4, 7).foreach { w =>
+      val hashed = fuzzDocs.filter(size($"toks") >= 2)
+        .select(shingleHashes($"toks", 2).as("hs"))
+        .filter(size($"hs") >= w)
+      val both = hashed.select(
+        winnowMins($"hs", w).as("native"),
+        winnowMinsHof($"hs", w).as("hof"))
+      assert(both.filter(to_json($"native") =!= to_json($"hof")).count() === 0,
+        s"winnow parity broke at w=$w")
+    }
+  }
+
   test("native expressions evaluate with codegen fallback DISABLED") {
     // a broken doGenCode normally degrades silently to interpreted eval
     // (same results, slower); with fallback off, a codegen compile error
@@ -82,7 +98,8 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
         simhashPacked($"toks", 64).as("sh"),
         shingleHashes($"toks", 3, "md5_60").as("hs"),
         minhashSignatureNative(array_distinct(shingles($"toks", 3)), 8).as("mh"),
-        minhashBandKeysNative(array_distinct(shingles($"toks", 3)), 8, 4).as("bk"))
+        minhashBandKeysNative(array_distinct(shingles($"toks", 3)), 8, 4).as("bk"),
+        winnowMins(shingleHashes($"toks", 3), 4).as("wm"))
       assert(out.count() > 0)
       val emb = Tables.load(spark, sf0001, "embeddings")
       assert(emb.select(dot(asDouble($"embedding"), asDouble($"embedding")))
