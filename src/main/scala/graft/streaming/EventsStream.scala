@@ -49,6 +49,63 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The column set the Kafka v2 source emits (key/value payload bytes
+    * plus broker metadata). Kept here so the decode seam and its test
+    * double agree on the wire shape without the connector jar. */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** JSON payload carried in the Kafka record value. Event time rides as
+    * epoch MICROS (`ts_us`) — JSON has no timestamp type and micros is
+    * the precision the batch loader preserves from the nanos parquet. */
+  val kafkaPayloadSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Producer-side wire encoding: an events frame (raw-nanos `ts`, as
+    * read from parquet) → the JSON value bytes a Kafka producer would
+    * send. Declared next to the decoder so the round-trip contract is
+    * one file; the spec feeds these bytes through [[decodeKafkaEvents]]
+    * via MemoryStream. */
+  def kafkaValueJson(eventsRawNanos: DataFrame): DataFrame =
+    eventsRawNanos.select(to_json(struct(
+      col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))).as("json"))
+
+  /** Decode a Kafka-wire frame into exactly the schema [[readEvents]]
+    * produces: everything downstream (tumbling/sliding/session/custom
+    * state) is source-agnostic past this projection. Broker metadata
+    * (topic/partition/offset/broker timestamp) is dropped — event time
+    * comes from the payload, so watermarks are immune to broker-side
+    * reordering. */
+  def decodeKafkaEvents(wire: DataFrame): DataFrame =
+    wire.select(from_json(col("value").cast("string"), kafkaPayloadSchema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        expr("timestamp_micros(e.ts_us)").as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"),
+        col("e.props").as("props"))
+
+  /** Kafka-source twin of [[readEvents]]: identical downstream schema,
+    * only the `readStream` options change (brokers, topic, offsets).
+    * Needs the spark-sql-kafka connector on the cluster classpath — not
+    * bundled here, so the decode half is proven source-agnostic against
+    * an in-memory stream in StreamingSpec instead. */
+  def readEventsKafka(spark: SparkSession, options: Map[String, String]): DataFrame =
+    decodeKafkaEvents(
+      spark.readStream.format("kafka").options(options).load())
+
   /** Stage the single-file `events.parquet` of a testdata sf dir into a
     * temp directory so the file stream source can consume it. */
   def stageEventsDir(sfDir: String): String = {

@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.jobs.EventQueries
 import graft.streaming.EventsStream
 
+/** One Kafka record as the connector's v2 source would surface it —
+  * same columns as [[EventsStream.kafkaWireSchema]]. */
+case class KafkaWire(key: Array[Byte], value: Array[Byte], topic: String,
+    partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+    timestampType: Int)
+
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val eventsDir = EventsStream.stageEventsDir(sf0001)
@@ -244,6 +250,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .select($"window_start".cast("timestamp_ntz").as("window_start"),
         $"event_type", $"n_events", $"sum_value")
     val batch = EventQueries.q43SlidingWindow(spark, sf0001)
+    assert(streamed.count() == batch.count(),
+      s"streamed ${streamed.count()} vs batch ${batch.count()}")
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("kafka decode seam: MemoryStream wire records drive the same tumbling plan as the file source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+
+    // producer side: encode each event as the JSON value bytes of a
+    // Kafka record, with broker metadata deliberately junk (wrong
+    // broker timestamp, one topic-partition) — event time must come
+    // from the payload alone
+    val values = EventsStream.kafkaValueJson(raw).as[String].collect()
+    val brokerTs = new java.sql.Timestamp(0L)
+    val wireRows = values.zipWithIndex.map { case (json, i) =>
+      KafkaWire(null, json.getBytes("UTF-8"), "events", 0, i.toLong,
+        brokerTs, 0)
+    }
+
+    val ms = MemoryStream[KafkaWire](spark)
+    assert(ms.toDF().schema.fields.toSeq.map(f => (f.name, f.dataType)) ==
+      EventsStream.kafkaWireSchema.fields.toSeq.map(f => (f.name, f.dataType)),
+      "test double drifted from the declared Kafka wire schema")
+    ms.addData(wireRows.toIndexedSeq)
+
+    val decoded = EventsStream.decodeKafkaEvents(ms.toDF())
+    assert(decoded.schema ==
+      EventsStream.readEvents(spark, eventsDir).schema,
+      "kafka decode must produce the file-source schema (source-agnostic contract)")
+
+    val streamed = EventsStream.runToBatch(
+      EventsStream.tumblingCounts(decoded), "kafka_tumbling", "complete")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+        $"event_type", $"n_events", $"sum_value")
+    val batch = EventQueries.q16TumblingWindow(spark, sf0001)
     assert(streamed.count() == batch.count(),
       s"streamed ${streamed.count()} vs batch ${batch.count()}")
     assert(streamed.exceptAll(batch).count() == 0)
