@@ -36,8 +36,12 @@ object Tables {
     * both). */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     GraftSession.requireNanosConf(spark)
+    // timestampadd against an NTZ epoch keeps the naive micros naive —
+    // a timestamp_micros→ntz cast would shift them by the session TZ
+    // offset (ScaleOpsSpec pins q51 equal across UTC and a DST zone)
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts",
-        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+        expr("""timestampadd(MICROSECOND, ts div 1000,
+                TIMESTAMP_NTZ '1970-01-01 00:00:00')"""))
   }
 }

@@ -15,8 +15,12 @@ object EventQueries {
   private def ev(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
 
-  /** Epoch micros of the naive event timestamp (UTC session). */
-  private def tsMicros = expr("unix_micros(cast(ts as timestamp))")
+  /** Epoch micros of the naive event timestamp — NTZ-native arithmetic,
+    * so gap/window math is identical in any session time zone (an ltz
+    * cast would shift by the session offset and stretch gaps across DST
+    * transitions). */
+  private def tsMicros =
+    expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
 
   // ---------------------------------------------------------------- q14
   /** JSON property extraction + per-type rollup (SURVEY F-ext: the
@@ -192,15 +196,22 @@ object EventQueries {
   private def retentionOffsets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val weekUs = 7L * 86400 * 1000000
+    // Epoch arithmetic stays on the NTZ value end to end (timestampdiff/
+    // timestampadd against an NTZ epoch): an ltz round-trip would make
+    // truncated weeks non-multiples of weekUs in a DST session TZ and
+    // drift week_offset off the naive-timestamp oracle. EventQueriesSpec
+    // pins q51 equal across UTC and America/New_York sessions.
     val activity = ev(spark, dir)
       .select($"user_id",
-        expr("unix_micros(cast(date_trunc('week', ts) as timestamp))").as("wk"))
+        expr("""timestampdiff(MICROSECOND,
+                TIMESTAMP_NTZ '1970-01-01 00:00:00',
+                date_trunc('week', ts))""").as("wk"))
       .distinct()
     val cohorts = activity.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
     activity.join(cohorts, "user_id")
       .select($"user_id",
-        expr("cast(timestamp_micros(cohort_wk) as timestamp_ntz)")
-          .as("cohort_week"),
+        expr("""timestampadd(MICROSECOND, cohort_wk,
+                TIMESTAMP_NTZ '1970-01-01 00:00:00')""").as("cohort_week"),
         (($"wk" - $"cohort_wk") / weekUs).cast("int").as("week_offset"))
   }
 

@@ -83,6 +83,25 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q51 cohort weeks are session-TZ independent (NTZ epoch arithmetic)") {
+    import graft.jobs.EventQueries
+    // the ltz round-trip this guards against: in a DST session TZ,
+    // cast(ntz as timestamp) shifts truncated weeks off exact weekUs
+    // multiples and week_offset buckets drift
+    def cells() = EventQueries.q51Retention(spark, sf0001)
+      .select(concat_ws("|", $"cohort_week", $"week_offset"),
+        $"n_active".cast("long"))
+      .as[(String, Long)].collect().toMap
+    val utc = cells()
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    val ny = try {
+      spark.conf.set(tzKey, "America/New_York")
+      cells()
+    } finally spark.conf.set(tzKey, saved)
+    assert(ny == utc, "retention cells changed with session time zone")
+  }
+
   test("q52 hashed-key novelty matches the string-key query (≤, equal sans collisions)") {
     // the 8-byte-shuffle-key form: collisions can only merge first-seen
     // owners, so per-doc novelty is biased low, never high — and at
