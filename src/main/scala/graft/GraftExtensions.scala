@@ -23,13 +23,19 @@ object GraftExtensions {
 
   /** Shape parameters (signature width, band count, hash algo) must be
     * literals — they size the generated code, so a per-row value cannot
-    * work. A non-foldable (or non-integer / NULL) argument gets the
-    * standard NON_FOLDABLE_ARGUMENT AnalysisException instead of an NPE
-    * at resolution time. */
+    * work. Any foldable integral that fits an Int is accepted (SQL
+    * literals arrive as INT, but `32L` or a CAST arrives as BIGINT /
+    * SMALLINT / TINYINT and is no less foldable); a non-foldable,
+    * fractional, out-of-Int-range, or NULL argument gets the standard
+    * NON_FOLDABLE_ARGUMENT AnalysisException instead of an NPE at
+    * resolution time. */
   private def foldableInt(fn: String, param: String, e: Expression): Int = {
     val v = if (e.foldable) e.eval(null) else null
     v match {
       case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
       case _ => throw GraftColumnBridge.nonFoldableArgument(fn, param,
         org.apache.spark.sql.types.IntegerType)
     }

@@ -34,16 +34,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
 
-  require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
-  require(bands >= 1 && numHashes % bands == 0,
-    s"bands must be positive and divide numHashes, got $bands of $numHashes")
-
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${other.simpleString}")
-  }
+  // shape params are validated here, not in a constructor require: from
+  // SQL the expression is built during resolution, and analysis turns a
+  // TypeCheckFailure into a clean AnalysisException where a require
+  // would surface as a raw IllegalArgumentException (ContractSpec)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes < 1) TypeCheckResult.TypeCheckFailure(
+      s"numHashes must be positive, got $numHashes")
+    else if (bands < 1 || numHashes % bands != 0) TypeCheckResult.TypeCheckFailure(
+      s"bands must be positive and divide numHashes, got $bands of $numHashes")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

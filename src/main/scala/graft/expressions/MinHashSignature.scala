@@ -29,13 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
-  require(numHashes >= 1, s"numHashes must be positive, got $numHashes")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${other.simpleString}")
-  }
+  // shape param validated at analysis (clean AnalysisException from SQL)
+  // rather than a constructor require — see MinHashBandKeys
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes < 1) TypeCheckResult.TypeCheckFailure(
+      s"numHashes must be positive, got $numHashes")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -35,15 +35,18 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHashes(child: Expression, k: Int, algo: String)
     extends UnaryExpression {
 
-  require(k >= 1, s"k must be positive, got $k")
-  require(ShingleHashes.algos.contains(algo),
-    s"algo must be one of ${ShingleHashes.algos.mkString("/")}, got $algo")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${other.simpleString}")
-  }
+  // shape params validated at analysis (clean AnalysisException from SQL)
+  // rather than constructor requires — see MinHashBandKeys
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure(
+      s"k must be positive, got $k")
+    else if (!ShingleHashes.algos.contains(algo)) TypeCheckResult.TypeCheckFailure(
+      s"algo must be one of ${ShingleHashes.algos.mkString("/")}, got $algo")
+    else child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -33,13 +33,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class SimHashPacked(child: Expression, bits: Int)
     extends UnaryExpression {
 
-  require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${other.simpleString}")
-  }
+  // shape param validated at analysis (clean AnalysisException from SQL)
+  // rather than a constructor require — see MinHashBandKeys
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (bits < 1 || bits > 64) TypeCheckResult.TypeCheckFailure(
+      s"bits must be in [1, 64], got $bits")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = LongType
 

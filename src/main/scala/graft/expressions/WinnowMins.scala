@@ -35,13 +35,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class WinnowMins(child: Expression, w: Int)
     extends UnaryExpression {
 
-  require(w >= 1, s"w must be positive, got $w")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<bigint>, got ${other.simpleString}")
-  }
+  // shape param validated at analysis (clean AnalysisException from SQL)
+  // rather than a constructor require — see MinHashBandKeys
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (w < 1) TypeCheckResult.TypeCheckFailure(
+      s"w must be positive, got $w")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

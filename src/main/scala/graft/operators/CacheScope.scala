@@ -1,8 +1,10 @@
 package graft.operators
 
+import scala.collection.mutable
 import scala.collection.mutable.ListBuffer
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Scoped lifecycle for the operators' internal persists.
@@ -29,42 +31,78 @@ import org.apache.spark.storage.StorageLevel
   *
   * Outside any scope, `persist` degrades to today's behavior (persist and
   * let the ContextCleaner reclaim) — existing callers are untouched.
-  * Scopes nest; each releases only its own registrations. Registration is
-  * thread-local (frames are built on the calling thread; Spark's job
-  * threads only materialize them).
+  * Scopes nest; each releases only its own registrations.
+  *
+  * Scope membership is thread-local (a frame joins the scope open on the
+  * thread that BUILT it — Spark's job threads only materialize frames, so
+  * a persist taken on a job thread sees no scope and degrades to the
+  * ContextCleaner path). Ownership, however, is global: the CacheManager
+  * dedupes persists of `sameResult` plans session-wide, so two scopes on
+  * different threads persisting identical plans share ONE cache entry.
+  * Registrations are therefore refcounted on the canonicalized plan — the
+  * same identity the CacheManager dedupes on — and the entry is
+  * unpersisted only when the LAST scope holding it exits, never mid-query
+  * under a concurrent scope (ContractSpec pins the overlap).
   */
 object CacheScope {
 
-  private val stack = new ThreadLocal[List[ListBuffer[DataFrame]]] {
-    override def initialValue(): List[ListBuffer[DataFrame]] = Nil
+  private val stack = new ThreadLocal[List[ListBuffer[(LogicalPlan, DataFrame)]]] {
+    override def initialValue(): List[ListBuffer[(LogicalPlan, DataFrame)]] = Nil
   }
+
+  /** Canonicalized plan → number of open scopes (across all threads)
+    * holding a registration for it. Guarded by its own monitor; persist
+    * setup is operator-launch-time work, so contention is nil. */
+  private val owned = mutable.Map.empty[LogicalPlan, Int]
 
   /** Persist MEMORY_AND_DISK and register with the innermost open scope
     * (no-op registration when no scope is open). A plan the CacheManager
-    * already holds — e.g. an identical frame persisted by the CALLER
-    * before the scope opened — is NOT registered: Spark dedupes the
-    * persist onto the existing entry, and unpersisting it at scope exit
-    * would silently evict the caller's still-live cache. */
+    * already holds for someone OUTSIDE every scope — e.g. an identical
+    * frame persisted by the caller before the scope opened — is NOT
+    * registered: Spark dedupes the persist onto the existing entry, and
+    * unpersisting it at scope exit would silently evict the caller's
+    * still-live cache. A plan held by another OPEN scope is registered
+    * with its refcount bumped instead, so whichever scope exits last
+    * releases the shared entry. */
   private[graft] def persist(df: DataFrame): DataFrame = {
-    val preowned = org.apache.spark.sql.GraftColumnBridge.isCached(df)
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    if (!preowned) stack.get() match {
-      case top :: _ => top += df
-      case Nil      => ()
+    stack.get() match {
+      case Nil => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case top :: _ =>
+        val key = org.apache.spark.sql.GraftColumnBridge.canonicalizedPlan(df)
+        owned.synchronized {
+          val scopeRefs = owned.getOrElse(key, 0)
+          val callerOwned = scopeRefs == 0 &&
+            org.apache.spark.sql.GraftColumnBridge.isCached(df)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          if (!callerOwned) {
+            owned.update(key, scopeRefs + 1)
+            top += ((key, df))
+          }
+        }
     }
     df
   }
 
-  /** Run `f`, then unpersist every operator-internal frame persisted
-    * during it. Unpersist is idempotent, so operators that already clean
-    * up after themselves (dedupClusters) are unaffected. */
+  /** Run `f`, then release every operator-internal frame persisted during
+    * it whose refcount this scope held last. Unpersist is idempotent, so
+    * operators that already clean up after themselves (dedupClusters) are
+    * unaffected. */
   def withCachesReleased[T](f: => T): T = {
-    val buf = ListBuffer.empty[DataFrame]
+    val buf = ListBuffer.empty[(LogicalPlan, DataFrame)]
     stack.set(buf :: stack.get())
     try f
     finally {
       stack.set(stack.get().tail)
-      buf.foreach(_.unpersist(blocking = false))
+      owned.synchronized {
+        buf.foreach { case (key, df) =>
+          owned.getOrElse(key, 1) - 1 match {
+            case n if n <= 0 =>
+              owned.remove(key)
+              df.unpersist(blocking = false)
+            case n => owned.update(key, n)
+          }
+        }
+      }
     }
   }
 }

@@ -34,6 +34,13 @@ object GraftColumnBridge {
     errors.QueryCompilationErrors.wrongNumArgsError(
       funcName, expected.map(_.toString), actual)
 
+  /** The canonicalized analyzed plan — the identity the CacheManager
+    * dedupes persists on (`sameResult` compares canonicalized plans), so
+    * it is the right key for any bookkeeping that must agree with that
+    * dedupe (CacheScope's cross-scope refcount). */
+  def canonicalizedPlan(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.canonicalized
+
   /** Whether the CacheManager already holds this frame's plan — i.e. a
     * fresh `persist` would dedupe onto an entry someone else created
     * (the "Asked to cache already cached data" path). */

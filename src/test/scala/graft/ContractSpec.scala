@@ -33,6 +33,47 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(leaked.isEmpty, s"blocks survived the scope: $leaked")
   }
 
+  test("concurrent scopes refcount a shared plan — no eviction under a live scope") {
+    import java.util.concurrent.CountDownLatch
+    import org.apache.spark.sql.GraftColumnBridge
+    spark.catalog.clearCache()
+    // two threads build IDENTICAL plans: the CacheManager dedupes the
+    // persists onto one entry, so the first scope to exit must NOT
+    // evict it while the other scope is still open
+    def frame() = docs.select($"doc_id", $"text").limit(200)
+    val inScopeB = new CountDownLatch(1)
+    val releaseB = new CountDownLatch(1)
+    @volatile var errB: Throwable = null
+    val dfB = frame()
+    val b = new Thread(() => {
+      try CacheScope.withCachesReleased {
+        CacheScope.persist(dfB)
+        dfB.count()
+        inScopeB.countDown()
+        releaseB.await()
+      } catch { case t: Throwable => errB = t; inScopeB.countDown() }
+    })
+    b.start()
+    inScopeB.await()
+    assert(errB == null, s"scope thread failed: $errB")
+
+    val dfA = frame()
+    CacheScope.withCachesReleased {
+      CacheScope.persist(dfA)
+      dfA.count()
+    }
+    // scope A exited; scope B still holds the shared entry
+    assert(GraftColumnBridge.isCached(dfB),
+      "first scope exit evicted a plan a concurrent scope still holds")
+
+    releaseB.countDown()
+    b.join()
+    assert(errB == null, s"scope thread failed: $errB")
+    assert(!GraftColumnBridge.isCached(dfB),
+      "last scope exit must release the shared entry")
+    spark.catalog.clearCache()
+  }
+
   test("outside a scope, persists still register (ContextCleaner path)") {
     spark.catalog.clearCache()
     val before = spark.sparkContext.getPersistentRDDs.keySet
@@ -82,6 +123,33 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
            FROM contract_docs""").collect()
     }
     assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
+  test("graft shape params accept foldable BIGINT/SMALLINT literals") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    // 32L folds to a BIGINT — a type detail, not a foldability problem,
+    // so it must resolve like the plain INT literal does
+    val viaLong = spark.sql(
+      """SELECT graft_minhash(array(text), 32L) AS sig
+         FROM contract_docs""").collect()
+    val viaInt = spark.sql(
+      """SELECT graft_minhash(array(text), 32) AS sig
+         FROM contract_docs""").collect()
+    assert(viaLong.map(_.toString).toSeq == viaInt.map(_.toString).toSeq)
+    val viaCast = spark.sql(
+      """SELECT graft_simhash(array(xxhash64(text)), cast(16 as smallint)) AS h
+         FROM contract_docs""").collect()
+    assert(viaCast.length == 1)
+  }
+
+  test("graft_minhash_band_keys raises AnalysisException when bands do not divide numHashes") {
+    docs.limit(1).createOrReplaceTempView("contract_docs")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        """SELECT graft_minhash_band_keys(array(text), 32, 5)
+           FROM contract_docs""").collect()
+    }
+    assert(e.getMessage.contains("divide"), e.getMessage)
   }
 
   test("hash split lands near 80/10/10 and is stable across reruns") {
