@@ -332,6 +332,84 @@ object DocumentQueries {
         round($"n_novel".cast("double") / $"n_shingles", 4))
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Gopher-style repetition signals per document: the fraction of
+    * bigram occurrences taken by the single most frequent bigram
+    * (`top_bigram_frac`) and by any bigram occurring more than once
+    * (`dup_bigram_frac`) — the two repetition rules (Rae et al. 2021,
+    * §A1.1) that catch boilerplate and degenerate generations the
+    * unique-token ratio (q19) misses, because token-level diversity
+    * survives phrase-level looping.
+    *
+    * Scale shape: per-row expression work ONLY — bigrams are folded
+    * with an `aggregate` HOF over the doc's own sorted bigram array
+    * (run-length max + duplicated mass in one pass), so the plan has
+    * zero exchanges (PlanShapeSpec-pinned); the explode + groupBy
+    * (doc, bigram) formulation the oracle uses would shuffle the whole
+    * corpus's bigrams at 100 TB. */
+  def q53Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .withColumn("ts", tokens($"text"))
+      .filter(size($"ts") >= 2)
+      .withColumn("bg", expr(
+        "array_sort(transform(sequence(0, size(ts) - 2)," +
+          " i -> concat(ts[i], ' ', ts[i + 1])))"))
+      // one pass over the sorted bigrams: current run length, longest
+      // run, and total mass of runs longer than 1 (a run of c ≥ 2
+      // contributes 2 on its second element and 1 on each later one)
+      .withColumn("st", expr("""
+        CASE WHEN size(bg) < 2
+          THEN named_struct('run', 1, 'maxrun', 1, 'dup', 0)
+          ELSE aggregate(
+            sequence(1, size(bg) - 1),
+            named_struct('run', 1, 'maxrun', 1, 'dup', 0),
+            (acc, i) -> IF(bg[i] = bg[i - 1],
+              named_struct(
+                'run', acc.run + 1,
+                'maxrun', greatest(acc.maxrun, acc.run + 1),
+                'dup', acc.dup + IF(acc.run = 1, 2, 1)),
+              named_struct('run', 1, 'maxrun', acc.maxrun, 'dup', acc.dup)))
+        END"""))
+      .select(
+        $"doc_id",
+        size($"bg").cast("long").as("n_bigrams"),
+        round($"st.maxrun".cast("double") / size($"bg"), 4)
+          .as("top_bigram_frac"),
+        round($"st.dup".cast("double") / size($"bg"), 4)
+          .as("dup_bigram_frac"),
+        ($"st.maxrun".cast("double") / size($"bg") <= 0.2 &&
+          $"st.dup".cast("double") / size($"bg") <= 0.6).as("keep_flag"))
+  }
+
+  // ---------------------------------------------------------------- q54
+  /** Deterministic domain mixing: sample each source at a target
+    * weight (the data-mixing step that rebalances web/books/code/...
+    * proportions before training). The keep rule is an integer
+    * comparison of a 60-bit md5 bucket against the source's weight in
+    * basis points — deterministic across reruns, partitionings, and
+    * engines, and salted (`:mix`) so it is independent of the q49
+    * split assignment. Weights here derive from the source index
+    * (quarters 0.25–1.00) so the oracle can recompute them; a
+    * production caller passes its own weight map the same way.
+    *
+    * Scale shape: one corpus scan with a map-side filter expression +
+    * one rollup on the (tiny) source key space — no join against a
+    * weight table needed when weights are expressions. */
+  def q54SourceMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcIdx = regexp_extract($"source", "([0-9]+)", 1).cast("int")
+    val weightBp = (srcIdx % 4 + 1) * 2500 // 2500 bp = 0.25
+    val bucket = md5Hash60(concat($"doc_id".cast("string"), lit(":mix"))) % 10000L
+    docs(spark, dir)
+      .withColumn("target_weight", weightBp.cast("double") / 10000.0)
+      .withColumn("kept", when(bucket < weightBp, 1L).otherwise(0L))
+      .groupBy($"source", $"target_weight")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"kept").cast("long").as("n_kept"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -357,7 +435,9 @@ object DocumentQueries {
     "q46_token_chunks" -> (q46TokenChunks _),
     "q47_contamination" -> (q47Contamination _),
     "q49_hash_split" -> (q49HashSplit _),
-    "q52_novelty" -> (q52Novelty _))
+    "q52_novelty" -> (q52Novelty _),
+    "q53_repetition" -> (q53Repetition _),
+    "q54_source_mix" -> (q54SourceMix _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -420,6 +500,40 @@ object DocumentQueries {
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pairs WHERE hamming <= 3""",
     "q36_winnow_fingerprints" -> winnowSql,
+    "q53_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+           FROM toks WHERE len(ts) >= 2),
+         cnt AS (
+           SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT), 4)
+             AS top_bigram_frac,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(c) AS BIGINT), 4) AS dup_bigram_frac,
+           (CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) <= 0.2
+            AND CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+              / CAST(sum(c) AS BIGINT) <= 0.6) AS keep_flag
+         FROM cnt GROUP BY doc_id""",
+    "q54_source_mix" ->
+      """WITH m AS (
+           SELECT source,
+             (regexp_extract(source, '([0-9]+)', 1)::INT % 4 + 1) * 2500
+               AS weight_bp,
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),1,15))::UBIGINT
+               % 10000 AS bucket
+           FROM documents)
+         SELECT source,
+           CAST(weight_bp AS DOUBLE) / 10000.0 AS target_weight,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < weight_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+         FROM m GROUP BY source, weight_bp""",
     "q52_novelty" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text,' ') AS w FROM documents),

@@ -66,7 +66,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // difference between a single corpus pass and a corpus re-shuffle
     Seq("q19_text_quality", "q23_embed_norms", "q28_multimodal_meta",
       "q30_oncology_flags", "q36_winnow_fingerprints", "q46_token_chunks",
-      "q48_embed_quantize").foreach { name =>
+      "q48_embed_quantize", "q53_repetition").foreach { name =>
       val p = finalPlan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning") &&
