@@ -120,8 +120,12 @@ object EventsStream {
     * of q16 (late data beyond the watermark is dropped; state is bounded
     * by watermark horizon × window count — safe at unbounded scale). */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+    tumblingCountsOf(watermarked(events))
+
+  /** Tumbling agg over an ALREADY-watermarked stream — compose after
+    * [[watermarked]] / [[dedupEvents]]. */
+  def tumblingCountsOf(watermarkedEvents: DataFrame): DataFrame =
+    watermarkedEvents
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
@@ -140,6 +144,27 @@ object EventsStream {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** The standard 2-hour ingestion watermark. A chain defines its
+    * watermark exactly ONCE (Spark rejects redefinition downstream), so
+    * multi-stage stateful plans compose as
+    * `tumblingCountsOf(dedupEvents(watermarked(events)))` — each stage
+    * past this one must not call `withWatermark` again. */
+  def watermarked(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon)
+
+  /** Dedup-on-ingest: drop replayed events by `event_id` within the
+    * watermark horizon — the exactly-once guard an at-least-once
+    * transport (Kafka replays, file-source redelivery) needs in front
+    * of every downstream aggregate. `dropDuplicatesWithinWatermark`
+    * keys state on event_id only and EXPIRES each key once the
+    * watermark passes its event time, so state is bounded by horizon ×
+    * ingest rate — a plain `dropDuplicates` would grow state with every
+    * id ever seen and OOM an unbounded stream. A replay later than the
+    * horizon is by definition late data the watermark already declared
+    * droppable. Input must come through [[watermarked]]. */
+  def dedupEvents(watermarkedEvents: DataFrame): DataFrame =
+    watermarkedEvents.dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based sessions via session_window — the streaming twin of q15's
     * lag/cumsum formulation (same 30-minute inactivity gap). State per

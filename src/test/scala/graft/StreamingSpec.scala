@@ -294,6 +294,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("dedup-on-ingest absorbs replayed wire records (at-least-once transport)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val values = EventsStream.kafkaValueJson(raw).as[String].collect()
+    val brokerTs = new java.sql.Timestamp(0L)
+    def wire(json: String, off: Long) =
+      KafkaWire(null, json.getBytes("UTF-8"), "events", 0, off, brokerTs, 0)
+
+    val ms = MemoryStream[KafkaWire](spark)
+    val agg = EventsStream.tumblingCountsOf(EventsStream.dedupEvents(
+      EventsStream.watermarked(EventsStream.decodeKafkaEvents(ms.toDF()))))
+    val q = agg.writeStream.format("memory").queryName("dedup_tumbling")
+      .outputMode("complete").start()
+    try {
+      ms.addData(values.zipWithIndex.map { case (j, i) =>
+        wire(j, i.toLong) }.toIndexedSeq)
+      q.processAllAvailable()
+      // an at-least-once transport redelivers every 5th record in a
+      // LATER micro-batch (new offsets, same payloads): the dedup state
+      // must absorb them without double-counting any window
+      ms.addData(values.zipWithIndex.collect { case (j, i) if i % 5 == 0 =>
+        wire(j, 100000L + i) }.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_tumbling")
+        .select($"window_start".cast("timestamp_ntz").as("window_start"),
+          $"event_type", $"n_events", $"sum_value")
+      val batch = EventQueries.q16TumblingWindow(spark, sf0001)
+      assert(streamed.count() == batch.count(),
+        s"streamed ${streamed.count()} vs batch ${batch.count()}")
+      assert(streamed.exceptAll(batch).count() == 0,
+        "replays double-counted into a window")
+      assert(batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming session counts match the batch q15 sessionization") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
