@@ -410,6 +410,80 @@ object DocumentQueries {
         sum($"kept").cast("long").as("n_kept"))
   }
 
+  // ---------------------------------------------------------------- q56
+  /** Per-document salient terms: top-[[tfidfTopK]] tokens by TF-IDF —
+    * the keyword-extraction primitive behind topic tagging and search
+    * relevance in a corpus pipeline. Declared with the RATIONAL idf
+    * (N+1)/(df+1): every arithmetic step is an exactly-representable
+    * integer product (< 2⁵³) followed by one IEEE-exact division, so
+    * scores are bit-identical across engines — ranking can never flip
+    * on a libm ulp the way a log-damped idf could. The production
+    * log-idf variant is one `log(...)` wrapper away and shares every
+    * plan shape.
+    *
+    * Scale shape: the classic two-aggregate TF-IDF dataflow — explode
+    * → groupBy(doc, token) with map-side partials (doc_len rides the
+    * grouping key, computed per-row BEFORE the explode so no second
+    * per-doc shuffle or window is needed), a vocabulary-sized df
+    * aggregate, one join on token (AQE broadcasts the vocab side when
+    * it fits), and a per-doc top-k window over the already-aggregated
+    * frame. */
+  val tfidfTopK = 5
+  def q56TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tok = d
+      .withColumn("w", filter(tokens($"text"), t => length(t) > 0))
+      .filter(size($"w") > 0)
+      .select($"doc_id", size($"w").cast("long").as("doc_len"),
+        explode($"w").as("token"))
+    val tf = tok.groupBy($"doc_id", $"doc_len", $"token")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id")
+      .orderBy($"raw".desc, $"token".asc)
+    tf.join(dfT, "token").crossJoin(broadcast(nDocs))
+      .withColumn("raw", $"tf" * ($"n_docs" + 1.0) /
+        ($"doc_len" * ($"df" + 1.0)))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter($"rn" <= tfidfTopK)
+      .select($"doc_id", $"token", $"tf", round($"raw", 6).as("tfidf"), $"rn")
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** Cross-source duplication matrix: how many (DF-capped) winnowing
+    * fingerprints each pair of sources shares — the corpus-level
+    * report a data curator reads before mixing sources (two mirrors
+    * of the same crawl light up; independent sources stay near
+    * zero). Fingerprint semantics and the DF cap are exactly q47's
+    * (winnowing: any ≥ w+k−1-token verbatim overlap shares a
+    * fingerprint; boilerplate fingerprints over the cap are excluded
+    * before the join fans).
+    *
+    * Scale shape: after the per-source DISTINCT the relation is
+    * (sources × fingerprints) — the self-join fans ≤ C(n_sources, 2)
+    * per fingerprint, output is a tiny source-pair matrix, and the
+    * rollup collapses map-side. */
+  def q57SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val fp = Dedup.winnowFingerprints(d, k = 3, w = 4, algo = "md5_60")
+    val rare = fp.groupBy($"fingerprint")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxFingerprintDF)
+      .select($"fingerprint")
+    val srcFp = fp.join(rare, Seq("fingerprint"), "left_semi")
+      .join(d.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"fingerprint")
+      .distinct()
+    srcFp.as("a")
+      .join(srcFp.as("b"),
+        $"a.fingerprint" === $"b.fingerprint" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -437,7 +511,9 @@ object DocumentQueries {
     "q49_hash_split" -> (q49HashSplit _),
     "q52_novelty" -> (q52Novelty _),
     "q53_repetition" -> (q53Repetition _),
-    "q54_source_mix" -> (q54SourceMix _))
+    "q54_source_mix" -> (q54SourceMix _),
+    "q56_tfidf_topk" -> (q56TfidfTopk _),
+    "q57_source_overlap" -> (q57SourceOverlap _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -648,7 +724,47 @@ object DocumentQueries {
          SELECT src AS doc_id,
            least(src, min(dst)) AS component,
            least(src, min(dst)) = src AS is_keep
-         FROM reach GROUP BY src""")
+         FROM reach GROUP BY src""",
+    "q56_tfidf_topk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS w
+           FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         tok AS (
+           SELECT doc_id, len(w) AS doc_len, unnest(w) AS token
+           FROM t WHERE len(w) > 0),
+         tf AS (
+           SELECT doc_id, doc_len, token, count(*) AS tf
+           FROM tok GROUP BY 1, 2, 3),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         s AS (
+           SELECT tf.doc_id, tf.token, tf.tf,
+             tf.tf * (n.n_docs + 1.0) / (tf.doc_len * (df.df + 1.0)) AS raw
+           FROM tf JOIN df USING (token) CROSS JOIN n),
+         r AS (
+           SELECT doc_id, token, tf, raw,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY raw DESC, token ASC) AS rn
+           FROM s)
+         SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+           round(raw, 6) AS tfidf, CAST(rn AS INTEGER) AS rn
+         FROM r WHERE rn <= 5""",
+    "q57_source_overlap" ->
+      s"""WITH fp AS (SELECT * FROM ($winnowSql) z),
+         rare AS (
+           SELECT fingerprint FROM fp GROUP BY fingerprint
+           HAVING count(*) <= $maxFingerprintDF),
+         sf AS (
+           SELECT DISTINCT d.source, f.fingerprint
+           FROM fp f
+           JOIN documents d ON f.doc_id = d.doc_id
+           WHERE f.fingerprint IN (SELECT fingerprint FROM rare))
+         SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS n_shared_fp
+         FROM sf a JOIN sf b
+           ON a.fingerprint = b.fingerprint AND a.source < b.source
+         GROUP BY 1, 2""")
 
   /** Winnowing fingerprints (mirrors [[Dedup.winnowFingerprints]] with
     * k=3, w=4, md5-60 hashes): shared by q36 (directly) and q47 (the

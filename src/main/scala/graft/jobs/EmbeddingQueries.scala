@@ -122,6 +122,30 @@ object EmbeddingQueries {
       .withColumnRenamed("col", "qval")
   }
 
+  /** q55 SemDeDup geometry: reuse q34's fixed corpus-vector centroids
+    * (SQL-reproducible; the trained path shares
+    * [[Similarity.ivfTopK]]'s k-means fit), cap hot cells at
+    * [[q55ClusterCap]], drop at cosine ≥ [[q55Eps]] (picked to sit
+    * inside this corpus's within-cluster similarity tail — real
+    * SemDeDup deployments tune ε against a dedup-rate target the same
+    * way). */
+  val q55Eps = 0.35
+  val q55ClusterCap = 200
+
+  // ---------------------------------------------------------------- q55
+  /** Semantic dedup (SemDeDup): cluster-then-prune duplicate discovery
+    * in embedding space — the drop list of vectors with a
+    * higher-priority within-cluster near-copy ([[Dedup.semanticDedup]]). */
+  def q55SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val centroids = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id".cast("int").as("cell"),
+        asDouble($"embedding").as("centroid"))
+    Dedup.semanticDedup(e, centroids, eps = q55Eps,
+      clusterCap = q55ClusterCap)
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_embed_norms" -> (q23EmbedNorms _),
@@ -129,7 +153,8 @@ object EmbeddingQueries {
     "q25_ann_blocked" -> (q25AnnBlocked _),
     "q33_embed_neardup" -> (q33EmbedNearDup _),
     "q34_ann_ivf" -> (q34AnnIvf _),
-    "q48_embed_quantize" -> (q48EmbedQuantize _))
+    "q48_embed_quantize" -> (q48EmbedQuantize _),
+    "q55_semantic_dedup" -> (q55SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "q23_embed_norms" ->
@@ -278,5 +303,38 @@ object EmbeddingQueries {
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY sim DESC, cand_id ASC) AS rn
            FROM pairs)
-         SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3""")
+         SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3""",
+    "q55_semantic_dedup" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cell,
+             n.nrm * n.nrm + c.cn2 - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n CROSS JOIN c),
+         assigned AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         members AS (
+           SELECT cell, vec_id, v, nrm,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM assigned WHERE cr = 1),
+         capped AS (SELECT * FROM members WHERE cell_rank <= 200),
+         pairs AS (
+           SELECT a.cell, b.vec_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
+           FROM capped a JOIN capped b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT vec_id, cell, count(*) AS n_dups, max(sim) AS best_sim
+         FROM pairs WHERE sim >= 0.35
+         GROUP BY vec_id, cell""")
 }

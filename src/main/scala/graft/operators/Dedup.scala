@@ -516,4 +516,70 @@ object Dedup {
       .filter($"sim" >= threshold)
       .select($"vec_a", $"vec_b", $"sim")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then mark as
+    * duplicates the vectors whose within-cluster cosine to a
+    * higher-priority member (lower vec_id) reaches `eps` — the
+    * semantic near-copies (paraphrases, templated rewrites) that
+    * token-level dedup cannot see because they share no n-grams.
+    *
+    * `centroids(cell int, centroid array<double>)` come from the
+    * caller: fixed corpus vectors for the oracle-checkable declared
+    * query (q55), a seeded sampled k-means fit
+    * ([[Similarity.ivfTopK]]'s trainFraction path) in production.
+    * Assignment uses the same ‖v−c‖² = ‖v‖²+‖c‖²−2⟨v,c⟩ identity as
+    * the IVF index, on the same codegen'd dot-product primitive; the
+    * centroid table is rows=cells — always broadcast — and the corpus
+    * shuffles once on its cell key.
+    *
+    * Scale: candidate pairs exist only WITHIN a cell (the paper's
+    * core trick — the k-means partition stands in for the all-pairs
+    * graph), and `clusterCap` bounds the members any one cell admits
+    * (closest-to-centroid win, deterministic), so a hot cell fans
+    * ≤ C(cap,2) pairs instead of C(N/k,2). At corpus scale cells
+    * number 10⁴–10⁵, keeping per-cell population join-sized; recall
+    * degrades gracefully for capped-out members instead of the join
+    * going quadratic.
+    *
+    * Output is the DROP side of the keep-first greedy (keep the
+    * lowest vec_id of each duplicating pair): one row per dropped
+    * vector with its cell, duplicate-partner count, and best
+    * (rounded) similarity. */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, eps: Double,
+      clusterCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = emb.select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", l2Norm($"v"))
+    val cents = centroids
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+      .select($"cell", $"centroid", $"cn2")
+
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val assigned = corpus.join(broadcast(cents))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .withColumn("cr", row_number().over(byDist))
+      .filter($"cr" === 1)
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cell").orderBy($"d2".asc, $"vec_id".asc)
+    val members =
+      (if (clusterCap == Int.MaxValue) assigned
+       else assigned.withColumn("cellRank", row_number().over(byCell))
+         .filter($"cellRank" <= clusterCap))
+        .select($"cell", $"vec_id", $"v", $"nrm")
+
+    val keepSide = members.select($"cell", $"vec_id".as("keep_cand"),
+      $"v".as("av"), $"nrm".as("an"))
+    val dropSide = members.select($"cell", $"vec_id",
+      $"v".as("bv"), $"nrm".as("bn"))
+    keepSide.join(dropSide, Seq("cell"))
+      .filter($"keep_cand" < $"vec_id")
+      .withColumn("sim", roundedSim(dot($"av", $"bv") / ($"an" * $"bn")))
+      .filter($"sim" >= eps)
+      .groupBy($"vec_id", $"cell")
+      .agg(count(lit(1)).as("n_dups"), max($"sim").as("best_sim"))
+  }
 }

@@ -166,6 +166,27 @@ object EventsStream {
   def dedupEvents(watermarkedEvents: DataFrame): DataFrame =
     watermarkedEvents.dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: every micro-batch joins the event
+    * stream against a STATIC dimension frame (here `userDim(user_id,
+    * segment)`, e.g. the customer table's market segment). Spark
+    * re-resolves the static side each micro-batch and broadcasts it
+    * when it fits — so a dimension refresh (new parquet snapshot
+    * behind the same path) is picked up without restarting the query
+    * — and NO join state accrues (unlike stream-stream joins): the
+    * static side is always fully available, making this the
+    * unbounded-safe way to enrich. Left join keeps events whose key
+    * is missing from the dimension (`segment` null) rather than
+    * silently dropping them; the watermark passes through the join
+    * untouched, so the downstream windowed aggregate stays bounded. */
+  def enrichedCounts(events: DataFrame, userDim: DataFrame): DataFrame =
+    watermarked(events)
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+
   /** Gap-based sessions via session_window — the streaming twin of q15's
     * lag/cumsum formulation (same 30-minute inactivity gap). State per
     * open session only; watermark closes and emits sessions. */

@@ -76,6 +76,43 @@ class EmbedNearDupSpec extends AnyFunSuite with SparkSpec {
       s"pair member past the cap: ${ids.filter(_ >= 10)}")
   }
 
+  // ---------------------------------------------------------- semanticDedup
+
+  /** q55's fixed-centroid geometry over an arbitrary corpus frame. */
+  private def centroidsOf(corpus: org.apache.spark.sql.DataFrame) =
+    corpus.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"),
+        $"embedding".cast("array<double>").as("centroid"))
+
+  test("semanticDedup: planted exact copies are dropped, originals kept") {
+    val copies = emb.limit(3).withColumn("vec_id", $"vec_id" + 300000L)
+    val planted = emb.unionByName(copies)
+    val dropped = Dedup.semanticDedup(planted, centroidsOf(planted),
+      eps = 0.99)
+    val ids = dropped.select($"vec_id").as[Long].collect().toSet
+    // an exact copy lands in its original's cell (identical distance
+    // vector → identical tie-break) and pairs at sim 1.0 ≥ eps
+    assert((0L until 3L).map(_ + 300000L).toSet.subsetOf(ids),
+      s"planted copies not dropped: ${ids.filter(_ >= 300000L)}")
+    // keep-first greedy: the originals (lower ids, no lower-id twin at
+    // eps .99) must survive
+    assert(ids.intersect((0L until 3L).toSet).isEmpty)
+  }
+
+  test("semanticDedup: pairs exist only within a cell, and clusterCap bounds the fan") {
+    // clusterCap = 1 → every cell admits one member → no pairs at all
+    assert(Dedup.semanticDedup(emb, centroidsOf(emb), eps = 0.0,
+      clusterCap = 1).count() === 0)
+    // eps = 0 (every within-cell pair is a "duplicate"): the drop side
+    // with cap c admits ≤ c members per cell, of which all but the
+    // first can be dropped — so drops per cell ≤ c − 1
+    val dropped = Dedup.semanticDedup(emb, centroidsOf(emb), eps = 0.0,
+      clusterCap = 5)
+    val perCell = dropped.groupBy($"cell").count()
+      .agg(max($"count")).head().getLong(0)
+    assert(perCell <= 4, s"cap leaked: $perCell drops in one cell")
+  }
+
   test("candidate verification never touches more than the colliding pairs") {
     // upper bound: sum over (table, bucket) of C(n,2) — the operator's
     // join fan; must be well under all-pairs C(N,2)

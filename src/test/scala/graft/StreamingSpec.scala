@@ -177,6 +177,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-static enrichment join equals the batch join (no join state)") {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val streamed = EventsStream.runToBatch(
+      EventsStream.enrichedCounts(
+        EventsStream.readEvents(spark, eventsDir), dim),
+      "enriched_test", "complete")
+      .select($"window_start".cast("timestamp_ntz").as("window_start"),
+        $"segment", $"n_events", $"sum_value")
+    val batch = Tables.loadEvents(spark, sf0001)
+      .join(dim, Seq("user_id"), "left")
+      .groupBy(window($"ts", "1 hour"), $"segment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".cast("timestamp_ntz").as("window_start"),
+        $"segment", $"n_events", $"sum_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("file stream ingests appended files incrementally; watermark drops late rows") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
