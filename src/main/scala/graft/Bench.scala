@@ -7,13 +7,21 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * Each query runs once untimed (JIT/codegen warm-up — on a long-lived
-  * cluster these costs amortize to zero), then `BENCH_ITERS` (default 3)
+  * cluster these costs amortize to zero), then `BENCH_ITERS` (default 5)
   * timed runs; the reported figure is the MEDIAN. Single-shot timings on
-  * this 42-query single-JVM harness carry 1.5-3× run-to-run noise from
-  * tiered-JIT recompilation and code-cache churn (measured: q32 timed
-  * 6.24 s in one round and 3.68 s in a rerun of identical code; six
-  * BenchOne iterations settle at 1.8 s) — the median of three is stable
-  * to ~10% and is what steady-state cluster throughput looks like.
+  * this single-JVM harness carry 1.5-3× run-to-run noise from tiered-JIT
+  * recompilation and code-cache churn (measured: q32 timed 6.24 s in one
+  * round and 3.68 s in a rerun of identical code; six BenchOne
+  * iterations settle at 1.8 s).
+  *
+  * Timed iterations are interleaved ROUND-ROBIN across queries (pass 1
+  * of every query, then pass 2, ...), not back-to-back per query: a
+  * transient whole-box slowdown (GC storm, JIT recompile wave,
+  * co-tenant load) then lands on at most ONE sample of each query —
+  * which the median rejects — instead of on every sample of whichever
+  * query it happened to hit. Back-to-back sampling is how round 6
+  * reported q06 at 3.1× its round-5 time on identical code: all three
+  * samples fell inside one slow window and the median kept it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,18 +59,26 @@ object Bench {
     // one full GC of the accumulated cross-query garbage lands inside an
     // arbitrary query's timed region and shows up as a phantom 5-10s
     // regression on a sub-second query.
-    val iters = sys.env.getOrElse("BENCH_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("BENCH_ITERS", "5").toInt
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = names.map { name =>
-      val times = (1 to iters).flatMap { _ =>
+    val samples =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
+        .withDefaultValue(Vector.empty)
+    (1 to iters).foreach { _ =>
+      names.foreach { name =>
         System.gc()
         val t0 = System.nanoTime()
-        try { run(name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try {
+          run(name)
+          samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
       }
+    }
+    val results = names.map { name =>
+      val times = samples(name)
       // ANY failed iteration marks the query failed (-1.0, excluded from
-      // the total) — a query flaking 2 of 3 runs must not report its one
-      // lucky time as a healthy median
+      // the total) — a query flaking some of its runs must not report a
+      // lucky surviving time as a healthy median
       if (times.size < iters) { errors += name; name -> -1.0 }
       else name -> times.sorted.apply(times.size / 2)
     }
@@ -80,7 +96,14 @@ object Bench {
           Tables.load(spark, sfDir, "embeddings"),
           numCells = 32, probes = 8, k = 10, trainFraction = 0.25)
         f"""{"ivf_recall_at_10":$recall%.4f}"""
-      } catch { case _: Throwable => "{}" }
+      } catch {
+        // a broken index build must be VISIBLE in the metrics block,
+        // not silently collapse to {} — null value + the error message
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+          s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
+      }
       finally spark.catalog.clearCache()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()

@@ -413,13 +413,15 @@ object DocumentQueries {
   // ---------------------------------------------------------------- q56
   /** Per-document salient terms: top-[[tfidfTopK]] tokens by TF-IDF —
     * the keyword-extraction primitive behind topic tagging and search
-    * relevance in a corpus pipeline. Declared with the RATIONAL idf
-    * (N+1)/(df+1): every arithmetic step is an exactly-representable
-    * integer product (< 2⁵³) followed by one IEEE-exact division, so
-    * scores are bit-identical across engines — ranking can never flip
-    * on a libm ulp the way a log-damped idf could. The production
-    * log-idf variant is one `log(...)` wrapper away and shares every
-    * plan shape.
+    * relevance in a corpus pipeline. Uses the standard log-damped
+    * smoothed idf `ln((N+1)/(df+1))`: a token present in EVERY doc
+    * gets idf exactly 0 (ln 1) and can never outrank a doc-specific
+    * term — the defining property of tf-idf. Cross-engine libm-ulp
+    * concerns are handled the same way as vector similarity
+    * ([[graft.functions.VectorOps.roundedSim]]): the score is ROUNDED
+    * (6 dp) before the rank window, and rounded-ties break on the
+    * token itself, so Spark and the oracle can never disagree on `rn`
+    * over a last-bit difference in `ln`.
     *
     * Scale shape: the classic two-aggregate TF-IDF dataflow — explode
     * → groupBy(doc, token) with map-side partials (doc_len rides the
@@ -427,13 +429,16 @@ object DocumentQueries {
     * per-doc shuffle or window is needed), a vocabulary-sized df
     * aggregate, one join on token (AQE broadcasts the vocab side when
     * it fits), and a per-doc top-k window over the already-aggregated
-    * frame. */
+    * frame. The corpus count enters as a SCALAR SUBQUERY
+    * (`Dataset.scalar()`), not a join: Spark runs the count as its own
+    * tiny subquery stage and folds the result into the expression —
+    * no BroadcastNestedLoopJoin, no per-row join at all. */
   val tfidfTopK = 5
   def q56TfidfTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val d = docs(spark, dir)
-    val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    val nDocs = d.agg(count(lit(1)).cast("double")).scalar()
     val tok = d
       .withColumn("w", filter(tokens($"text"), t => length(t) > 0))
       .filter(size($"w") > 0)
@@ -443,13 +448,13 @@ object DocumentQueries {
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy($"token").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy($"doc_id")
-      .orderBy($"raw".desc, $"token".asc)
-    tf.join(dfT, "token").crossJoin(broadcast(nDocs))
-      .withColumn("raw", $"tf" * ($"n_docs" + 1.0) /
-        ($"doc_len" * ($"df" + 1.0)))
+      .orderBy($"tfidf".desc, $"token".asc)
+    tf.join(dfT, "token")
+      .withColumn("tfidf", round(
+        $"tf" / $"doc_len" * log((nDocs + 1.0) / ($"df" + 1.0)), 6))
       .withColumn("rn", row_number().over(byDoc))
       .filter($"rn" <= tfidfTopK)
-      .select($"doc_id", $"token", $"tf", round($"raw", 6).as("tfidf"), $"rn")
+      .select($"doc_id", $"token", $"tf", $"tfidf", $"rn")
   }
 
   // ---------------------------------------------------------------- q57
@@ -740,15 +745,16 @@ object DocumentQueries {
          df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
          s AS (
            SELECT tf.doc_id, tf.token, tf.tf,
-             tf.tf * (n.n_docs + 1.0) / (tf.doc_len * (df.df + 1.0)) AS raw
+             round(tf.tf / tf.doc_len *
+               ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
            FROM tf JOIN df USING (token) CROSS JOIN n),
          r AS (
-           SELECT doc_id, token, tf, raw,
+           SELECT doc_id, token, tf, tfidf,
              row_number() OVER (PARTITION BY doc_id
-                                ORDER BY raw DESC, token ASC) AS rn
+                                ORDER BY tfidf DESC, token ASC) AS rn
            FROM s)
          SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
-           round(raw, 6) AS tfidf, CAST(rn AS INTEGER) AS rn
+           tfidf, CAST(rn AS INTEGER) AS rn
          FROM r WHERE rn <= 5""",
     "q57_source_overlap" ->
       s"""WITH fp AS (SELECT * FROM ($winnowSql) z),

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -153,26 +153,57 @@ object Similarity {
     * training itself is Spark ML (seeded → deterministic);
     * `trainFraction < 1` fits on a corpus sample — centroid quality
     * converges long before the full corpus is seen, so at 100 TB the
-    * k-means iterations run on a few million sampled vectors (and the
-    * fitted model is the artifact to persist and reuse across runs)
-    * while index + probe still cover every vector. */
+    * k-means iterations run on a few million sampled vectors while
+    * index + probe still cover every vector. Convenience form of
+    * [[fitIvfIndex]] + [[ivfTopKWithModel]]; production persists the
+    * fit via [[saveIvfIndex]]/[[loadIvfIndex]] instead of refitting. */
   def ivfTopK(emb: DataFrame, numCells: Int, probes: Int, k: Int,
       cellCap: Int = Int.MaxValue, seed: Long = 42L,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0): DataFrame =
+    ivfTopKWithModel(emb, fitIvfIndex(emb, numCells, seed, trainFraction),
+      probes, k, cellCap)
+
+  /** Fit the IVF coarse quantizer (seeded k-means, optionally on a
+    * corpus sample). The returned model IS the index artifact: fit
+    * once per corpus build, [[saveIvfIndex]] it, and serve every
+    * subsequent query load from [[loadIvfIndex]] — at 100 TB the fit
+    * runs on a few million sampled vectors and is then amortized
+    * across the index's whole serving life, never per query. */
+  def fitIvfIndex(emb: DataFrame, numCells: Int, seed: Long = 42L,
+      trainFraction: Double = 1.0): KMeansModel = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sampled =
       if (trainFraction >= 1.0) prepared(emb)
       else prepared(emb).sample(withReplacement = false, trainFraction, seed)
-    val train = sampled.withColumn("fv", array_to_vector($"v"))
-    val model = new KMeans().setK(numCells).setSeed(seed)
-      .setFeaturesCol("fv").fit(train)
-    // numCells rows — driver-side by construction, broadcast to executors
-    val centroids = model.clusterCenters.toSeq.zipWithIndex
+    new KMeans().setK(numCells).setSeed(seed).setFeaturesCol("fv")
+      .fit(sampled.withColumn("fv", array_to_vector($"v")))
+  }
+
+  /** Persist / restore the fitted index. Spark ML's native writer
+    * (parquet metadata + centroid data under `path`) — cluster-FS
+    * friendly and versioned by Spark itself. */
+  def saveIvfIndex(model: KMeansModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadIvfIndex(path: String): KMeansModel = KMeansModel.load(path)
+
+  /** The model's centroids as the `(cell, centroid)` relation
+    * [[ivfTopKWithCentroids]] consumes — numCells rows, driver-side by
+    * construction, broadcast to executors. */
+  def centroidTable(spark: SparkSession, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
-    ivfTopKWithCentroids(emb, centroids, probes, k, cellCap)
   }
+
+  /** Serve top-k from a fitted (possibly [[loadIvfIndex]]-restored)
+    * index — the steady-state query path once the artifact exists. */
+  def ivfTopKWithModel(emb: DataFrame, model: KMeansModel, probes: Int,
+      k: Int, cellCap: Int = Int.MaxValue): DataFrame =
+    ivfTopKWithCentroids(emb,
+      centroidTable(emb.sparkSession, model), probes, k, cellCap)
 
   /** Measured recall@k of the trained-IVF path against brute-force
     * truth — the index-quality number a recall-sensitive deployment

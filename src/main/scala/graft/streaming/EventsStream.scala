@@ -168,13 +168,16 @@ object EventsStream {
 
   /** Stream-static enrichment join: every micro-batch joins the event
     * stream against a STATIC dimension frame (here `userDim(user_id,
-    * segment)`, e.g. the customer table's market segment). Spark
-    * re-resolves the static side each micro-batch and broadcasts it
-    * when it fits — so a dimension refresh (new parquet snapshot
-    * behind the same path) is picked up without restarting the query
-    * — and NO join state accrues (unlike stream-stream joins): the
+    * segment)`, e.g. the customer table's market segment). The static
+    * side is re-executed per micro-batch and broadcast when it fits,
+    * and NO join state accrues (unlike stream-stream joins): the
     * static side is always fully available, making this the
-    * unbounded-safe way to enrich. Left join keeps events whose key
+    * unbounded-safe way to enrich. Note on dimension refresh: a
+    * plain-parquet static frame resolves its FILE LISTING at planning
+    * time, so new snapshot files behind the same path are NOT seen by
+    * a running query — live refresh needs a re-listing table format
+    * (e.g. Delta) as the static side, or `foreachBatch` re-creating
+    * the dimension frame per batch. Left join keeps events whose key
     * is missing from the dimension (`segment` null) rather than
     * silently dropping them; the watermark passes through the join
     * untouched, so the downstream windowed aggregate stays bounded. */
@@ -186,6 +189,40 @@ object EventsStream {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("segment"),
         col("n_events"), col("sum_value"))
+
+  /** Stream-STREAM interval join — the join family stream-static
+    * enrichment cannot cover: BOTH sides unbounded. Attributes each
+    * click to the same user's views in the preceding `windowHours`
+    * hours (strict `>` / inclusive `<=` edges — exactly batch q50's
+    * stage-2 attribution predicate, see
+    * [[graft.jobs.EventQueries.q50Funnel]]).
+    *
+    * State boundedness is the whole design: each side carries its own
+    * watermark, and the join condition bounds event-time distance in
+    * both directions (equi-key AND interval), which is what Spark
+    * needs to derive a state-retention horizon per side — a buffered
+    * view is dropped once the watermark passes `view_ts + window`, a
+    * buffered click once it passes `click_ts`, so join state is
+    * rate × (horizon + window), never stream-length. Inner join:
+    * matched pairs emit as soon as both sides have arrived (append
+    * mode), no watermark wait on the emit path. */
+  def attributedClicks(events: DataFrame, horizon: String = "2 hours",
+      windowHours: Int = 24): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", horizon)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
 
   /** Gap-based sessions via session_window — the streaming twin of q15's
     * lag/cumsum formulation (same 30-minute inactivity gap). State per

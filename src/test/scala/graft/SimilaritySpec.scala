@@ -81,6 +81,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "sampled training must not drop corpus coverage")
   }
 
+  test("IVF index artifact: fit → save → load serves identical top-k") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val inMemory = Similarity.ivfTopKWithModel(emb, model, probes = 4, k = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").resolve("index").toString
+    Similarity.saveIvfIndex(model, path)
+    val served = Similarity.ivfTopKWithModel(
+      emb, Similarity.loadIvfIndex(path), probes = 4, k = 3)
+    // the restored index must serve bit-identical results — centroids
+    // round-trip exactly (parquet doubles), so assignment, probing, and
+    // ranking can't drift between the fit session and a later serving job
+    assert(inMemory.exceptAll(served).count() === 0)
+    assert(served.exceptAll(inMemory).count() === 0)
+    assert(served.count() > 0)
+  }
+
   test("IVF cell cap bounds any query's candidate set on hot cells") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     // k larger than any possible candidate count → output rows = distinct

@@ -187,7 +187,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "enriched_test", "complete")
       .select($"window_start".cast("timestamp_ntz").as("window_start"),
         $"segment", $"n_events", $"sum_value")
-    val batch = Tables.loadEvents(spark, sf0001)
+    val batch = Tables.load(spark, sf0001, "events")
       .join(dim, Seq("user_id"), "left")
       .groupBy(window($"ts", "1 hour"), $"segment")
       .agg(count(lit(1)).as("n_events"),
@@ -350,6 +350,56 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "replays double-counted into a window")
       assert(batch.exceptAll(streamed).count() == 0)
     } finally q.stop()
+  }
+
+  test("stream-stream interval join equals the batch pair relation and q50 stage-2") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val values = EventsStream.kafkaValueJson(raw).as[String].collect()
+    val brokerTs = new java.sql.Timestamp(0L)
+    val ms = MemoryStream[KafkaWire](spark)
+    ms.addData(values.zipWithIndex.map { case (j, i) =>
+      KafkaWire(null, j.getBytes("UTF-8"), "events", 0, i.toLong,
+        brokerTs, 0) }.toIndexedSeq)
+
+    val streamed = EventsStream.runToBatch(
+      EventsStream.attributedClicks(
+        EventsStream.decodeKafkaEvents(ms.toDF())),
+      "ss_join_test", "append")
+      .select($"user_id", $"view_id", $"click_id",
+        $"view_ts".cast("timestamp_ntz").as("view_ts"))
+      .cache()
+
+    // batch twin: same attribution predicate over the batch loader
+    val e = Tables.load(spark, sf0001, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val batchPairs = v.join(c,
+      $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
+      .select($"view_id", $"click_id")
+    val streamedPairs = streamed.select($"view_id", $"click_id")
+    assert(streamedPairs.count() > 0)
+    assert(streamedPairs.exceptAll(batchPairs).count() == 0,
+      "stream-stream join emitted pairs the batch join does not have")
+    assert(batchPairs.exceptAll(streamedPairs).count() == 0,
+      "stream-stream join lost pairs (state dropped too early?)")
+
+    // q50 stage-2 pin: users whose click attributes to their FIRST view
+    // = users at funnel depth >= 2 in the declared (oracle-green) q50
+    val firstView = v.groupBy($"user_id").agg(min($"view_ts").as("tv"))
+    val streamedS2 = streamed.join(firstView, "user_id")
+      .filter($"view_ts" === $"tv")
+      .select($"user_id").distinct().count()
+    val batchS2 = EventQueries.q50Funnel(spark, sf0001)
+      .filter($"funnel_stage" >= 2)
+      .agg(sum($"n_users")).as[Long].head()
+    assert(streamedS2 === batchS2,
+      s"stage-2 users: streamed $streamedS2 vs q50 $batchS2")
   }
 
   test("streaming session counts match the batch q15 sessionization") {

@@ -32,12 +32,14 @@ class TextQueriesSpec extends AnyFunSuite with SparkSpec {
     val top = DocumentQueries.q56TfidfTopk(spark, dir)
       .filter($"doc_id" === 0L).orderBy($"rn").collect()
     assert(top.head.getAs[String]("token") === "zebra")
-    // zebra: tf=1, df=1, len=4 → 1*(3+1)/(4*(1+1)) = 0.5
-    assert(top.head.getAs[Double]("tfidf") === 0.5)
-    // common: tf=3, df=3, len=4 → 3*4/(4*4) = 0.75... wait, ranked by
-    // raw score — assert relative ORDER from the returned frame instead
+    // zebra: tf=1, df=1, len=4 → (1/4)·ln((3+1)/(1+1)) = 0.25·ln 2
+    //      = 0.173287 (6 dp)
+    assert(top.head.getAs[Double]("tfidf") === 0.173287)
+    // common is in every doc: idf = ln((3+1)/(3+1)) = 0 — a corpus-wide
+    // term must score 0 and rank strictly below the doc-specific term
     val byToken = top.map(r => r.getAs[String]("token") ->
       r.getAs[Double]("tfidf")).toMap
+    assert(byToken("common") === 0.0)
     assert(byToken("zebra") > byToken("common"))
   }
 
