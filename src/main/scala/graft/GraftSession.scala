@@ -22,11 +22,20 @@ object GraftSession {
   val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Apply graft's shared session defaults to a builder. Master,
-    * parallelism, and app-specific conf stay with the caller. */
+    * parallelism, and app-specific conf stay with the caller.
+    *
+    * `codegen.cache.maxEntries` (static conf — first-session-per-JVM):
+    * the default 100-entry compiled-class cache thrashes under a
+    * multi-query workload (the 58 declared queries alone span several
+    * hundred codegen stages), forcing Janino recompiles of code that
+    * was already compiled moments ago — measured as 40%+ inflation on
+    * interleaved reruns. 1000 entries of generated classes is a few
+    * tens of MB on a driver/executor that runs a query mix. */
   def defaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config(NanosKey, "true")
 
   /** Loader-side guard: events reads require [[NanosKey]] at execution

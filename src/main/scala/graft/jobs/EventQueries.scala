@@ -234,6 +234,41 @@ object EventQueries {
       .agg(approx_count_distinct($"user_id", rsd).as("n_active"))
   }
 
+  // ---------------------------------------------------------------- q58
+  /** Click attribution pairs, per user — the batch twin of the
+    * stream-stream interval join
+    * ([[graft.streaming.EventsStream.attributedClicks]]): every
+    * (view, click) pair of one user with the click inside the 24 h
+    * window after the view (same strict `>` / inclusive `<=` edges as
+    * q50's stage 2), rolled up per user with exact-integer latency
+    * stats (micros sums stay < 2⁵³, so the one final double division
+    * is bit-identical cross-engine; rounded to 4 dp regardless).
+    *
+    * Scale shape: both sides shuffle once on user_id — the same
+    * partitioning the funnel/retention family uses; pair fan per user
+    * is views × clicks *within a 24 h window*, and the rollup
+    * collapses on the join's own partitioning, no second exchange. */
+  def q58AttributedClicks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir).withColumn("us", tsMicros)
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"us".as("view_us"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"us".as("click_us"))
+    v.join(c, $"user_id" === $"cu" &&
+        $"click_us" > $"view_us" &&
+        $"click_us" <= $"view_us" + funnelWindowUs)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct($"click_id").as("n_clicks"),
+        countDistinct($"view_id").as("n_views"),
+        min($"click_us" - $"view_us").as("min_latency_us"),
+        round(sum($"click_us" - $"view_us") / count(lit(1)) / 1000000.0, 4)
+          .as("avg_latency_s"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
@@ -243,7 +278,8 @@ object EventQueries {
     "q40_asof_join" -> (q40AsofJoin _),
     "q41_range_join" -> (q41RangeJoin _),
     "q50_funnel" -> (q50Funnel _),
-    "q51_retention" -> (q51Retention _))
+    "q51_retention" -> (q51Retention _),
+    "q58_attributed_clicks" -> (q58AttributedClicks _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -361,5 +397,25 @@ object EventQueries {
          FROM sess s JOIN events e
            ON e.user_id = s.user_id
           AND e.ts >= s.session_start AND e.ts <= s.session_end
-         GROUP BY s.user_id, s.session_start, s.session_end""")
+         GROUP BY s.user_id, s.session_start, s.session_end""",
+    "q58_attributed_clicks" ->
+      """WITH v AS (
+           SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT v.user_id, v.view_id, c.click_id,
+             c.click_us - v.view_us AS lat
+           FROM v JOIN c ON v.user_id = c.user_id
+            AND c.click_us > v.view_us
+            AND c.click_us <= v.view_us + 86400000000)
+         SELECT user_id, count(*) AS n_pairs,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(count(DISTINCT view_id) AS BIGINT) AS n_views,
+           CAST(min(lat) AS BIGINT) AS min_latency_us,
+           round(CAST(sum(lat) AS BIGINT) / count(*) / 1000000.0, 4)
+             AS avg_latency_s
+         FROM j GROUP BY user_id""")
 }

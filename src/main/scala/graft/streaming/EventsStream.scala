@@ -194,8 +194,8 @@ object EventsStream {
     * enrichment cannot cover: BOTH sides unbounded. Attributes each
     * click to the same user's views in the preceding `windowHours`
     * hours (strict `>` / inclusive `<=` edges — exactly batch q50's
-    * stage-2 attribution predicate, see
-    * [[graft.jobs.EventQueries.q50Funnel]]).
+    * stage-2 attribution predicate; the declared oracle-checked batch
+    * twin is [[graft.jobs.EventQueries.q58AttributedClicks]]).
     *
     * State boundedness is the whole design: each side carries its own
     * watermark, and the join condition bounds event-time distance in
