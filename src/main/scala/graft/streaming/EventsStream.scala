@@ -224,6 +224,35 @@ object EventsStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — [[attributedClicks]]
+    * plus the unmatched views: a view with NO click in its 24 h window
+    * emits exactly once, with null click columns, after the watermark
+    * passes the end of its attribution window (only then can Spark
+    * prove no matching click can still arrive). The
+    * conversion-dashboard shape: matched rows stream out immediately
+    * (inner-join path), abandonment rows arrive with watermark delay —
+    * an unbounded "which views never converted" without any batch
+    * sweep. Same two-sided state bounds as the inner form; outer-side
+    * state additionally holds each view until its window closes. */
+  def attributedClicksOuter(events: DataFrame, horizon: String = "2 hours",
+      windowHours: Int = 24): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", horizon)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Gap-based sessions via session_window — the streaming twin of q15's
     * lag/cumsum formulation (same 30-minute inactivity gap). State per
     * open session only; watermark closes and emits sessions. */

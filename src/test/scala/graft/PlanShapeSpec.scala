@@ -142,6 +142,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     } finally WarehouseWriter.dropIfExists(spark, "orders_part")
   }
 
+  test("range-sorted layout lets a pushed filter skip most of the data (S10)") {
+    import graft.sources.WarehouseWriter
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+
+    // rows the parquet reader actually DECODED (scan-node output): with
+    // tight per-file/row-group min-max stats a pushed range predicate
+    // skips non-overlapping units entirely; on a shuffled layout every
+    // unit spans the full value range and nothing skips
+    def decodedRows(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+
+    WarehouseWriter.saveSorted(lineitem, "li_sorted", "l_extendedprice", 8)
+    // shuffled twin: same data, same file count, round-robin layout —
+    // every file spans the whole price range
+    lineitem.repartition(8).write.mode("overwrite").format("parquet")
+      .saveAsTable("li_shuffled")
+    try {
+      def band(t: String) = spark.table(t)
+        .filter($"l_extendedprice" >= 1000.0 && $"l_extendedprice" <= 2000.0)
+        .select($"l_orderkey", $"l_extendedprice")
+      val (sortedRead, shuffledRead) =
+        (decodedRows(band("li_sorted")), decodedRows(band("li_shuffled")))
+      // identical answers, different I/O
+      assert(band("li_sorted").exceptAll(band("li_shuffled")).count() == 0)
+      assert(band("li_shuffled").exceptAll(band("li_sorted")).count() == 0)
+      assert(shuffledRead == lineitem.count(),
+        s"shuffled layout should decode everything, read $shuffledRead")
+      assert(sortedRead * 4 < shuffledRead,
+        s"sorted layout decoded $sortedRead of $shuffledRead — no skipping")
+    } finally {
+      WarehouseWriter.dropIfExists(spark, "li_sorted")
+      WarehouseWriter.dropIfExists(spark, "li_shuffled")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
       .foreach { name =>

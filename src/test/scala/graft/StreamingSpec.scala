@@ -402,6 +402,76 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"stage-2 users: streamed $streamedS2 vs q50 $batchS2")
   }
 
+  test("left-outer stream-stream join emits unmatched views exactly once after watermark close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val values = EventsStream.kafkaValueJson(raw).as[String].collect()
+    val brokerTs = new java.sql.Timestamp(0L)
+    def wire(json: String, off: Long) =
+      KafkaWire(null, json.getBytes("UTF-8"), "events", 0, off, brokerTs, 0)
+    // far-future sentinels (user -1, match no real event) on BOTH event
+    // types: the global watermark is the MIN of the two per-side
+    // watermarks, so a click alone would leave the view side behind —
+    // both must advance for every real view's 24 h window to close and
+    // the outer side to release its null rows
+    val maxNs = raw.agg(max($"ts")).as[Long].head()
+    val dayNs = 24L * 3600 * 1000000000L
+    def sentinelJson(offsetDays: Long): Seq[String] = EventsStream.kafkaValueJson(
+      Seq((-1L, maxNs + offsetDays * dayNs, -1L, "click", 0.0, null: String),
+        (-2L, maxNs + offsetDays * dayNs, -1L, "view", 0.0, null: String))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .as[String].collect().toSeq
+
+    val ms = MemoryStream[KafkaWire](spark)
+    val joined = EventsStream.attributedClicksOuter(
+      EventsStream.decodeKafkaEvents(ms.toDF()))
+    val q = joined.writeStream.format("memory").queryName("ss_outer_test")
+      .outputMode("append").start()
+    try {
+      ms.addData(values.zipWithIndex.map { case (j, i) =>
+        wire(j, i.toLong) }.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(sentinelJson(30).zipWithIndex.map { case (j, i) =>
+        wire(j, 900000L + i) }.toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(sentinelJson(40).zipWithIndex.map { case (j, i) =>
+        wire(j, 910000L + i) }.toIndexedSeq)
+      q.processAllAvailable()
+
+      val out = spark.table("ss_outer_test").filter($"user_id" >= 0).cache()
+
+      // batch truth over the batch loader
+      val e = Tables.load(spark, sf0001, "events")
+      val v = e.filter($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      val c = e.filter($"event_type" === "click")
+        .select($"user_id".as("cu"), $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      val inner = v.join(c,
+        $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
+        .select($"view_id", $"click_id")
+
+      // matched rows == the inner pair relation
+      val matched = out.filter($"click_id".isNotNull)
+        .select($"view_id", $"click_id")
+      assert(matched.exceptAll(inner).count() == 0)
+      assert(inner.exceptAll(matched).count() == 0)
+
+      // null rows == exactly the views with no attributable click, once
+      val abandoned = out.filter($"click_id".isNull).select($"view_id")
+      val expected = v.select($"view_id")
+        .exceptAll(inner.select($"view_id").distinct())
+      assert(abandoned.count() === abandoned.distinct().count(),
+        "an unmatched view emitted more than once")
+      assert(abandoned.exceptAll(expected).count() == 0,
+        "a view with a matching click also emitted a null row")
+      assert(expected.exceptAll(abandoned).count() == 0,
+        "an unmatched view never emitted (outer state lost)")
+    } finally q.stop()
+  }
+
   test("streaming session counts match the batch q15 sessionization") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
