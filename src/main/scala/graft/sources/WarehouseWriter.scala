@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** The engine's sink layer — the reference's materialization surface
   * re-expressed (SURVEY §2.1 S3/S4/S5/S6/S7/S9).
@@ -105,6 +105,28 @@ object WarehouseWriter {
     df.repartitionByRange(files, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /** JSONL corpus sink — one JSON object per line, the interchange
+    * format LLM training corpora actually move in (WebText/Pile/Dolma
+    * lineage). Distributed write, one file per partition; `compression`
+    * takes any Spark text codec (`gzip`/`zstd`/`none`). At 100 TB
+    * prefer many moderate files over few huge ones: compressed text is
+    * not splittable, so the FILE is the parallelism unit on re-read. */
+  def saveJsonl(df: DataFrame, path: String,
+      compression: String = "none"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression).json(path)
+
+  /** JSONL corpus source. The schema is REQUIRED by design: inference
+    * is a full extra pass over the corpus before the real one — never
+    * acceptable at scale — and a declared schema also pins column
+    * types against drifting inputs. Lines that don't parse land in
+    * `_corrupt_record` when the caller includes that column
+    * (PERMISSIVE default) instead of failing the job a billion lines
+    * in. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 
   /** S5 literal: JDBC bulk load — the reference's `db2 load ... insert
     * into CTGOV` (db2wh-etl.sh:151-163) is a row-batched push into an

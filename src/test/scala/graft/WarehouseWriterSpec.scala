@@ -106,6 +106,34 @@ class WarehouseWriterSpec extends AnyFunSuite with SparkSpec {
       s"jdbc scan lost its pushed filter:\n$plan")
   }
 
+  test("jsonl corpus sink/source round-trips the documents table, plain and gzip") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (codec <- Seq("none", "gzip")) {
+      val dir = tmp(s"graft-jsonl-$codec")
+      WarehouseWriter.saveJsonl(docs, dir, codec)
+      val back = WarehouseWriter.readJsonl(spark, dir, docs.schema)
+      assert(back.count() == docs.count())
+      assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty,
+        s"jsonl round-trip drifted under codec=$codec")
+    }
+  }
+
+  test("jsonl source surfaces malformed lines as _corrupt_record, not a job failure") {
+    val dir = tmp("graft-jsonl-bad")
+    Files.writeString(java.nio.file.Paths.get(dir, "part-000.jsonl"),
+      """{"doc_id": 1, "text": "good line"}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "also good"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = WarehouseWriter.readJsonl(spark, dir, schema).cache()
+    assert(back.count() == 3)
+    assert(back.filter($"_corrupt_record".isNotNull).count() == 1)
+    assert(back.filter($"doc_id".isNotNull).count() == 2)
+  }
+
   test("properties config seam parses and renders k=v pairs (S2)") {
     val f = Files.createTempFile("graft", ".properties")
     Files.writeString(f, "host=localhost\nport=5432\ndbname=aact\n")
