@@ -472,6 +472,107 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join state survives a checkpointed stop/restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val watched = Files.createTempDirectory("graft_ssj_restart")
+    val outDir = Files.createTempDirectory("graft_ssj_out").toString
+    val cpDir = Files.createTempDirectory("graft_ssj_cp").toString
+    def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
+      val tmp = Files.createTempDirectory("graft_ssj_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      Files.copy(Paths.get(part), watched.resolve(f"$seq%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def startQuery() = EventsStream.attributedClicks(
+      EventsStream.readEvents(spark, watched.toString))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+
+    // first half of the corpus, then HARD STOP: views buffered in join
+    // state whose clicks arrive in the second half can only pair up if
+    // the restarted query recovers that state from the checkpoint
+    val mid = raw.stat.approxQuantile("ts", Array(0.5), 0)(0).toLong
+    val q1 = startQuery()
+    stage(raw.filter($"ts" <= mid), 0)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()
+    stage(raw.filter($"ts" > mid), 1)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .filter($"click_id".isNotNull).select($"view_id", $"click_id")
+    val e = Tables.load(spark, sf0001, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val inner = v.join(c,
+      $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
+      .select($"view_id", $"click_id")
+    assert(streamed.exceptAll(inner).count() == 0,
+      "restart emitted pairs the batch join does not have (dupes)")
+    assert(inner.exceptAll(streamed).count() == 0,
+      "restart lost pairs (join state not recovered across the seam)")
+  }
+
+  test("stream-stream join state is evicted by the watermark (bounded, not stream-length)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // four identical waves of view/click traffic, each 3 days after the
+    // last: if join state were never evicted the buffered row count
+    // would grow with every wave (4x one wave by the end); watermark
+    // eviction must cap it near steady state instead
+    val hourNs = 3600L * 1000000000L
+    val dayNs = 24L * hourNs
+    val base = 1700000000L * 1000000000L
+    def wave(waveIdx: Int) = {
+      val b = base + waveIdx * 3 * dayNs
+      (0 until 50).flatMap { i =>
+        val ts = b + i * (hourNs / 50)
+        val id = waveIdx * 1000L + 2L * i
+        Seq((id, ts, i.toLong % 10, "view", 1.0, null: String),
+          (id + 1, ts + 60L * 1000000000L, i.toLong % 10, "click", 1.0,
+            null: String))
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    }
+    val brokerTs = new java.sql.Timestamp(0L)
+    def asWire(df: org.apache.spark.sql.DataFrame, offBase: Long) =
+      EventsStream.kafkaValueJson(df).as[String].collect().zipWithIndex
+        .map { case (j, i) =>
+          KafkaWire(null, j.getBytes("UTF-8"), "events", 0, offBase + i,
+            brokerTs, 0) }.toIndexedSeq
+
+    val ms = MemoryStream[KafkaWire](spark)
+    val q = EventsStream.attributedClicks(
+      EventsStream.decodeKafkaEvents(ms.toDF()))
+      .writeStream.format("memory").queryName("ss_state_test")
+      .outputMode("append").start()
+    try {
+      val perWave = (0 until 4).map { w =>
+        ms.addData(asWire(wave(w), w * 10000L))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      val fed = 4L * 100L
+      // waves 0/1 are older than (watermark - 24 h window) by the time
+      // wave 3 lands — their buffered rows must be gone
+      assert(perWave.last < fed * 6 / 10,
+        s"state after 4 waves = ${perWave.last} of $fed rows fed — " +
+          s"watermark eviction is not running (history: $perWave)")
+      // and the join still works across the whole run
+      assert(spark.table("ss_state_test").count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming session counts match the batch q15 sessionization") {
     import spark.implicits._
     val streamed = EventsStream.runToBatch(
