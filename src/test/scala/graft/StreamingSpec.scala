@@ -472,6 +472,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join edge semantics: window edges, orphans, shared clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    val usNs = 1000L
+    val t0 = 1700000000L * 1000000000L
+    // user 1: one view; clicks 1 µs after (match), exactly +24 h
+    // (inclusive edge -> match), +24 h + 1 µs (out), 1 µs BEFORE the
+    // view (strict > edge -> out)
+    // user 2: two views 1 h apart share one click inside both windows
+    //         -> the click pairs with BOTH views
+    // user 3: click with no view at all -> never emits
+    val rows = Seq(
+      (100L, t0, 1L, "view", 0.0, null: String),
+      (101L, t0 + usNs, 1L, "click", 0.0, null: String),
+      (102L, t0 + 24 * hourNs, 1L, "click", 0.0, null: String),
+      (103L, t0 + 24 * hourNs + usNs, 1L, "click", 0.0, null: String),
+      (104L, t0 - usNs, 1L, "click", 0.0, null: String),
+      (200L, t0, 2L, "view", 0.0, null: String),
+      (201L, t0 + hourNs, 2L, "view", 0.0, null: String),
+      (202L, t0 + 2 * hourNs, 2L, "click", 0.0, null: String),
+      (300L, t0, 3L, "click", 0.0, null: String)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val brokerTs = new java.sql.Timestamp(0L)
+    val wires = EventsStream.kafkaValueJson(rows).as[String].collect()
+      .zipWithIndex.map { case (j, i) =>
+        KafkaWire(null, j.getBytes("UTF-8"), "events", 0, i.toLong,
+          brokerTs, 0) }.toIndexedSeq
+    val ms = MemoryStream[KafkaWire](spark)
+    ms.addData(wires)
+    val got = EventsStream.runToBatch(
+      EventsStream.attributedClicks(EventsStream.decodeKafkaEvents(ms.toDF())),
+      "ss_edge_test", "append")
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 101L), (100L, 102L),
+      (200L, 202L), (201L, 202L)))
+  }
+
   test("stream-stream join state survives a checkpointed stop/restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
