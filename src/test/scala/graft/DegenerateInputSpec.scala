@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.DocumentQueries
+import graft.operators.{Dedup, Similarity}
+
+/** Degenerate-input behavior: empty corpora, single rows, null text.
+  * At pipeline scale these are not hypotheticals — a partition filter
+  * that matches nothing, a source whose first snapshot is empty, a
+  * crawler row with a null payload — and an operator that throws (or
+  * silently mis-counts) on them takes the whole job down. Contract:
+  * empty in → empty out, null text behaves as an empty document, no
+  * exceptions anywhere.
+  */
+class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Stage a documents fixture dir (same shape as the testdata). */
+  private def stageDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft_degen").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val emptyDir = stageDocs(Seq.empty)
+  private lazy val oneDocDir = stageDocs(Seq((7L, "just one document here", "en", "s0")))
+  private lazy val nullTextDir = stageDocs(Seq(
+    (1L, "real text with several tokens inside it", "en", "s0"),
+    (2L, null, "en", "s0"),
+    (3L, "", "en", "s0")))
+
+  test("document queries return empty (not throw) on an empty corpus") {
+    for (name <- Seq("q17_dedup_exact", "q20_ngram_jaccard", "q21_minhash_lsh",
+      "q22_simhash", "q36_winnow_fingerprints", "q45_quality_keep",
+      "q46_token_chunks", "q49_hash_split", "q53_repetition",
+      "q54_source_mix", "q56_tfidf_topk", "q57_source_overlap")) {
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n == 0L, s"$name returned $n rows on an empty corpus")
+    }
+  }
+
+  test("pair-producing dedup is empty on a single-document corpus") {
+    for (name <- Seq("q20_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
+      "q57_source_overlap")) {
+      assert(SparkEntry.queries(name)(spark, oneDocDir).count() == 0L,
+        s"$name invented a pair from one document")
+    }
+  }
+
+  test("null and empty text behave as empty documents, not errors") {
+    // the real doc survives every per-doc query; null/empty rows either
+    // drop out (token queries) or carry zero counts — never throw
+    val fp = DocumentQueries.queries("q36_winnow_fingerprints")(spark, nullTextDir)
+    assert(fp.filter($"doc_id" === 1L).count() > 0)
+    assert(fp.filter($"doc_id" =!= 1L).count() == 0)
+    val tfidf = DocumentQueries.queries("q56_tfidf_topk")(spark, nullTextDir)
+    assert(tfidf.select($"doc_id").distinct().count() == 1)
+    // token-based per-doc scorers CONTRACT: docs with no tokenizable
+    // text drop out of the report (a keep-policy would drop them
+    // anyway); they must not crash the query or corrupt other rows
+    val rep = DocumentQueries.queries("q53_repetition")(spark, nullTextDir)
+    assert(rep.count() == 1)
+    assert(rep.select($"doc_id").as[Long].head() == 1L)
+  }
+
+  test("dedup clustering of an empty pair list is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.dedupClusters(empty).count() == 0L)
+    assert(Dedup.dedupClustersStar(empty).count() == 0L)
+  }
+
+  test("similarity search over an empty embeddings table is empty") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.bruteForceTopK(empty, lit(true), k = 5).count() == 0L)
+    assert(Similarity.blockedNearest(empty, Seq(0, 1)).count() == 0L)
+  }
+}
