@@ -207,4 +207,28 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       assert(errStream.getMessage.contains(key), errStream.getMessage)
     } finally before.foreach(spark.conf.set(key, _))
   }
+
+  test("every declared query has an oracle and no name collides across job maps") {
+    import graft.jobs._
+    // a query without an oracle silently downgrades the driver's check
+    // from hash-match to rows-only — declare the exceptions explicitly
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without an oracle entry: ${noOracle.toSeq.sorted.mkString(", ")}")
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty,
+      s"oracle entries with no query: ${orphanOracles.toSeq.sorted.mkString(", ")}")
+    // Map ++ silently drops duplicate keys: a name declared twice in two
+    // job objects would make one implementation disappear unnoticed
+    val parts = Seq(RelationalQueries.queries, EventQueries.queries,
+      DocumentQueries.queries, EmbeddingQueries.queries,
+      PipelineQueries.queries, AactQueries.queries)
+    assert(parts.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across job maps (one implementation shadowed)")
+    val oracleParts = Seq(RelationalQueries.oracle, EventQueries.oracle,
+      DocumentQueries.oracle, EmbeddingQueries.oracle,
+      PipelineQueries.oracle, AactQueries.oracle)
+    assert(oracleParts.map(_.size).sum == SparkEntry.oracleSql.size,
+      "duplicate oracle name across job maps")
+  }
 }
