@@ -109,7 +109,9 @@ object WarehouseWriter {
   /** JSONL corpus sink — one JSON object per line, the interchange
     * format LLM training corpora actually move in (WebText/Pile/Dolma
     * lineage). Distributed write, one file per partition; `compression`
-    * takes any Spark text codec (`gzip`/`zstd`/`none`). At 100 TB
+    * takes any Spark text codec the cluster's Hadoop build provides
+    * (`gzip`/`lz4`/`snappy`/`bzip2`/`none` here — zstd needs native
+    * Hadoop support). At 100 TB
     * prefer many moderate files over few huge ones: compressed text is
     * not splittable, so the FILE is the parallelism unit on re-read. */
   def saveJsonl(df: DataFrame, path: String,
