@@ -40,8 +40,9 @@ object Bench {
     // clearCache between queries: each query's persisted intermediates
     // (the dedup/LSH frames) are scoped to its own run, so timings are
     // self-contained and cached blocks can't accumulate across the
-    // 2×|queries| runs of a bench session (executor-memory pressure from
-    // leaked blocks was distorting unrelated queries' times in r2).
+    // (1 warm-up + BENCH_ITERS) × |queries| runs of a bench session
+    // (executor-memory pressure from leaked blocks was distorting
+    // unrelated queries' times in r2).
     def run(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -100,8 +101,12 @@ object Bench {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message
         case e: Throwable =>
+          // strip EVERY control char (not just \n\r\t) plus quote and
+          // backslash — one raw control char would invalidate the
+          // driver's parse of the single JSON output line
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            .map(c => if (c < ' ' || c == '"' || c == '\\') ' ' else c)
+            .take(200)
           s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
       }
       finally spark.catalog.clearCache()

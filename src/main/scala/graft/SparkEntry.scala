@@ -24,7 +24,11 @@ object SparkEntry {
       PipelineQueries.queries ++ AactQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Every declared query currently ships one
+    * (ContractSpec enforces it); a genuinely non-SQL-expressible query
+    * would be added to ContractSpec's explicit `oracleExempt` set —
+    * with a justification — and the driver then records a weaker
+    * rows-only check for it. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ EventQueries.oracle ++
       DocumentQueries.oracle ++ EmbeddingQueries.oracle ++

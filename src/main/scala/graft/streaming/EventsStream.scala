@@ -207,22 +207,8 @@ object EventsStream {
     * matched pairs emit as soon as both sides have arrived (append
     * mode), no watermark wait on the emit path. */
   def attributedClicks(events: DataFrame, horizon: String = "2 hours",
-      windowHours: Int = 24): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-      .withWatermark("view_ts", horizon)
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("click_user"),
-        col("event_id").as("click_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", horizon)
-    views.join(clicks,
-      col("user_id") === col("click_user") &&
-        col("click_ts") > col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"))
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        col("view_ts"), col("click_ts"))
-  }
+      windowHours: Int = 24): DataFrame =
+    attributionJoin(events, horizon, windowHours, "inner")
 
   /** LEFT-OUTER stream-stream interval join — [[attributedClicks]]
     * plus the unmatched views: a view with NO click in its 24 h window
@@ -235,7 +221,15 @@ object EventsStream {
     * sweep. Same two-sided state bounds as the inner form; outer-side
     * state additionally holds each view until its window closes. */
   def attributedClicksOuter(events: DataFrame, horizon: String = "2 hours",
-      windowHours: Int = 24): DataFrame = {
+      windowHours: Int = 24): DataFrame =
+    attributionJoin(events, horizon, windowHours, "left_outer")
+
+  /** Shared body of the inner/left-outer attribution joins — ONE
+    * definition of the predicate, watermark, and column set, so the
+    * documented invariant "outer's matched rows == the inner relation"
+    * can never drift from a one-sided edit. */
+  private def attributionJoin(events: DataFrame, horizon: String,
+      windowHours: Int, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -248,7 +242,7 @@ object EventsStream {
       col("user_id") === col("click_user") &&
         col("click_ts") > col("view_ts") &&
         col("click_ts") <= col("view_ts") + expr(s"INTERVAL $windowHours HOURS"),
-      "left_outer")
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

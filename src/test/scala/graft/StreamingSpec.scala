@@ -16,6 +16,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val eventsDir = EventsStream.stageEventsDir(sf0001)
 
+  /** Batch twin of the 24 h view→click attribution interval join over
+    * sf0001: (views frame, matched (view_id, click_id) pair relation).
+    * ONE definition shared by the inner, left-outer, and restart
+    * stream-stream tests, so an edge change can't update only some. */
+  private def batchAttribution = {
+    import spark.implicits._
+    val e = Tables.load(spark, sf0001, "events")
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val pairs = v.join(c,
+      $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
+      .select($"view_id", $"click_id")
+    (v, pairs)
+  }
+
   /** Batch q15 sessions as a comparable (no sess_id) frame. */
   private def batchSessions = {
     import spark.implicits._
@@ -372,16 +391,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .cache()
 
     // batch twin: same attribution predicate over the batch loader
-    val e = Tables.load(spark, sf0001, "events")
-    val v = e.filter($"event_type" === "view")
-      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
-    val c = e.filter($"event_type" === "click")
-      .select($"user_id".as("cu"), $"event_id".as("click_id"),
-        $"ts".as("click_ts"))
-    val batchPairs = v.join(c,
-      $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
-        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
-      .select($"view_id", $"click_id")
+    val (v, batchPairs) = batchAttribution
     val streamedPairs = streamed.select($"view_id", $"click_id")
     assert(streamedPairs.count() > 0)
     assert(streamedPairs.exceptAll(batchPairs).count() == 0,
@@ -442,16 +452,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val out = spark.table("ss_outer_test").filter($"user_id" >= 0).cache()
 
       // batch truth over the batch loader
-      val e = Tables.load(spark, sf0001, "events")
-      val v = e.filter($"event_type" === "view")
-        .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
-      val c = e.filter($"event_type" === "click")
-        .select($"user_id".as("cu"), $"event_id".as("click_id"),
-          $"ts".as("click_ts"))
-      val inner = v.join(c,
-        $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
-          $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
-        .select($"view_id", $"click_id")
+      val (v, inner) = batchAttribution
 
       // matched rows == the inner pair relation
       val matched = out.filter($"click_id".isNotNull)
@@ -546,16 +547,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
     val streamed = spark.read.parquet(outDir)
       .filter($"click_id".isNotNull).select($"view_id", $"click_id")
-    val e = Tables.load(spark, sf0001, "events")
-    val v = e.filter($"event_type" === "view")
-      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
-    val c = e.filter($"event_type" === "click")
-      .select($"user_id".as("cu"), $"event_id".as("click_id"),
-        $"ts".as("click_ts"))
-    val inner = v.join(c,
-      $"user_id" === $"cu" && $"click_ts" > $"view_ts" &&
-        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"))
-      .select($"view_id", $"click_id")
+    val (_, inner) = batchAttribution
     assert(streamed.exceptAll(inner).count() == 0,
       "restart emitted pairs the batch join does not have (dupes)")
     assert(inner.exceptAll(streamed).count() == 0,
