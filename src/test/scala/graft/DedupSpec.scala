@@ -258,6 +258,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(viaReliable == viaLocal)
   }
 
+  test("incremental dedup against a persisted hash index across two ingest rounds") {
+    import java.nio.file.Files
+    val corpus = Seq(
+      (1L, "the standing corpus document one"),
+      (2L, "the standing corpus document two"),
+      (3L, "the standing corpus document one")  // in-corpus dup
+    ).toDF("doc_id", "text")
+    // index round-trips through parquet — it is the persisted artifact
+    val idxPath = Files.createTempDirectory("graft_dedup_idx").toString
+    Dedup.exactHashIndex(corpus).write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    assert(index.count() == 2)
+
+    val batch = Seq(
+      (10L, "the standing corpus document two"),  // corpus dup -> drop
+      (11L, "a brand new document"),              // keep (lowest id of its pair)
+      (12L, "a brand new document"),              // within-batch dup -> drop
+      (13L, "another novel document")             // keep
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstIndex(batch, index)
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    assert(kept.columns.toSeq == batch.columns.toSeq,
+      "kept rows must keep the batch schema (no helper columns leaked)")
+
+    // round 2: update the index with what survived; a full replay of
+    // everything seen so far must now dedup to nothing
+    val index2 = index.union(Dedup.exactHashIndex(kept)).distinct()
+    assert(index2.count() == 4)
+    val replay = corpus.union(batch)
+    assert(Dedup.dedupAgainstIndex(replay, index2).count() == 0)
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
