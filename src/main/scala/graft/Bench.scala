@@ -49,10 +49,16 @@ object Bench {
       finally spark.catalog.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warm-up pass: JVM/codegen/parquet-footer caches
+    // warm-up pass: JVM/codegen/parquet-footer caches. A warm-up failure
+    // is tolerated (the timed passes decide pass/fail) but LOGGED to
+    // stderr — stdout stays the driver's single JSON line — so a query
+    // that flakes only its warm-up leaves a trace instead of vanishing.
     names.foreach { name =>
       try run(name)
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"bench warm-up failed for $name: $e")
+      }
     }
     // timed passes: failures are reported by name, never silently folded
     // into the total as elapsed-to-failure time. The heap settles BEFORE

@@ -295,7 +295,12 @@ object DocumentQueries {
     * the oracle reproduces it exactly. */
   def q52Novelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.shingleTable(docs(spark, dir), k = 5)
+    // the shingle explode feeds BOTH the first-seen groupBy and the join
+    // back — persisted (q47's pattern) so the corpus tokenize+explode
+    // pass runs once, by contract rather than by hoping ReuseExchange
+    // keeps recognizing the two subplans as identical
+    val sh = graft.operators.CacheScope.persist(
+      Dedup.shingleTable(docs(spark, dir), k = 5))
     val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
     sh.join(first, "shingle")
       .groupBy($"doc_id")
@@ -319,8 +324,10 @@ object DocumentQueries {
     * common case). Not oracle-declared: DuckDB has no xxhash64. */
   def q52NoveltyHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = Dedup.shingleTable(docs(spark, dir), k = 5)
-      .select($"doc_id", xxhash64($"shingle").as("shingle"))
+    // same double-consumption as q52Novelty — same persist contract
+    val sh = graft.operators.CacheScope.persist(
+      Dedup.shingleTable(docs(spark, dir), k = 5)
+        .select($"doc_id", xxhash64($"shingle").as("shingle")))
     val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
     sh.join(first, "shingle")
       .groupBy($"doc_id")
@@ -474,7 +481,10 @@ object DocumentQueries {
   def q57SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir)
-    val fp = Dedup.winnowFingerprints(d, k = 3, w = 4, algo = "md5_60")
+    // the fingerprint pass feeds the DF-cap aggregate AND the left-semi
+    // join — persisted (q47's pattern) so the corpus winnows once
+    val fp = graft.operators.CacheScope.persist(
+      Dedup.winnowFingerprints(d, k = 3, w = 4, algo = "md5_60"))
     val rare = fp.groupBy($"fingerprint")
       .agg(count(lit(1)).as("df")).filter($"df" <= maxFingerprintDF)
       .select($"fingerprint")

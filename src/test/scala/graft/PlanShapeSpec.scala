@@ -188,6 +188,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("double-consumed corpus passes materialize once through a persist") {
+    // q47's fingerprint frame, q52's shingle explode, and q57's
+    // fingerprint frame each feed two consumers; the operators persist
+    // them so the corpus tokenize/winnow pass runs ONCE. If an edit
+    // drops the persist, the pass silently doubles — this pin fails
+    // instead. (Cached frames surface as in-memory scans in the final
+    // plan; AQE may wrap them in a table-cache query stage.)
+    Seq("q47_contamination", "q52_novelty", "q57_source_overlap")
+      .foreach { name =>
+        val p = finalPlan(name)
+        assert(p.contains("InMemoryTableScan") ||
+          p.contains("TableCacheQueryStage"),
+          s"$name lost its corpus-pass persist:\n$p")
+      }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
       .foreach { name =>
