@@ -269,6 +269,36 @@ object EventQueries {
           .as("avg_latency_s"))
   }
 
+  // ---------------------------------------------------------------- q59
+  /** Left-outer click attribution, per view — the batch twin of the
+    * LEFT-OUTER stream-stream interval join
+    * ([[graft.streaming.EventsStream.attributedClicksOuter]]): one row
+    * per (view, attributable click) pair PLUS one null-click row per
+    * view that never converted inside its 24 h window — the
+    * "abandonment" relation a conversion dashboard actually serves.
+    * Same strict `>` / inclusive `<=` edges as q58; identical column
+    * set to the streaming operator, so StreamingSpec pins the streamed
+    * outer join multiset-equal to this declared (oracle-green) frame.
+    *
+    * Scale shape: q58's — one user_id shuffle per side, pair fan
+    * bounded by the 24 h window; the unmatched views ride the same
+    * join (outer rows materialize where the match probe misses), no
+    * extra pass or anti-join over the corpus. */
+  def q59AttributedClicksOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = ev(spark, dir)
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    v.join(c, $"user_id" === $"cu" &&
+        $"click_ts" > $"view_ts" &&
+        $"click_ts" <= $"view_ts" + expr("INTERVAL 24 HOURS"),
+      "left_outer")
+      .select($"user_id", $"view_id", $"click_id", $"view_ts", $"click_ts")
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
@@ -279,7 +309,8 @@ object EventQueries {
     "q41_range_join" -> (q41RangeJoin _),
     "q50_funnel" -> (q50Funnel _),
     "q51_retention" -> (q51Retention _),
-    "q58_attributed_clicks" -> (q58AttributedClicks _))
+    "q58_attributed_clicks" -> (q58AttributedClicks _),
+    "q59_attributed_outer" -> (q59AttributedClicksOuter _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -417,5 +448,16 @@ object EventQueries {
            CAST(min(lat) AS BIGINT) AS min_latency_us,
            round(CAST(sum(lat) AS BIGINT) / count(*) / 1000000.0, 4)
              AS avg_latency_s
-         FROM j GROUP BY user_id""")
+         FROM j GROUP BY user_id""",
+    "q59_attributed_outer" ->
+      """WITH v AS (
+           SELECT user_id, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id AS cu, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+         SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+         FROM v LEFT JOIN c ON v.user_id = c.cu
+          AND epoch_us(c.click_ts) > epoch_us(v.view_ts)
+          AND epoch_us(c.click_ts) <= epoch_us(v.view_ts) + 86400000000""")
 }

@@ -219,7 +219,10 @@ object EventsStream {
     * (inner-join path), abandonment rows arrive with watermark delay —
     * an unbounded "which views never converted" without any batch
     * sweep. Same two-sided state bounds as the inner form; outer-side
-    * state additionally holds each view until its window closes. */
+    * state additionally holds each view until its window closes. The
+    * declared oracle-checked batch twin is
+    * [[graft.jobs.EventQueries.q59AttributedClicksOuter]]
+    * (StreamingSpec pins this stream multiset-equal to it). */
   def attributedClicksOuter(events: DataFrame, horizon: String = "2 hours",
       windowHours: Int = 24): DataFrame =
     attributionJoin(events, horizon, windowHours, "left_outer")

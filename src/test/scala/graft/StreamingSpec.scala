@@ -451,25 +451,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
       val out = spark.table("ss_outer_test").filter($"user_id" >= 0).cache()
 
-      // batch truth over the batch loader
-      val (v, inner) = batchAttribution
+      // pin against the DECLARED (oracle-green) batch twin: the streamed
+      // outer relation must be multiset-equal to q59 on (view, click) —
+      // this subsumes matched == inner pairs, every unmatched view
+      // emitting its null row exactly once, and no view doing both
+      val batchOuter = EventQueries
+        .q59AttributedClicksOuter(spark, sf0001)
+        .select($"view_id", $"click_id")
+      val streamedPairs = out.select($"view_id", $"click_id")
+      assert(streamedPairs.exceptAll(batchOuter).count() == 0,
+        "streamed outer rows not in the declared q59 relation")
+      assert(batchOuter.exceptAll(streamedPairs).count() == 0,
+        "declared q59 rows missing from the streamed outer relation")
 
-      // matched rows == the inner pair relation
+      // matched rows are also the inner relation (outer ⊇ inner contract)
+      val (_, inner) = batchAttribution
       val matched = out.filter($"click_id".isNotNull)
         .select($"view_id", $"click_id")
       assert(matched.exceptAll(inner).count() == 0)
       assert(inner.exceptAll(matched).count() == 0)
-
-      // null rows == exactly the views with no attributable click, once
-      val abandoned = out.filter($"click_id".isNull).select($"view_id")
-      val expected = v.select($"view_id")
-        .exceptAll(inner.select($"view_id").distinct())
-      assert(abandoned.count() === abandoned.distinct().count(),
-        "an unmatched view emitted more than once")
-      assert(abandoned.exceptAll(expected).count() == 0,
-        "a view with a matching click also emitted a null row")
-      assert(expected.exceptAll(abandoned).count() == 0,
-        "an unmatched view never emitted (outer state lost)")
     } finally q.stop()
   }
 
