@@ -151,26 +151,56 @@ object Dedup {
       .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
   }
 
+  /** Per-doc MinHash signature frame `(doc_id, sh, bk)`: distinct
+    * k-token shingles plus the fused band keys — the kernel folds
+    * shingles → per-seed minima → per-band keys in one primitive-only
+    * codegen'd pass (no signature array, no per-band string render),
+    * zero shuffle. Shared body of [[minhashLsh]] (transient, per query)
+    * and [[minhashBandIndex]] (persisted artifact). */
+  private def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .withColumn("sh", array_distinct(shingles($"toks", k)))
+      .select($"doc_id", $"sh",
+        minhashBandKeysNative($"sh", numHashes, bands).as("bk"))
+  }
+
+  /** Candidate-verified Jaccard over per-doc shingle frames: join the
+    * candidate pairs to each side's shingle array and intersect —
+    * work ∝ candidate pairs, values exact (shared verify phase of the
+    * MinHash/ngram family). Sides may carry array<string> or hashed
+    * array<long> shingles — intersection sizes are identical up to
+    * 64-bit collisions, which can only merge (never split) shingles. */
+  private def verifyJaccard(candidates: DataFrame, arrA: DataFrame,
+      arrB: DataFrame, threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .join(arrA, "doc_a").join(arrB, "doc_b")
+      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"n_common".cast("double") /
+          (size($"sh_a") + size($"sh_b") - $"n_common"))
+      .filter($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate candidates, verified with exact
     * Jaccard. numHashes must be divisible by bands. */
   def minhashLsh(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
                  threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(numHashes % bands == 0, "bands must divide numHashes")
-
-    // band keys straight off the per-row shingle array — the fused
-    // kernel folds shingles → per-seed minima → per-band keys in one
-    // primitive-only codegen'd pass (no signature array, no per-band
-    // string render), zero shuffle to this point. Reused by both sides
-    // of the candidate self-join and the verification joins — without
-    // the persist the kernel lineage recomputes once per consumer.
-    val sigs = CacheScope.persist(docs
-      .withColumn("toks", tokens($"text"))
-      .filter(size($"toks") >= k)
-      .withColumn("sh", array_distinct(shingles($"toks", k)))
-      .select($"doc_id", $"sh",
-        minhashBandKeysNative($"sh", numHashes, bands).as("bk")))
+    // reused by both sides of the candidate self-join and the
+    // verification joins — without the persist the kernel lineage
+    // recomputes once per consumer
+    val sigs = CacheScope.persist(
+      minhashSignatures(docs, k, numHashes, bands))
 
     // band key rows: (band index, key); the index keys the join so
     // cross-band collisions are excluded
@@ -187,16 +217,137 @@ object Dedup {
     // verify candidates with exact jaccard — array_intersect on the
     // per-row shingle arrays (candidate-proportional work, see
     // ngramJaccard's verify phase)
-    val arrA = sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a"))
-    val arrB = sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b"))
-    candidates
-      .join(arrA, "doc_a").join(arrB, "doc_b")
-      .withColumn("n_common", size(array_intersect($"sh_a", $"sh_b")))
-      .withColumn("jaccard",
-        $"n_common".cast("double") /
-          (size($"sh_a") + size($"sh_b") - $"n_common"))
-      .filter($"jaccard" >= threshold)
-      .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+    verifyJaccard(candidates,
+      sigs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")),
+      sigs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
+      threshold)
+  }
+
+  /** MinHash band-key index of a corpus — [[exactHashIndex]]'s fuzzy
+    * counterpart, the persistable artifact for INCREMENTAL near-dup
+    * dedup: fingerprint the standing corpus ONCE, save this frame as
+    * parquet, and every future ingest batch screens against it via
+    * [[nearDupAgainstIndex]] without re-tokenizing a single corpus
+    * document. The reference's materialize-once pattern (its derived
+    * tables are computed once and queried per dashboard load,
+    * init-user-db.sh:38-120) applied to the dedup corpus, at the
+    * reference's own monthly-dump ingest cadence
+    * (docker/aact/Dockerfile:20-22).
+    *
+    * Schema: one row per doc — `(doc_id, sh, bk, mh_k, mh_hashes,
+    * mh_bands, mh_hashed)`. `bk` (bands × 8-byte keys) drives candidate
+    * discovery; `sh` is kept for exact-Jaccard verification. The three
+    * `mh_*` literals pin the signature parameters INSIDE the artifact
+    * (parquet RLE stores them for free), so a batch can never be
+    * screened with mismatched k/hashes/bands — the query path reads
+    * them back rather than trusting the caller to remember.
+    *
+    * `hashedShingles = true` stores `xxhash64(sh)` longs instead of the
+    * gram strings — ~5× smaller at 100 TB (8 bytes vs ~40 per gram).
+    * A hash collision can only MERGE two shingles, so verified Jaccard
+    * is unchanged except in the astronomically rare 64-bit collision,
+    * where it biases a pair's jaccard slightly — DedupSpec pins the
+    * hashed index to identical pairs on real data. */
+  def minhashBandIndex(docs: DataFrame, k: Int, numHashes: Int,
+      bands: Int, hashedShingles: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    minhashSignatures(docs, k, numHashes, bands)
+      .withColumn("sh",
+        if (hashedShingles) transform($"sh", s => xxhash64(s)) else $"sh")
+      .withColumn("mh_k", lit(k))
+      .withColumn("mh_hashes", lit(numHashes))
+      .withColumn("mh_bands", lit(bands))
+      .withColumn("mh_hashed", lit(hashedShingles))
+  }
+
+  /** Append an ingest batch (typically the rows [[nearDupAgainstIndex]]
+    * kept) to a standing [[minhashBandIndex]] — the updated artifact to
+    * persist for the next ingest round. Signature parameters and the
+    * shingle representation come FROM the index, so the appended rows
+    * are always computed consistently. */
+  def appendToMinhashIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val (k, numHashes, bands, hashed) = minhashIndexParams(index)
+    index.unionByName(
+      minhashBandIndex(newDocs, k, numHashes, bands, hashed))
+  }
+
+  /** The signature parameters embedded in a [[minhashBandIndex]] — one
+    * single-row read of the artifact (fail-fast seam: an empty index
+    * has no parameters to screen with; build it with
+    * [[minhashBandIndex]] first). */
+  private def minhashIndexParams(index: DataFrame): (Int, Int, Int, Boolean) = {
+    val head = index.select("mh_k", "mh_hashes", "mh_bands", "mh_hashed")
+      .take(1)
+    require(head.nonEmpty,
+      "empty minhash index — build it with minhashBandIndex over the initial corpus")
+    val p = head(0)
+    (p.getInt(0), p.getInt(1), p.getInt(2), p.getBoolean(3))
+  }
+
+  /** Incremental near-dup screening of an ingest batch against a
+    * standing [[minhashBandIndex]]: returns every near-dup pair
+    * `(doc_a, doc_b, jaccard ≥ threshold)` involving a batch document —
+    * batch-vs-corpus pairs through the index's band keys, batch-vs-batch
+    * pairs through the batch's own (both canonicalized doc_a < doc_b,
+    * same values as [[minhashLsh]] would report on the union). Feed the
+    * pairs to [[dedupClusters]] for keep/drop resolution, then
+    * [[appendToMinhashIndex]] the kept rows.
+    *
+    * THE 100-TB point: the standing corpus contributes only an 8-byte
+    * band-key equi-join per band — its text is never re-read, never
+    * re-tokenized, never re-fingerprinted. Per-ingest cost is
+    * (batch fingerprinting) + (band join ∝ colliding keys) + (verify ∝
+    * candidate pairs); without the index every ingest re-runs
+    * [[minhashLsh]] over corpus + batch, i.e. re-fingerprints 100 TB to
+    * screen a 100 GB dump. Batch doc_ids must be fresh (an ingest
+    * pipeline assigns new ids — same contract as [[dedupAgainstIndex]]).
+    *
+    * Exact-Jaccard verification joins candidates to the stored shingle
+    * arrays of BOTH sides — index rows supply the corpus side, so
+    * verification is also corpus-scan-free and candidate-proportional. */
+  def nearDupAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val (k, numHashes, bands, hashed) = minhashIndexParams(index)
+    // both the candidate joins and the verify joins consume each side
+    val idx = CacheScope.persist(index.select($"doc_id", $"sh", $"bk"))
+    val batch = CacheScope.persist(
+      minhashSignatures(newDocs, k, numHashes, bands)
+        .withColumn("sh",
+          if (hashed) transform($"sh", s => xxhash64(s)) else $"sh"))
+
+    def bandRows(sigs: DataFrame): DataFrame = sigs.select($"doc_id",
+      posexplode($"bk").as(Seq("band", "band_hash")))
+    val idxBands = bandRows(idx)
+    val batchBands = bandRows(batch)
+
+    // batch × corpus candidates: ids interleave, so canonicalize the
+    // pair ordering (minhashLsh's doc_a < doc_b convention)
+    val cross = batchBands.as("a")
+      .join(idxBands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" =!= $"b.doc_id")
+      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+        greatest($"a.doc_id", $"b.doc_id").as("doc_b"))
+    // batch × batch candidates (the within-dump duplicates)
+    val intra = batchBands.as("a")
+      .join(batchBands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    val candidates = cross.union(intra).distinct()
+
+    // either side of a pair may live in the index or the batch — verify
+    // against the union of the stored shingle frames (the join restricts
+    // to candidate ids, so this reads candidate-many rows, not corpora)
+    val arr = idx.select($"doc_id", $"sh")
+      .unionByName(batch.select($"doc_id", $"sh"))
+    verifyJaccard(candidates,
+      arr.select($"doc_id".as("doc_a"), $"sh".as("sh_a")),
+      arr.select($"doc_id".as("doc_b"), $"sh".as("sh_b")),
+      threshold)
   }
 
   /** Per-document SimHash fingerprints (`bits` wide, default 64) — the

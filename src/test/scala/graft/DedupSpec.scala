@@ -290,6 +290,70 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.dedupAgainstIndex(replay, index2).count() == 0)
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select($"doc_a", $"doc_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental near-dup dedup against a persisted MinHash band index") {
+    import java.nio.file.Files
+    // standing corpus vs ingest batch, split from the organic sf0.001
+    // docs so both cross-pairs and (via round 2) intra-batch pairs occur
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    // the index round-trips through parquet — it is the persisted artifact
+    val idxPath = Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.minhashBandIndex(corpus, k = 5, numHashes = 32, bands = 8)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    // pinned equal to minhashLsh on the union: the index screen must
+    // report EXACTLY the union's pairs that involve a batch doc (the
+    // corpus-internal pairs are the standing index's own history),
+    // with identical jaccard values
+    val got = pairSet(Dedup.nearDupAgainstIndex(batch, index, 0.6))
+    val onUnion = pairSet(Dedup.minhashLsh(docs, 5, 32, 8, 0.6))
+    val corpusOnly = pairSet(Dedup.minhashLsh(corpus, 5, 32, 8, 0.6))
+    val expected = onUnion.diff(corpusOnly)
+    assert(expected.nonEmpty, "expected batch-involving pairs at sf0.001")
+    assert(got == expected,
+      s"missed: ${expected.diff(got)}; extra: ${got.diff(expected)}")
+
+    // round 2: append the batch to the index, re-ingest its docs under
+    // fresh ids — every (long-enough) doc must be caught as an exact
+    // near-dup of its original THROUGH THE UPDATED INDEX
+    val index2 = Dedup.appendToMinhashIndex(index, batch)
+    val batch2 = batch.withColumn("doc_id", $"doc_id" + 1000000L)
+    val got2 = pairSet(Dedup.nearDupAgainstIndex(batch2, index2, 0.99))
+    val replayable = batch
+      .filter(org.apache.spark.sql.functions.size(
+        graft.functions.TextOps.tokens($"text")) >= 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(replayable.nonEmpty)
+    replayable.foreach { id =>
+      assert(got2.contains((id, id + 1000000L, 1.0)),
+        s"replayed doc $id not caught by the updated index")
+    }
+  }
+
+  test("hashed-shingle minhash index reports identical pairs") {
+    // the 100-TB artifact form: xxhash64'd shingles (8 bytes vs ~40 per
+    // gram) must leave every verified pair and jaccard value unchanged
+    val corpus = docs.filter($"doc_id" % 3 =!= 0)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+    val strIdx = Dedup.minhashBandIndex(corpus, 5, 32, 8)
+    val hashIdx = Dedup.minhashBandIndex(corpus, 5, 32, 8,
+      hashedShingles = true)
+    assert(pairSet(Dedup.nearDupAgainstIndex(batch, hashIdx, 0.6)) ==
+      pairSet(Dedup.nearDupAgainstIndex(batch, strIdx, 0.6)))
+  }
+
+  test("nearDupAgainstIndex fails fast on an empty index") {
+    val empty = Dedup.minhashBandIndex(docs.limit(0), 5, 32, 8)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstIndex(docs.limit(5), empty, 0.6)
+    }
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
