@@ -95,13 +95,15 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // quality metrics ride the same JSON line (untimed — they are index
     // health numbers, not query throughput): trained-IVF recall@10 with
-    // q34's production parameters, so a round that silently degrades the
-    // index shows up as a metrics regression even while timings hold
+    // the tracked production parameters (cells=32, probes=12 — the knee
+    // of the measured recall/latency curve, SURVEY §6.2), so a round
+    // that silently degrades the index shows up as a metrics regression
+    // even while timings hold
     val metrics =
       try {
         val recall = graft.operators.Similarity.ivfRecallAtK(
           Tables.load(spark, sfDir, "embeddings"),
-          numCells = 32, probes = 8, k = 10, trainFraction = 0.25)
+          numCells = 32, probes = 12, k = 10, trainFraction = 0.25)
         f"""{"ivf_recall_at_10":$recall%.4f}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Index-tuning sweep for the trained-IVF ANN path: recall@k AND
+  * serving latency across a (cells × probes) grid, against one shared
+  * brute-force truth table — the measurement an index operator runs
+  * per corpus build to site the recall/latency knee before committing
+  * defaults (SURVEY §6.2 records the sf0.1 curve this produced).
+  *
+  * Usage: `runMain graft.IvfSweep [sfDir]`; env `IVF_CELLS` /
+  * `IVF_PROBES` override the grid (comma-separated). Prints one JSON
+  * line per configuration.
+  */
+object IvfSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val k = 10
+    val cellsGrid = sys.env.getOrElse("IVF_CELLS", "16,32,64")
+      .split(",").map(_.trim.toInt).toSeq
+    val probesGrid = sys.env.getOrElse("IVF_PROBES", "4,8,12,16")
+      .split(",").map(_.trim.toInt).toSeq
+
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val n = emb.count()
+    // ONE truth table for the whole grid (the sweep's dominant cost)
+    val truth = Similarity.bruteForceTopK(emb, lit(true), k)
+      .select($"query_id", $"neighbor_id").cache()
+    truth.count()
+
+    for (cells <- cellsGrid; probes <- probesGrid if probes <= cells) {
+      val model = Similarity.fitIvfIndex(emb, cells, trainFraction = 0.25)
+      def serve() = Similarity.ivfTopKWithModel(emb, model, probes, k)
+      serve().write.format("noop").mode("overwrite").save() // warm-up
+      val t0 = System.nanoTime()
+      serve().write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val approx = serve().select($"vec_id".as("query_id"), $"neighbor_id")
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+      val recall = hits.toDouble / (n * k)
+      println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f}""")
+    }
+    spark.stop()
+  }
+}

@@ -50,27 +50,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("trained-IVF recall@10 at sf0.1: sampled fit vs brute force, reported") {
-    // the production path measured at the largest local corpus (2000 ×
-    // 64-dim): k-means fitted on a 25% sample (the 100-TB posture — the
-    // fit sees a few million vectors, the index covers all), 32 cells,
-    // 8-probe queries. Brute force is the exact truth. Embeddings here
-    // are near-uniform random — the hardest ANN regime; clustered real
-    // corpora do better at lower probe fractions.
+    // the production path measured at the largest local corpus: k-means
+    // fitted on a 25% sample (the 100-TB posture — the fit sees a few
+    // million vectors, the index covers all), 32 cells, 12-probe
+    // queries — the knee of the measured recall/latency curve (SURVEY
+    // §6.2; graft.IvfSweep reproduces it). Brute force is the exact
+    // truth. Embeddings here are near-uniform random — the hardest ANN
+    // regime; clustered real corpora do better at lower probe fractions.
     val sf01 = "/root/testdata/sf0.1"
     val emb = Tables.load(spark, sf01, "embeddings")
     val k = 10
     // same shared measurement Bench emits into its metrics block — the
     // spec floor and the tracked artifact can never drift apart
-    val recall = Similarity.ivfRecallAtK(emb, numCells = 32, probes = 8,
+    val recall = Similarity.ivfRecallAtK(emb, numCells = 32, probes = 12,
       k = k, trainFraction = 0.25)
-    val answered = Similarity.ivfTopK(emb, numCells = 32, probes = 8, k = k,
+    val answered = Similarity.ivfTopK(emb, numCells = 32, probes = 12, k = k,
       trainFraction = 0.25).select($"vec_id").distinct().count()
     assert(answered == emb.count(), "every vector must be answered")
     info(f"trained-IVF recall@$k at sf0.1 = $recall%.4f " +
-      s"(cells=32, probes=8, trainFraction=0.25, n=$answered)")
-    // seeded fit + fixed corpus → deterministic; measured 0.6652 — the
+      s"(cells=32, probes=12, trainFraction=0.25, n=$answered)")
+    // seeded fit + fixed corpus → deterministic; measured 0.8007 — the
     // floor pins it against silent index regressions
-    assert(recall >= 0.6, f"recall@$k $recall%.4f collapsed below 0.6")
+    assert(recall >= 0.75, f"recall@$k $recall%.4f collapsed below 0.75")
   }
 
   test("IVF trained on a half sample still indexes and answers every vector") {
