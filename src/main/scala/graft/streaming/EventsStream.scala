@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Typed event row for the custom-state operator (micros-precision
@@ -189,6 +189,39 @@ object EventsStream {
         round(sum(col("value")), 4).as("sum_value"))
       .select(col("window.start").as("window_start"), col("segment"),
         col("n_events"), col("sum_value"))
+
+  /** Stream-static enrichment with PER-MICRO-BATCH dimension refresh —
+    * the `foreachBatch` variant the [[enrichedCounts]] doc promises: a
+    * plain-parquet static frame resolves its file listing at PLANNING
+    * time, so a dimension snapshot overwritten while the query runs is
+    * invisible to it; here the dimension is re-resolved by
+    * `dimProvider()` inside every micro-batch, so an update lands in
+    * the very next batch. The join itself is the same broadcast
+    * left-join (stateless — no join state accrues), applied per batch;
+    * `sink` receives each enriched micro-batch with its batch id (write
+    * it, upsert it, feed a downstream aggregate — foreachBatch IS the
+    * sink seam, so the windowed aggregation of [[enrichedCounts]]
+    * belongs either upstream of this call or in the sink's consumer).
+    *
+    * Use [[parquetDimProvider]] for the common snapshot-path case — it
+    * refreshes the path's cached file listing before each read, which
+    * is what makes an overwritten snapshot actually visible. */
+  def enrichedEventsRefreshing(events: DataFrame,
+      dimProvider: () => DataFrame, joinKeys: Seq[String] = Seq("user_id"))
+      (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(batch.join(broadcast(dimProvider()), joinKeys, "left"), id)
+    }
+
+  /** Dimension provider over a parquet snapshot path that is
+    * OVERWRITTEN between micro-batches: drops the session's cached
+    * file listing for the path first, so each micro-batch sees the
+    * snapshot as of its own start rather than the query's. */
+  def parquetDimProvider(spark: SparkSession, path: String): () => DataFrame =
+    () => {
+      spark.catalog.refreshByPath(path)
+      spark.read.parquet(path)
+    }
 
   /** Stream-STREAM interval join — the join family stream-static
     * enrichment cannot cover: BOTH sides unbounded. Attributes each

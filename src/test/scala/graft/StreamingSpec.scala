@@ -473,6 +473,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch enrichment picks up a dimension overwrite between micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // the seam the enrichedCounts doc promises: a plain-parquet static
+    // freezes its file listing at planning time, so only the
+    // re-resolving foreachBatch variant can see a snapshot overwrite
+    // that lands while the query runs
+    val dimPath = Files.createTempDirectory("graft_dim_refresh").toString
+    Seq((1L, "segA")).toDF("user_id", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    val ms = MemoryStream[Long](spark)
+    val events = ms.toDF().withColumnRenamed("value", "user_id")
+    val got = scala.collection.mutable.ListBuffer.empty[(Long, Long, String)]
+    val q = EventsStream.enrichedEventsRefreshing(events,
+        EventsStream.parquetDimProvider(spark, dimPath)) { (batch, id) =>
+      val rows = batch.select($"user_id", $"segment").collect()
+        .map(r => (id, r.getLong(0), r.getString(1)))
+      got.synchronized { got ++= rows }
+    }.start()
+    try {
+      ms.addData(1L)
+      q.processAllAvailable()
+      // dimension snapshot overwritten BETWEEN micro-batches
+      Seq((1L, "segB")).toDF("user_id", "segment")
+        .write.mode("overwrite").parquet(dimPath)
+      ms.addData(1L)
+      q.processAllAvailable()
+      val byBatch = got.synchronized(got.sortBy(_._1).toVector)
+      assert(byBatch.size == 2, s"expected 2 enriched rows, got $byBatch")
+      assert(byBatch.head._3 == "segA",
+        s"first batch must see the original dimension: $byBatch")
+      assert(byBatch.last._3 == "segB",
+        s"second batch must see the overwritten dimension: $byBatch")
+    } finally q.stop()
+  }
+
   test("stream-stream join edge semantics: window edges, orphans, shared clicks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
