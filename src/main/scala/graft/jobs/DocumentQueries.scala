@@ -499,6 +499,31 @@ object DocumentQueries {
       .agg(count(lit(1)).as("n_shared_fp"))
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Incremental near-dup screening through a MinHash band-key index
+    * ([[Dedup.minhashBandIndex]] + [[Dedup.nearDupAgainstIndex]]):
+    * the corpus is split standing-corpus (doc_id % 3 ≠ 0) vs ingest
+    * batch (% 3 = 0), the index is built over the standing side, and
+    * the batch is screened against index + itself — every reported
+    * pair involves a batch doc. Declared self-contained so the oracle
+    * can check it (the index builds inline here; production builds it
+    * once and loads the parquet artifact per ingest — the whole point
+    * of the operator, see the DedupSpec two-round pin).
+    *
+    * Oracle: q20's exact-Jaccard SQL restricted to batch-involving
+    * pairs — the screen's verify phase reports exact jaccard, and its
+    * candidate recall is q21's (same band keys; the sparsest true pair
+    * on this corpus sits far above the threshold, where 8×4-row
+    * banding is deterministic-complete — see q21's note). */
+  def q60NearDupIndexScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val index = Dedup.minhashBandIndex(d.filter($"doc_id" % 3 =!= 0),
+      k = 5, numHashes = 32, bands = 8)
+    Dedup.nearDupAgainstIndex(d.filter($"doc_id" % 3 === 0), index,
+      threshold = 0.4)
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -528,7 +553,8 @@ object DocumentQueries {
     "q53_repetition" -> (q53Repetition _),
     "q54_source_mix" -> (q54SourceMix _),
     "q56_tfidf_topk" -> (q56TfidfTopk _),
-    "q57_source_overlap" -> (q57SourceOverlap _))
+    "q57_source_overlap" -> (q57SourceOverlap _),
+    "q60_neardup_index_screen" -> (q60NearDupIndexScreen _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -564,6 +590,9 @@ object DocumentQueries {
          FROM m""",
     "q20_ngram_jaccard" -> ngramJaccardSql,
     "q21_minhash_lsh" -> ngramJaccardSql,
+    "q60_neardup_index_screen" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
+         WHERE doc_a % 3 = 0 OR doc_b % 3 = 0""",
     "q22_simhash" ->
       // brute-force reproduction of the md5-60-bit simhash pipeline;
       // equals the banded Spark plan exactly for hamming <= bands-1
