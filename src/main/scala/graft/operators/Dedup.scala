@@ -638,6 +638,57 @@ object Dedup {
       .select($"doc_id", explode(winnowMins($"hs", w)).as("fingerprint"))
   }
 
+  /** Winnowing-fingerprint index of a corpus — the contamination-side
+    * sibling of [[minhashBandIndex]]: winnow the training corpus ONCE
+    * (`(doc_id, fingerprint)` + embedded `wf_*` params), persist as
+    * parquet, and screen every future eval/benchmark candidate set
+    * against it via [[contaminationAgainstIndex]] without re-reading a
+    * training document. ≈ 2/(w+1) of the corpus' k-grams × 8 bytes —
+    * far smaller than the text it indexes. */
+  def winnowIndex(docs: DataFrame, k: Int, w: Int,
+      algo: String = "xx64"): DataFrame =
+    winnowFingerprints(docs, k, w, algo)
+      .withColumn("wf_k", lit(k))
+      .withColumn("wf_w", lit(w))
+      .withColumn("wf_algo", lit(algo))
+
+  /** Incremental train/eval contamination screening against a standing
+    * [[winnowIndex]]: fingerprints the candidate eval docs (per-row,
+    * zero shuffle), joins them to the index's DF-capped fingerprints,
+    * and reports `(new_id, corpus_id, n_shared ≥ minShared)` — the
+    * pairs where a candidate shares enough winnowed fingerprints with
+    * a training doc that verbatim overlap ≥ w+k−1 tokens is certain
+    * (the MOSS guarantee). Same decontamination semantics as the
+    * declared q47, with the DF cap computed over the INDEX side (the
+    * only side an incremental screen can know); DedupSpec pins it
+    * equal to q47's split on this corpus. At 100 TB the training
+    * corpus contributes an 8-byte fingerprint join — never a re-winnow
+    * — and each benchmark-release screen costs fingerprinting the
+    * (tiny) candidate set plus a candidate-proportional join. */
+  def contaminationAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      maxDF: Int = 100, minShared: Int = 2): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val head = index.select("wf_k", "wf_w", "wf_algo").take(1)
+    require(head.nonEmpty,
+      "empty winnow index — build it with winnowIndex over the training corpus")
+    val (k, w, algo) = (head(0).getInt(0), head(0).getInt(1),
+      head(0).getString(2))
+    // feeds the DF-cap aggregate and the screen join
+    val idx = CacheScope.persist(index.select($"doc_id", $"fingerprint"))
+    val rare = idx.groupBy($"fingerprint")
+      .agg(count(lit(1)).as("df")).filter($"df" <= maxDF)
+      .select($"fingerprint")
+    val capped = idx.join(rare, Seq("fingerprint"), "left_semi")
+    winnowFingerprints(newDocs, k, w, algo)
+      .select($"fingerprint", $"doc_id".as("new_id"))
+      .join(capped.select($"fingerprint", $"doc_id".as("corpus_id")),
+        "fingerprint")
+      .groupBy($"new_id", $"corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** Embedding-cosine near-duplicates over an `emb(vec_id, embedding
     * array<float>)` relation: multi-table sign-bucket LSH candidates,
     * exact cosine verification.

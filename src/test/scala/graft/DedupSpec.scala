@@ -347,6 +347,28 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       pairSet(Dedup.nearDupAgainstIndex(batch, strIdx, 0.6)))
   }
 
+  test("incremental contamination screen via a persisted winnow index matches q47") {
+    import java.nio.file.Files
+    // q47's decontamination pass, incrementalized: index the train split
+    // once, screen the test split against the loaded artifact — result
+    // must be exactly the declared (oracle-green) q47 relation
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val test = docs.filter($"doc_id" % 2 =!= 0)
+    val idxPath = Files.createTempDirectory("graft_wf_idx").toString
+    Dedup.winnowIndex(train, k = 3, w = 4, algo = "md5_60")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val got = Dedup.contaminationAgainstIndex(test, index)
+      .select($"new_id", $"corpus_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = graft.jobs.DocumentQueries.q47Contamination(spark, sf0001)
+      .select($"test_id", $"train_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missed: ${expected.diff(got)}; extra: ${got.diff(expected)}")
+  }
+
   test("nearDupAgainstIndex fails fast on an empty index") {
     val empty = Dedup.minhashBandIndex(docs.limit(0), 5, 32, 8)
     intercept[IllegalArgumentException] {
