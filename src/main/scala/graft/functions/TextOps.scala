@@ -40,6 +40,39 @@ object TextOps {
     aggregate(transform(toks, w => length(w)), lit(0),
       (acc, x) => acc + x).cast("double") / size(toks)
 
+  /** PII scrub patterns (Java regex; conservative, low-false-positive —
+    * the C4/Dolma-style pre-training scrub). Order matters and is fixed
+    * by [[redactPii]]: URLs first (an email-shaped `user@host.tld`
+    * inside a URL is part of the URL, not a standalone address), then
+    * emails, then bare IPv4s. */
+  val urlRe = "https?://[^ ]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Per-row PII occurrence counts `(n_urls, n_emails, n_ipv4)` as a
+    * struct — the audit numbers a scrub pass reports per document.
+    * Counts follow [[redactPii]]'s precedence (an email inside a URL
+    * counts as the URL only), so `counts == 0 ⟺ redaction is identity`.
+    * Pure expression work, zero shuffle. */
+  def piiCounts(text: Column): Column = {
+    val noUrl = regexp_replace(text, urlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, emailRe, "<EMAIL>")
+    struct(
+      size(regexp_extract_all(text, lit(urlRe), lit(0))).as("n_urls"),
+      size(regexp_extract_all(noUrl, lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(ipv4Re), lit(0))).as("n_ipv4"))
+  }
+
+  /** Redact URLs → `<URL>`, emails → `<EMAIL>`, bare IPv4s → `<IP>`
+    * (in that order — see [[urlRe]]). Deterministic per-row rewrite,
+    * zero shuffle: the scrub step of a pre-training text pipeline. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlRe, "<URL>"),
+        emailRe, "<EMAIL>"),
+      ipv4Re, "<IP>")
+
   /** 60-bit hash from the md5 hex prefix — slower than xxhash64 but
     * reproducible in any engine with md5 (the DuckDB oracle recomputes
     * it as `('0x'||substr(md5(w),1,15))::UBIGINT`). 15 hex chars = 60

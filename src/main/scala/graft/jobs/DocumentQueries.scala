@@ -524,6 +524,43 @@ object DocumentQueries {
       threshold = 0.4)
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Sequence packing (concat-and-slice): the step that turns variable-
+    * length documents into fixed-budget training sequences — documents
+    * are concatenated in deterministic order within a shard and sliced
+    * into `packBudget`-token blocks; a document belongs to the pack
+    * containing its FIRST token (a long doc spills into following
+    * blocks but begins in exactly one). Declared as the per-pack
+    * profile: docs begun, token mass, id range — the packing manifest
+    * a data loader consumes.
+    *
+    * Scale shape: the shard key (`source` here) partitions the window,
+    * so shards pack in parallel with ONE shuffle; the rollup extends
+    * the same key. At 100 TB the shard is source × hash-bucket so no
+    * single shard exceeds an executor (the window is sequential per
+    * shard by construction — packing is order-defined), exactly how
+    * production packers shard. Integer arithmetic end-to-end
+    * (token counts, running offsets, `div`) — bit-identical
+    * cross-engine, no float rounding anywhere. */
+  val packBudget = 256
+  def q61SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select($"doc_id", $"source", tokenCount($"text").as("tc"))
+      .withColumn("start", sum($"tc").over(byShard) - $"tc")
+      .withColumn("pack_id", expr(s"start div $packBudget"))
+      .groupBy($"source", $"pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"tc").cast("long").as("pack_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -554,7 +591,8 @@ object DocumentQueries {
     "q54_source_mix" -> (q54SourceMix _),
     "q56_tfidf_topk" -> (q56TfidfTopk _),
     "q57_source_overlap" -> (q57SourceOverlap _),
-    "q60_neardup_index_screen" -> (q60NearDupIndexScreen _))
+    "q60_neardup_index_screen" -> (q60NearDupIndexScreen _),
+    "q61_sequence_packing" -> (q61SequencePacking _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -593,6 +631,20 @@ object DocumentQueries {
     "q60_neardup_index_screen" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
          WHERE doc_a % 3 = 0 OR doc_b % 3 = 0""",
+    "q61_sequence_packing" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, len(string_split(text,' ')) AS tc
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, tc,
+             sum(tc) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tc AS start
+           FROM t)
+         SELECT source, CAST(start // $packBudget AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(tc) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM r GROUP BY source, start // $packBudget""",
     "q22_simhash" ->
       // brute-force reproduction of the md5-60-bit simhash pipeline;
       // equals the banded Spark plan exactly for hamming <= bands-1

@@ -52,6 +52,56 @@ class TextQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("PII scrub: urls/emails/ipv4 counted and redacted with URL-first precedence") {
+    import graft.functions.TextOps
+    val rows = Seq(
+      (0L, "contact alice.smith+work@example.co.uk or visit https://example.com/a?user=x@y.zz now"),
+      (1L, "server at 10.0.255.3 and 192.168.1.17 responded"),
+      (2L, "nothing sensitive here at all"),
+      (3L, "version 1.2.3 of lib")) // 3-part version must NOT match ipv4
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextOps.piiCounts($"text").as("c"),
+        TextOps.redactPii($"text").as("red"))
+      .select($"doc_id", $"c.n_urls", $"c.n_emails", $"c.n_ipv4", $"red")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    // doc 0: the @ inside the URL's query string belongs to the URL —
+    // one url + one standalone email, and redaction replaces whole spans
+    assert(got(0L)._1 == 1 && got(0L)._2 == 1)
+    assert(got(0L)._4 ==
+      "contact <EMAIL> or visit <URL> now")
+    // doc 1: two bare ipv4s
+    assert(got(1L)._3 == 2)
+    assert(got(1L)._4 == "server at <IP> and <IP> responded")
+    // clean docs: counts zero ⟺ redaction is the identity
+    assert(got(2L) == ((0, 0, 0, "nothing sensitive here at all")))
+    assert(got(3L) == ((0, 0, 0, "version 1.2.3 of lib")))
+  }
+
+  test("q61 sequence packing: hand fixture packs by running token offset") {
+    // one shard, budget 256: doc token counts 100, 100, 100, 300, 10 →
+    // starts 0,100,200,300,600 → packs 0,0,0,1,2. The 300-token doc
+    // begins in pack 1 (spills into 2 — begins-in semantics); the tail
+    // doc lands alone in pack 2.
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = stageDocs(Seq(
+      (0L, words(100), "en", "s0"),
+      (1L, words(100), "en", "s0"),
+      (2L, words(100), "en", "s0"),
+      (3L, words(300), "en", "s0"),
+      (4L, words(10), "en", "s0")))
+    val got = DocumentQueries.q61SequencePacking(spark, dir)
+      .orderBy($"pack_id").collect()
+      .map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("pack_tokens"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc")))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 300L, 0L, 2L),
+      (1L, 1L, 300L, 3L, 3L),
+      (2L, 1L, 10L, 4L, 4L)))
+  }
+
   test("q57 source overlap: a passage copied across sources lights up exactly that pair") {
     // 12-token shared passage (≥ w+k−1 = 6 tokens → winnowing guarantees
     // a shared fingerprint); s2 shares nothing.
