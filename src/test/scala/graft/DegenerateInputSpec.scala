@@ -69,6 +69,38 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(rep.select($"doc_id").as[Long].head() == 1L)
   }
 
+  test("index screens handle empty batches and degenerate corpora") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val emptyBatch = docs.limit(0)
+    // empty BATCH against a real index: empty result, no exception
+    val mhIdx = Dedup.minhashBandIndex(docs, 5, 32, 8)
+    assert(Dedup.nearDupAgainstIndex(emptyBatch, mhIdx, 0.4).count() == 0L)
+    val wfIdx = Dedup.winnowIndex(docs, k = 3, w = 4, algo = "md5_60")
+    assert(Dedup.contaminationAgainstIndex(emptyBatch, wfIdx).count() == 0L)
+    assert(Dedup.dedupAgainstIndex(emptyBatch,
+      Dedup.exactHashIndex(docs)).count() == 0L)
+    // null/empty-text batch rows behave as empty documents (drop out of
+    // the shingle-based screens, exact screen keeps them as content)
+    val degenerate = Seq((900L, null.asInstanceOf[String], "en", "s0"),
+      (901L, "", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text"))
+    assert(Dedup.nearDupAgainstIndex(degenerate, mhIdx, 0.4).count() == 0L)
+    assert(Dedup.contaminationAgainstIndex(degenerate, wfIdx).count() == 0L)
+  }
+
+  test("q59/q61 return empty (not throw) on empty inputs") {
+    // empty documents corpus → zero packs
+    assert(DocumentQueries.queries("q61_sequence_packing")(spark, emptyDir)
+      .count() == 0L)
+    // events table with no view/click rows → outer attribution is empty
+    val dir = Files.createTempDirectory("graft_degen_ev").toString
+    Seq.empty[(Long, Long, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(SparkEntry.queries("q59_attributed_outer")(spark, dir)
+      .count() == 0L)
+  }
+
   test("dedup clustering of an empty pair list is empty") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.dedupClusters(empty).count() == 0L)
