@@ -204,6 +204,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("q61 packing plans exactly ONE exchange (rollup reuses the shard partitioning)") {
+    // the shard window shuffles on source ONCE; the (source, pack_id)
+    // rollup's required clustering is satisfied by that same hash
+    // partitioning (group keys ⊇ partition key), so the aggregate runs
+    // in place — a second exchange appearing means the rollup stopped
+    // riding the window's layout, a full extra corpus shuffle at 100 TB
+    // the adaptive plan string appends an "== Initial Plan ==" section —
+    // count exchanges in the FINAL plan only
+    val p = finalPlan("q61_sequence_packing").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange (hash|range|SinglePartition|RoundRobin)".r
+      .findAllIn(p).size
+    assert(exchanges == 1, s"q61 expected 1 exchange, found $exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
       .foreach { name =>
