@@ -316,11 +316,23 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q10
   /** Running aggregate window (SURVEY §2.7): per-supplier running revenue
-    * over a total order → identical prefix-sum sequence in both engines. */
+    * over a total order → identical prefix-sum sequence in both engines.
+    *
+    * The window order must be TOTAL for the prefix sums to be
+    * deterministic at all: (l_orderkey, l_linenumber) is unique at the
+    * driver's sf0.01 gate, but the sf0.1 fixture reuses key pairs and
+    * carries one exact duplicate of the (suppkey, shipdate, orderkey,
+    * linenumber) prefix with two different prices — an order-ambiguous
+    * tie that made DuckDB disagree WITH ITSELF run to run (found in the
+    * round-8 sf0.1 sweep). The price/discount/quantity tiebreakers make
+    * the order total over every column the summed expression reads, so
+    * rows tying on the full key are interchangeable and the prefix
+    * sums are well-defined in any engine at any scale. */
   def q10RunningSum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem")
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -548,7 +560,8 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
          round(sum(l_extendedprice*(1-l_discount))
                OVER (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_extendedprice, l_discount, l_quantity
                      ROWS UNBOUNDED PRECEDING), 4) AS running_revenue
          FROM lineitem""",
     "q11_intersect" ->

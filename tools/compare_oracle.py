@@ -26,14 +26,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 (bytes, bytearray)):
             df[c] = col.apply(lambda b: b.hex() if isinstance(b, (bytes, bytearray)) else b)
         elif col.dtype == object:
-            # dates and misc objects -> try datetime, else string
+            # dates and misc objects -> try datetime, else string.
+            # Normalize to us resolution: assert_frame_equal treats
+            # datetime64[ns] (pandas' object-parse default) vs
+            # datetime64[us] (duckdb fetchdf) as 100% different even
+            # when every value matches.
             try:
-                df[c] = pd.to_datetime(col)
+                df[c] = pd.to_datetime(col).astype("datetime64[us]")
             except Exception:
                 df[c] = col.astype(str)
         elif str(col.dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(col).dt.tz_localize(None) \
-                if getattr(col.dt, "tz", None) else pd.to_datetime(col)
+            df[c] = (pd.to_datetime(col).dt.tz_localize(None)
+                     if getattr(col.dt, "tz", None) else
+                     pd.to_datetime(col)).astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
