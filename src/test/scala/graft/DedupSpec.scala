@@ -335,6 +335,39 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("index screen equals union-LSH minus corpus-LSH on seeded random corpora") {
+    // property form of the two-round pin: for ANY corpus/batch split,
+    // screening the batch through the corpus index must report exactly
+    // the union's batch-involving pairs with identical jaccard — runs
+    // on generated corpora (planted near-dups via perturbed copies) so
+    // the identity isn't an artifact of the organic fixture
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    (1 to 3).foreach { trial =>
+      def doc(): String =
+        Seq.fill(8 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val originals = (0 until 40).map(i => (i.toLong, doc()))
+      // ~1/3 of docs get a near-dup twin: copy with one token swapped
+      val twins = originals.filter(_ => rnd.nextInt(3) == 0).map {
+        case (id, text) =>
+          val toks = text.split(" ")
+          toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+          (id + 1000L, toks.mkString(" "))
+      }
+      val all = (originals ++ twins).toDF("doc_id", "text")
+      val corpus = all.filter($"doc_id" % 2 === 0)
+      val batch = all.filter($"doc_id" % 2 =!= 0)
+      val index = Dedup.minhashBandIndex(corpus, k = 3, numHashes = 32,
+        bands = 8)
+      val got = pairSet(Dedup.nearDupAgainstIndex(batch, index, 0.5))
+      val expected = pairSet(Dedup.minhashLsh(all, 3, 32, 8, 0.5))
+        .diff(pairSet(Dedup.minhashLsh(corpus, 3, 32, 8, 0.5)))
+      assert(got == expected,
+        s"trial $trial: missed ${expected.diff(got)}; extra ${got.diff(expected)}")
+    }
+  }
+
   test("hashed-shingle minhash index reports identical pairs") {
     // the 100-TB artifact form: xxhash64'd shingles (8 bytes vs ~40 per
     // gram) must leave every verified pair and jaccard value unchanged
