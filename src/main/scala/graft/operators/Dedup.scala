@@ -638,6 +638,34 @@ object Dedup {
       .select($"doc_id", explode(winnowMins($"hs", w)).as("fingerprint"))
   }
 
+  /** One complete incremental near-dup ingest round, composed from the
+    * index primitives: screen `newDocs` against the standing index and
+    * itself ([[nearDupAgainstIndex]]), resolve the pair graph
+    * ([[dedupClusters]]), drop every batch doc that isn't its
+    * component's keeper, and return `(kept rows, updated index)` — the
+    * two artifacts the next ingest round consumes.
+    *
+    * Keep policy falls out of min-id-keeps plus the fresh-id contract
+    * (batch ids exceed every indexed id, the natural shape when an
+    * ingest pipeline assigns monotonically increasing ids): a batch doc
+    * near-duplicating ANY indexed doc shares a component with a lower
+    * corpus id and is dropped; a batch-only cluster keeps its lowest
+    * id. Corpus rows are never touched — drops apply to the batch via
+    * a left-anti join only (the cluster pass may mark a corpus doc
+    * non-keeper when two corpus docs are bridged by a batch near-dup;
+    * that duplication already lives in the standing corpus and is this
+    * round's signal, not its edit). */
+  def nearDupIngestRound(newDocs: DataFrame, index: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val pairs = nearDupAgainstIndex(newDocs, index, threshold)
+    val drops = dedupClusters(pairs.select($"doc_a", $"doc_b"))
+      .filter(!$"is_keep").select($"doc_id")
+    val kept = newDocs.join(drops, Seq("doc_id"), "left_anti")
+    (kept, appendToMinhashIndex(index, kept))
+  }
+
   /** Winnowing-fingerprint index of a corpus — the contamination-side
     * sibling of [[minhashBandIndex]]: winnow the training corpus ONCE
     * (`(doc_id, fingerprint)` + embedded `wf_*` params), persist as

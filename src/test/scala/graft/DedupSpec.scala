@@ -335,6 +335,38 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("nearDupIngestRound: kept set, corpus preference, and replay absorption") {
+    // corpus = low ids, batch = high ids (the fresh-id contract)
+    val corpus = docs.filter($"doc_id" < 250)
+    val batch = docs.filter($"doc_id" >= 250)
+    val index = Dedup.minhashBandIndex(corpus, k = 5, numHashes = 32,
+      bands = 8)
+    val (kept, index2) = Dedup.nearDupIngestRound(batch, index, 0.6)
+
+    // expected drops from first principles: components over the union's
+    // batch-involving pairs; a batch doc survives iff it is its
+    // component's minimum (corpus docs, having lower ids, always win)
+    val pairs = Dedup.nearDupAgainstIndex(batch, index, 0.6)
+    val nonKeepers = Dedup.dedupClusters(pairs)
+      .filter(!$"is_keep").select($"doc_id").as[Long].collect().toSet
+    // the cluster graph may mark a CORPUS doc non-keeper too (two corpus
+    // docs bridged by a batch near-dup — a duplication the standing
+    // corpus already contains); the round must drop only batch rows
+    val expectedDrops = nonKeepers.filter(_ >= 250L)
+    assert(expectedDrops.nonEmpty, "expected near-dup drops at sf0.001")
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == batchIds.diff(expectedDrops))
+    assert(kept.columns.toSeq == batch.columns.toSeq)
+
+    // replaying the kept rows under fresh ids against the UPDATED index
+    // absorbs everything (each replay is an exact copy of an ingested doc)
+    val replay = kept.withColumn("doc_id", $"doc_id" + 1000000L)
+    val (kept2, _) = Dedup.nearDupIngestRound(replay, index2, 0.6)
+    assert(kept2.count() == 0L,
+      "replayed copies slipped past the updated index")
+  }
+
   test("index screen equals union-LSH minus corpus-LSH on seeded random corpora") {
     // property form of the two-round pin: for ANY corpus/batch split,
     // screening the batch through the corpus index must report exactly
