@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import org.apache.spark.sql.types.StructType
 
 /** S8 — the one-time dump→snapshot ingest utility (the last §2.1 row):
@@ -55,7 +56,11 @@ object SnapshotIngest {
       .csv(path)
 
   /** Ingest one table; returns the row count actually written (the
-    * load-audit number a restore log records). */
+    * load-audit number a restore log records). The count rides the
+    * write itself via `observe` — rows are tallied in-flight as the
+    * load streams through, so the audit number costs ZERO extra I/O
+    * (a post-write re-read would double the read volume of a 100 TB
+    * restore just to produce one long). */
   def ingestTable(spark: SparkSession, dumpDir: String, outDir: String,
       spec: TableSpec, delimiter: String = "|", header: Boolean = true,
       nullValue: String = "", mode: String = "FAILFAST",
@@ -64,9 +69,11 @@ object SnapshotIngest {
     val df = readDelimited(spark, src, spec.schema, delimiter, header,
       nullValue, mode)
     val shaped = if (partitions > 0) df.repartition(partitions) else df
-    shaped.write.mode(SaveMode.Overwrite)
+    val audit = Observation(s"ingest_${spec.name}")
+    shaped.observe(audit, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/${spec.name}.parquet")
-    spark.read.parquet(s"$outDir/${spec.name}.parquet").count()
+    audit.get.apply("rows").asInstanceOf[Long]
   }
 
   /** Ingest a whole dump tree → snapshot dir. Tables load sequentially

@@ -56,6 +56,42 @@ class SnapshotIngestSpec extends AnyFunSuite with SparkSpec {
     assert(row2.isNullAt(1) && row2.isNullAt(2))
   }
 
+  test("audit count rides the write: exactly one action, no post-write re-read") {
+    // the load-audit number must come from observe() on the in-flight
+    // frame — a second action (re-reading the written parquet to count)
+    // would double a 100 TB restore's read I/O. Pin it: ingestTable
+    // completes exactly ONE Spark action.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    val dumpDir = Files.createTempDirectory("graft_dump_obs")
+    Files.write(dumpDir.resolve("t.csv"),
+      "id|name|score\n1|alpha|1.5\n2|beta|2.5\n3|gamma|3.5\n".getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("graft_snap_obs").toString
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    spark.listenerManager.register(listener)
+    try {
+      val n = SnapshotIngest.ingestTable(spark, dumpDir.toString, outDir,
+        TableSpec("t", schema, file = Some("t.csv")))
+      assert(n == 3) // in-flight tally matches the rows written
+      // the listener bus is async: wait for the write's event, then a
+      // grace window in which a would-be second action would surface
+      val deadline = System.currentTimeMillis + 10000
+      while (actions.get() < 1 && System.currentTimeMillis < deadline)
+        Thread.sleep(25)
+      Thread.sleep(500)
+      assert(actions.get() == 1,
+        s"expected one action (the write); saw ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("FAILFAST: a corrupt row fails the load instead of silently dropping") {
     // pg_restore -e semantics: half a snapshot is worse than none
     val dumpDir = Files.createTempDirectory("graft_dump_bad")
