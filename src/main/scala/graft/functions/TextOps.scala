@@ -40,14 +40,27 @@ object TextOps {
     aggregate(transform(toks, w => length(w)), lit(0),
       (acc, x) => acc + x).cast("double") / size(toks)
 
-  /** PII scrub patterns (Java regex; conservative, low-false-positive —
-    * the C4/Dolma-style pre-training scrub). Order matters and is fixed
+  /** PII scrub patterns (conservative, low-false-positive — the
+    * C4/Dolma-style pre-training scrub). Order matters and is fixed
     * by [[redactPii]]: URLs first (an email-shaped `user@host.tld`
     * inside a URL is part of the URL, not a standalone address), then
-    * emails, then bare IPv4s. */
-  val urlRe = "https?://[^ ]+"
+    * emails, then bare IPv4s.
+    *
+    * Dialect constraint: these run under Java regex in Spark AND RE2
+    * in the DuckDB oracle (q62), so no lookaround — both engines agree
+    * on every construct used here. Consequences, pinned by spec:
+    *  - urlRe ends on a non-punctuation char, so `see https://x.com.`
+    *    redacts the URL and keeps the sentence period;
+    *  - ipv4Re requires in-range octets (0–255), so `999.999.999.999`
+    *    and version strings never match;
+    *  - a LONGER dotted sequence still partial-matches leftmost-first:
+    *    `1.2.3.4.5` → `<IP>.5` (ACCEPTED over-match — excluding it
+    *    needs lookaround, which RE2 lacks; for a scrub, redacting more
+    *    of an IP-looking run is the conservative direction). */
+  private val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val urlRe = "https?://[^ ]*[^ .,;:!?)\\]]"
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val ipv4Re = s"\\b(?:$octet\\.){3}$octet\\b"
 
   /** Per-row PII occurrence counts `(n_urls, n_emails, n_ipv4)` as a
     * struct — the audit numbers a scrub pass reports per document.

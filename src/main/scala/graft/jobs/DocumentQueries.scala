@@ -561,6 +561,35 @@ object DocumentQueries {
         max($"doc_id").as("last_doc"))
   }
 
+  // ---------------------------------------------------------------- q62
+  /** PII scrub, oracle-checked ([[graft.functions.TextOps.piiCounts]] +
+    * [[graft.functions.TextOps.redactPii]]): the fixture corpus contains
+    * no PII by construction, so the query SYNTHESIZES a deterministic
+    * PII-bearing line per document from its own id — an email, a URL
+    * with a trailing sentence period (exercising the punctuation trim),
+    * an in-range bare IPv4, and a 3-part version string that must NOT
+    * match — then counts and redacts it. Both engines build the same
+    * bytes from `doc_id`, so counts AND the redacted text hash-match.
+    *
+    * Same pipeline station as the reference's pre-load text repair
+    * (`docker/db2wh/scripts/db2wh-etl.sh:158-159` — rewrite the
+    * dangerous spans before the data moves downstream); per-row regex
+    * work, zero shuffle, scales linearly. */
+  def q62PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id",
+        concat(lit("reach u"), $"doc_id",
+          lit("@mail.example.com or https://docs.example.org/d/"), $"doc_id",
+          lit(". host 10."), $"doc_id" % 200, lit("."), ($"doc_id" * 7) % 200,
+          lit(".4 running v1.2.3")).as("synth"))
+      .select($"doc_id", piiCounts($"synth").as("pc"),
+        redactPii($"synth").as("redacted"))
+      .select($"doc_id", $"pc.n_urls".as("n_urls"),
+        $"pc.n_emails".as("n_emails"), $"pc.n_ipv4".as("n_ipv4"),
+        $"redacted")
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -592,7 +621,8 @@ object DocumentQueries {
     "q56_tfidf_topk" -> (q56TfidfTopk _),
     "q57_source_overlap" -> (q57SourceOverlap _),
     "q60_neardup_index_screen" -> (q60NearDupIndexScreen _),
-    "q61_sequence_packing" -> (q61SequencePacking _))
+    "q61_sequence_packing" -> (q61SequencePacking _),
+    "q62_pii_scrub" -> (q62PiiScrub _))
 
   val oracle: Map[String, String] = Map(
     "q17_dedup_exact" ->
@@ -645,6 +675,30 @@ object DocumentQueries {
            CAST(sum(tc) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM r GROUP BY source, start // $packBudget""",
+    // the patterns interpolate from TextOps so Spark and the oracle can
+    // never drift; every construct used is Java-regex/RE2 common ground
+    "q62_pii_scrub" ->
+      s"""WITH s AS (
+           SELECT doc_id,
+             'reach u' || doc_id ||
+             '@mail.example.com or https://docs.example.org/d/' || doc_id ||
+             '. host 10.' || (doc_id % 200) || '.' || ((doc_id * 7) % 200) ||
+             '.4 running v1.2.3' AS synth
+           FROM documents),
+         r1 AS (
+           SELECT doc_id, synth,
+             regexp_replace(synth, '$urlRe', '<URL>', 'g') AS no_url
+           FROM s),
+         r2 AS (
+           SELECT doc_id, synth, no_url,
+             regexp_replace(no_url, '$emailRe', '<EMAIL>', 'g') AS no_email
+           FROM r1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(synth, '$urlRe')) AS INTEGER) AS n_urls,
+           CAST(len(regexp_extract_all(no_url, '$emailRe')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(no_email, '$ipv4Re')) AS INTEGER) AS n_ipv4,
+           regexp_replace(no_email, '$ipv4Re', '<IP>', 'g') AS redacted
+         FROM r2""",
     "q22_simhash" ->
       // brute-force reproduction of the md5-60-bit simhash pipeline;
       // equals the banded Spark plan exactly for hamming <= bands-1

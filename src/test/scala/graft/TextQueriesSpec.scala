@@ -79,6 +79,31 @@ class TextQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0, 0, 0, "version 1.2.3 of lib")))
   }
 
+  test("PII scrub edges: trailing punctuation, octet range, dotted over-match") {
+    import graft.functions.TextOps
+    val rows = Seq(
+      (0L, "see https://x.com. next"),        // sentence period is NOT the URL's
+      (1L, "bad 999.999.999.999 stays"),      // out-of-range octets never match
+      (2L, "run 1.2.3.4.5 logged"),           // leftmost 4 octets match: pinned
+      (3L, "go to https://en.x.org/a_(b) t"), // trailing ')' trimmed (accepted loss)
+      (4L, "edge 0.0.0.0 and 255.255.255.255 ok"))
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+        TextOps.piiCounts($"text").as("c"),
+        TextOps.redactPii($"text").as("red"))
+      .select($"doc_id", $"c.n_urls", $"c.n_emails", $"c.n_ipv4", $"red")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1, 0, 0, "see <URL>. next")))
+    assert(got(1L) == ((0, 0, 0, "bad 999.999.999.999 stays")))
+    // documented over-match: excluding the 5th part needs lookaround,
+    // which the RE2 oracle dialect lacks; redacting more is the
+    // conservative direction for a scrub
+    assert(got(2L) == ((0, 0, 1, "run <IP>.5 logged")))
+    assert(got(3L) == ((1, 0, 0, "go to <URL>) t")))
+    assert(got(4L) == ((0, 0, 2, "edge <IP> and <IP> ok")))
+  }
+
   test("q61 sequence packing: hand fixture packs by running token offset") {
     // one shard, budget 256: doc token counts 100, 100, 100, 300, 10 →
     // starts 0,100,200,300,600 → packs 0,0,0,1,2. The 300-token doc
