@@ -654,11 +654,27 @@ object Dedup {
     * a left-anti join only (the cluster pass may mark a corpus doc
     * non-keeper when two corpus docs are bridged by a batch near-dup;
     * that duplication already lives in the standing corpus and is this
-    * round's signal, not its edit). */
+    * round's signal, not its edit).
+    *
+    * The fresh-id contract is a CHECKED precondition here: a batch id
+    * already present in the index fails fast (ContractSpec) instead of
+    * silently suppressing its cross pair and mis-resolving keeps. */
   def nearDupIngestRound(newDocs: DataFrame, index: DataFrame,
       threshold: Double): (DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     import spark.implicits._
+    // CHECKED precondition, not just documented: a batch id colliding
+    // with an indexed id would silently suppress its cross pair
+    // (doc_a =!= doc_b) and mis-resolve keeps. The check is a left-semi
+    // probe on 8-byte keys that short-circuits at the first hit —
+    // negligible next to the screen it guards.
+    val colliding = newDocs.select($"doc_id")
+      .join(index.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .take(3)
+    require(colliding.isEmpty,
+      s"batch doc_ids already exist in the index (e.g. " +
+        s"${colliding.map(_.get(0)).mkString(", ")}) — ingest batches " +
+        "must carry fresh ids; re-id the batch before screening")
     val pairs = nearDupAgainstIndex(newDocs, index, threshold)
     val drops = dedupClusters(pairs.select($"doc_a", $"doc_b"))
       .filter(!$"is_keep").select($"doc_id")
@@ -680,6 +696,29 @@ object Dedup {
       .withColumn("wf_w", lit(w))
       .withColumn("wf_algo", lit(algo))
 
+  /** The winnowing parameters embedded in a [[winnowIndex]] — one
+    * single-row read of the artifact (fail-fast seam, mirroring
+    * [[minhashIndexParams]]). */
+  private def winnowIndexParams(index: DataFrame): (Int, Int, String) = {
+    val head = index.select("wf_k", "wf_w", "wf_algo").take(1)
+    require(head.nonEmpty,
+      "empty winnow index — build it with winnowIndex over the training corpus")
+    (head(0).getInt(0), head(0).getInt(1), head(0).getString(2))
+  }
+
+  /** Append newly ingested training docs to a standing [[winnowIndex]]
+    * — the roll-forward [[appendToMinhashIndex]] provides on the
+    * near-dup side, so a GROWING training corpus (the reference's
+    * monthly-dump cadence, docker/aact/Dockerfile:20-22) never rebuilds
+    * its contamination index from scratch: each month contributes only
+    * its own documents' fingerprints. Winnowing parameters come FROM
+    * the artifact, so appended rows are always fingerprinted
+    * consistently with the standing corpus. */
+  def appendToWinnowIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+    val (k, w, algo) = winnowIndexParams(index)
+    index.unionByName(winnowIndex(newDocs, k, w, algo))
+  }
+
   /** Incremental train/eval contamination screening against a standing
     * [[winnowIndex]]: fingerprints the candidate eval docs (per-row,
     * zero shuffle), joins them to the index's DF-capped fingerprints,
@@ -697,11 +736,7 @@ object Dedup {
       maxDF: Int = 100, minShared: Int = 2): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val head = index.select("wf_k", "wf_w", "wf_algo").take(1)
-    require(head.nonEmpty,
-      "empty winnow index — build it with winnowIndex over the training corpus")
-    val (k, w, algo) = (head(0).getInt(0), head(0).getInt(1),
-      head(0).getString(2))
+    val (k, w, algo) = winnowIndexParams(index)
     // feeds the DF-cap aggregate and the screen join
     val idx = CacheScope.persist(index.select($"doc_id", $"fingerprint"))
     val rare = idx.groupBy($"fingerprint")

@@ -167,6 +167,25 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(fractions == f1, "split must be deterministic across reruns")
   }
 
+  test("nearDupIngestRound fails fast when a batch id already exists in the index") {
+    // a colliding id would silently suppress its cross pair (the screen
+    // joins on doc_a =!= doc_b) and mis-resolve keeps — the precondition
+    // is CHECKED, not just documented
+    val corpus = docs.filter($"doc_id" < 100)
+    val index = Dedup.minhashBandIndex(corpus, k = 5, numHashes = 32,
+      bands = 8)
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+      .unionByName(corpus.limit(1)) // one replayed corpus id
+    val err = intercept[IllegalArgumentException] {
+      Dedup.nearDupIngestRound(batch, index, 0.6)
+    }
+    assert(err.getMessage.contains("fresh ids"), err.getMessage)
+    // the clean batch still flows
+    val (kept, _) = Dedup.nearDupIngestRound(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 150), index, 0.6)
+    assert(kept.count() > 0)
+  }
+
   test("rangeJoin rejects overlapping non-key column names up front") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
     val iv = Seq((1L, 0L, 20L, "y")).toDF("k", "s", "e", "payload")

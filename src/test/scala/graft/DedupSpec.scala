@@ -434,6 +434,47 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"missed: ${expected.diff(got)}; extra: ${got.diff(expected)}")
   }
 
+  test("appendToWinnowIndex: two-round growth equals a from-scratch index of the union") {
+    import java.nio.file.Files
+    // the monthly-corpus-growth path: index month 1, append month 2 —
+    // the grown artifact must screen EXACTLY like winnowIndex built
+    // over both months at once, params carried from the artifact
+    val month1 = docs.filter($"doc_id" % 3 === 0)
+    val month2 = docs.filter($"doc_id" % 3 === 1)
+    val probes = docs.filter($"doc_id" % 3 === 2)
+    val idxPath = Files.createTempDirectory("graft_wf_grow").toString
+    Dedup.winnowIndex(month1, k = 3, w = 4, algo = "md5_60")
+      .write.mode("overwrite").parquet(idxPath)
+    val grown = Dedup.appendToWinnowIndex(
+      spark.read.parquet(idxPath), month2)
+    // artifact round-trip of the grown index, as production would
+    val grownPath = Files.createTempDirectory("graft_wf_grown").toString
+    grown.write.mode("overwrite").parquet(grownPath)
+    val scratch = Dedup.winnowIndex(month1.unionByName(month2),
+      k = 3, w = 4, algo = "md5_60")
+    def screen(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.contaminationAgainstIndex(probes, idx)
+        .select($"new_id", $"corpus_id", $"n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val got = screen(spark.read.parquet(grownPath))
+    val expected = screen(scratch)
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missed: ${expected.diff(got)}; extra: ${got.diff(expected)}")
+    // the index rows themselves agree, not just one screen's view
+    assert(grown.select($"doc_id", $"fingerprint")
+      .exceptAll(scratch.select($"doc_id", $"fingerprint")).isEmpty)
+    assert(scratch.select($"doc_id", $"fingerprint")
+      .exceptAll(grown.select($"doc_id", $"fingerprint")).isEmpty)
+  }
+
+  test("appendToWinnowIndex fails fast on an empty index") {
+    val empty = Dedup.winnowIndex(docs.limit(0), 3, 4, "md5_60")
+    intercept[IllegalArgumentException] {
+      Dedup.appendToWinnowIndex(empty, docs.limit(5))
+    }
+  }
+
   test("nearDupAgainstIndex fails fast on an empty index") {
     val empty = Dedup.minhashBandIndex(docs.limit(0), 5, 32, 8)
     intercept[IllegalArgumentException] {
