@@ -93,18 +93,24 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // quality metrics ride the same JSON line (untimed — they are index
-    // health numbers, not query throughput): trained-IVF recall@10 with
-    // the tracked production parameters (cells=32, probes=12 — the knee
-    // of the measured recall/latency curve, SURVEY §6.2), so a round
-    // that silently degrades the index shows up as a metrics regression
-    // even while timings hold
+    // quality metrics ride the same JSON line: trained-IVF recall@10
+    // with the tracked production parameters (cells=32, probes=12 — the
+    // knee of the measured recall/latency curve, SURVEY §6.2), so a
+    // round that silently degrades the index shows up as a metrics
+    // regression even while timings hold; plus the incremental-index
+    // measurements (IndexBench) — per-ingest screen through a persisted
+    // index vs full recompute, the numbers behind the 100-TB claim on
+    // nearDupAgainstIndex/contaminationAgainstIndex. These ride outside
+    // the queries total (they are index-health/ingest-economics numbers,
+    // not per-query throughput).
     val metrics =
       try {
         val recall = graft.operators.Similarity.ivfRecallAtK(
           Tables.load(spark, sfDir, "embeddings"),
           numCells = 32, probes = 12, k = 10, trainFraction = 0.25)
-        f"""{"ivf_recall_at_10":$recall%.4f}"""
+        val nd = IndexBench.nearDup(spark, sfDir, iters = 3)
+        val ct = IndexBench.contamination(spark, sfDir, iters = 3)
+        f"""{"ivf_recall_at_10":$recall%.4f,"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+
+/** Measures the incremental-index claim with numbers instead of prose:
+  * per-ingest screening through a PERSISTED index vs re-running the
+  * full pairwise operator over corpus + batch — the round-9 task the
+  * r8 verdict prescribed ("the one number that would prove the
+  * headline claim").
+  *
+  * Two comparisons, both on the production artifact shapes:
+  *  - near-dup: [[Dedup.nearDupAgainstIndex]] screening a 10% ingest
+  *    batch against a parquet [[Dedup.minhashBandIndex]] of the other
+  *    90%, vs [[Dedup.minhashLsh]] over the whole corpus (what every
+  *    ingest would pay WITHOUT the index);
+  *  - contamination: [[Dedup.contaminationAgainstIndex]] screening the
+  *    eval split against a parquet [[Dedup.winnowIndex]] of the train
+  *    split, vs the declared q47 full recompute (same split, same
+  *    winnowing parameters, same md5_60 hashing on both paths).
+  *
+  * Index BUILD time is deliberately untimed: it is the once-per-corpus
+  * cost the artifact amortizes across every subsequent ingest/release
+  * (the reference's materialize-once pattern, init-user-db.sh:38-120).
+  * At test scale the corpus:batch ratio is 9:1, so the measured speedup
+  * UNDERSTATES the 100 TB case, where the ratio is more like 1000:1 and
+  * the full path re-fingerprints the entire standing corpus per ingest.
+  *
+  * Timing protocol matches Bench: noop sink (no count-skeleton
+  * pruning), one untimed warm-up, median of `iters`, clearCache between
+  * runs so each run's scoped persists are self-contained.
+  *
+  * Usage: `runMain graft.IndexBench [sfDir]` — prints one JSON line;
+  * also called from [[Bench]]'s metrics block so the numbers ride every
+  * round's BENCH file.
+  */
+object IndexBench {
+
+  final case class Comparison(screenSec: Double, fullSec: Double) {
+    def speedup: Double = fullSec / screenSec
+  }
+
+  private def timeMedian(spark: SparkSession, iters: Int)
+      (f: => DataFrame): Double = {
+    def once(): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        f.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.catalog.clearCache()
+    }
+    once() // warm-up, discarded
+    val ts = (1 to iters).map(_ => once()).sorted
+    ts(ts.size / 2)
+  }
+
+  /** Near-dup side: batch screen through the persisted band-key index
+    * (hashed-shingle production variant) vs full-union minhashLsh. The
+    * batch is 1% of the corpus — the realistic ingest shape (a monthly
+    * dump against a standing corpus; at 100 TB the ratio is harsher
+    * still, which widens the gap further). */
+  def nearDup(spark: SparkSession, sfDir: String,
+      iters: Int = 3): Comparison = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter($"doc_id" % 100 =!= 0)
+    val batch = docs.filter($"doc_id" % 100 === 0)
+    val idxPath = Files.createTempDirectory("graft_nd_idx").toString
+    Dedup.minhashBandIndex(corpus, k = 5, numHashes = 32, bands = 8,
+      hashedShingles = true)
+      .write.mode("overwrite").parquet(idxPath)
+    val screen = timeMedian(spark, iters)(
+      Dedup.nearDupAgainstIndex(batch, spark.read.parquet(idxPath),
+        threshold = 0.6))
+    val full = timeMedian(spark, iters)(
+      Dedup.minhashLsh(docs, k = 5, numHashes = 32, bands = 8,
+        threshold = 0.6))
+    Comparison(screen, full)
+  }
+
+  /** Contamination side: eval screen through the persisted winnow index
+    * vs the declared q47 full recompute (identical split + params). */
+  def contamination(spark: SparkSession, sfDir: String,
+      iters: Int = 3): Comparison = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val test = docs.filter($"doc_id" % 2 =!= 0)
+    val idxPath = Files.createTempDirectory("graft_wf_idx").toString
+    Dedup.winnowIndex(train, k = 3, w = 4, algo = "md5_60")
+      .write.mode("overwrite").parquet(idxPath)
+    val screen = timeMedian(spark, iters)(
+      Dedup.contaminationAgainstIndex(test, spark.read.parquet(idxPath)))
+    val full = timeMedian(spark, iters)(
+      graft.jobs.DocumentQueries.q47Contamination(spark, sfDir))
+    Comparison(screen, full)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nd = nearDup(spark, sfDir)
+    val ct = contamination(spark, sfDir)
+    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

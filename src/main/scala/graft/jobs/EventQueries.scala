@@ -241,8 +241,16 @@ object EventQueries {
     * (view, click) pair of one user with the click inside the 24 h
     * window after the view (same strict `>` / inclusive `<=` edges as
     * q50's stage 2), rolled up per user with exact-integer latency
-    * stats (micros sums stay < 2⁵³, so the one final double division
-    * is bit-identical cross-engine; rounded to 4 dp regardless).
+    * stats. The 4-dp average is computed ENTIRELY in integer
+    * arithmetic — round-half-up(sum/(100·n)) via `(2s+100n) div (200n)`
+    * in units of 100 µs, divided by 10⁴ only for display — because the
+    * r9 sf1 sweep caught the float formulation on exact decimal-half
+    * ties (sum ≡ 50 mod 100 µs): `round(double, 4)` resolves ties via
+    * BigDecimal's shortest-representation HALF_UP in Spark but via a
+    * ×10⁴ double multiply in DuckDB, and 3 of 14 947 sf1 users landed
+    * on a tie and flipped the last digit. Same lesson as q56's
+    * round-before-rank: never let a float carry a value you intend to
+    * tie-break.
     *
     * Scale shape: both sides shuffle once on user_id — the same
     * partitioning the funnel/retention family uses; pair fan per user
@@ -265,8 +273,12 @@ object EventQueries {
         countDistinct($"click_id").as("n_clicks"),
         countDistinct($"view_id").as("n_views"),
         min($"click_us" - $"view_us").as("min_latency_us"),
-        round(sum($"click_us" - $"view_us") / count(lit(1)) / 1000000.0, 4)
-          .as("avg_latency_s"))
+        sum($"click_us" - $"view_us").as("sum_lat_us"))
+      .withColumn("avg_latency_s", expr(
+        // 1e4 (not 10000.0): a decimal literal would make the division
+        // DECIMAL-typed in Spark; 1e4 is DOUBLE in both dialects
+        "((2 * sum_lat_us + 100 * n_pairs) div (200 * n_pairs)) / 1e4"))
+      .drop("sum_lat_us")
   }
 
   // ---------------------------------------------------------------- q59
@@ -446,8 +458,8 @@ object EventQueries {
            CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
            CAST(count(DISTINCT view_id) AS BIGINT) AS n_views,
            CAST(min(lat) AS BIGINT) AS min_latency_us,
-           round(CAST(sum(lat) AS BIGINT) / count(*) / 1000000.0, 4)
-             AS avg_latency_s
+           ((2 * CAST(sum(lat) AS BIGINT) + 100 * count(*))
+             // (200 * count(*))) / 1e4 AS avg_latency_s
          FROM j GROUP BY user_id""",
     "q59_attributed_outer" ->
       """WITH v AS (

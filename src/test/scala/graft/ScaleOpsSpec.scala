@@ -196,6 +196,48 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    // the OTHER half of the skew story the 100-TB design leans on:
+    // authored salting (below) is the opt-in mitigation, AQE's
+    // OptimizeSkewedJoin is the runtime one — prove it actually engages
+    // on a planted hot key, rather than citing it on faith. Thresholds
+    // are lowered to test scale (defaults target 256 MB partitions);
+    // the MECHANISM — a skewed partition split into sub-partitions at
+    // runtime — is scale-independent.
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // force a sort-merge join — a broadcast join has no shuffle to skew
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the left rides ONE key; the payload is hash-random so the
+      // hot shuffle partition cannot compress below the skew threshold
+      val left = spark.range(200000).select(
+        when($"id" % 20 =!= 0, 0L).otherwise($"id" % 500).as("k"),
+        xxhash64($"id").as("payload"))
+      val right = spark.range(500).select($"id".as("k"),
+        concat(lit("r"), $"id").as("name"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max($"payload").as("mx"))
+      // collect() drives the Dataset's OWN queryExecution (count() would
+      // plan a separate query), so AQE finalizes the plan we inspect
+      assert(joined.collect()(0).getLong(0) === 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join; final plan:\n$finalPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin spreads a planted hot key across shuffle partitions") {
     // 90% of fact rows share key 1 → unsalted, they join in ONE shuffle
     // partition; salted, the hot key's rows spread over up to `salt`

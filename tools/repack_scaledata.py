@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Repack a ScaleData output dir into the fixture layout.
+
+Spark writes each table as a parquet DIRECTORY of part files; the driver
+fixtures (and the DuckDB oracle's read_parquet calls) use one FILE per
+table. This tool rewrites each `<table>.parquet` directory into a single
+file of the same name, and retypes `events.ts` from raw int64 nanos to
+parquet TIMESTAMP(NANOS) so both engines read it exactly like the
+fixtures (Spark: nanos legacy conf -> long; DuckDB: timestamp[ns]).
+
+Dev tool only — not part of the shipped library.
+
+Usage: python3 tools/repack_scaledata.py <dir>
+"""
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> int:
+    root = sys.argv[1]
+    for t in TABLES:
+        path = os.path.join(root, f"{t}.parquet")
+        if not os.path.isdir(path):
+            print(f"[repack] skip {t}: not a directory")
+            continue
+        table = ds.dataset(path, format="parquet").to_table()
+        if t == "events":
+            i = table.schema.get_field_index("ts")
+            table = table.set_column(
+                i, pa.field("ts", pa.timestamp("ns")),
+                table.column("ts").cast(pa.timestamp("ns")))
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        print(f"[repack] {t}: {table.num_rows} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
