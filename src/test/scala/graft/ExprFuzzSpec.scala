@@ -107,6 +107,47 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("PII scrub properties on random PII-dense text: idempotent, consistent, complete") {
+    // fragments mix real PII, near-misses, and plain words so matches
+    // land adjacent to every boundary class
+    val fragments: Seq[() => String] = Seq(
+      () => s"u${rnd.nextInt(999)}@ex${rnd.nextInt(9)}.org",
+      () => s"https://h${rnd.nextInt(99)}.test/p/${rnd.nextInt(999)}" +
+        (if (rnd.nextBoolean()) "." else ""),
+      () => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}.${rnd.nextInt(256)}",
+      () => s"${rnd.nextInt(999)}.${rnd.nextInt(999)}.${rnd.nextInt(999)}.${rnd.nextInt(999)}",
+      () => s"v${rnd.nextInt(9)}.${rnd.nextInt(9)}.${rnd.nextInt(9)}", // version
+      () => s"1.2.3.4.${rnd.nextInt(99)}",           // dotted over-run
+      () => "a@b",                                    // not an email (no tld)
+      () => "http:/broken",                           // not a url
+      () => randomToken())
+    val piiDocs = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(
+        fragments(rnd.nextInt(fragments.size))()).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val checked = piiDocs.select(
+      $"doc_id", $"text",
+      piiCounts($"text").as("c"),
+      redactPii($"text").as("red"))
+      .withColumn("red2", redactPii($"red"))
+      .withColumn("cred", piiCounts($"red"))
+    // idempotent: a second scrub never changes the text (redaction
+    // markers cannot combine with neighbors into new matches)
+    assert(checked.filter($"red" =!= $"red2").count() === 0)
+    // complete: the scrubbed text carries zero remaining PII
+    assert(checked.filter(
+      $"cred.n_urls" =!= 0 || $"cred.n_emails" =!= 0 || $"cred.n_ipv4" =!= 0)
+      .count() === 0)
+    // consistent: counts == 0 in ALL classes ⟺ redaction is identity
+    assert(checked.filter(
+      ($"c.n_urls" === 0 && $"c.n_emails" === 0 && $"c.n_ipv4" === 0) =!=
+        ($"red" === $"text")).count() === 0)
+    // the corpus actually exercises both sides of the biconditional
+    assert(checked.filter($"red" =!= $"text").count() > 0)
+    assert(checked.filter($"red" === $"text").count() > 0)
+  }
+
   test("graft_dot native == HOF on random vectors with extreme magnitudes") {
     val vecs = (0 until 200).map { i =>
       val dim = 1 + rnd.nextInt(96)
