@@ -590,6 +590,40 @@ object DocumentQueries {
         $"redacted")
   }
 
+  // ---------------------------------------------------------------- q63
+  /** Incremental exact dedup of an ingest batch against the standing
+    * corpus' content-hash index, through the bloom pre-screen
+    * ([[Dedup.dedupAgainstIndexScreened]]) — declared over a batch
+    * SYNTHESIZED deterministically from fixture rows (the fixture has
+    * no exact duplicates, so the batch plants its own, q62-style):
+    * corpus re-ingests (dropped), suffixed novel docs (kept), and
+    * within-batch duplicate pairs (lowest id kept). Both engines build
+    * the same batch, so the oracle checks the operator, not the
+    * synthesis.
+    *
+    * Scale shape: the index contributes a broadcast bloom + a columnar
+    * scan — never a shuffle; the one exchange is the within-batch
+    * window (DedupSpec pins the plan to exactly two broadcast joins). */
+  def q63ExactIndexScreen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val batch = d.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .union(d.filter($"doc_id" % 5 === 1)
+        .select(($"doc_id" + 1100000L).as("doc_id"),
+          concat($"text", lit(" :novel:"), $"doc_id").as("text")))
+      .union(d.filter($"doc_id" % 5 === 2)
+        .select(($"doc_id" + 1200000L).as("doc_id"),
+          concat(lit("dupe "), $"text").as("text")))
+      .union(d.filter($"doc_id" % 5 === 2)
+        .select(($"doc_id" + 1300000L).as("doc_id"),
+          concat(lit("dupe "), $"text").as("text")))
+    val index = Dedup.exactHashIndex(d)
+    val bloom = Dedup.exactIndexBloom(index, expectedItems = 1L << 20)
+    Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+      .select($"doc_id", length($"text").cast("bigint").as("text_len"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -622,9 +656,31 @@ object DocumentQueries {
     "q57_source_overlap" -> (q57SourceOverlap _),
     "q60_neardup_index_screen" -> (q60NearDupIndexScreen _),
     "q61_sequence_packing" -> (q61SequencePacking _),
-    "q62_pii_scrub" -> (q62PiiScrub _))
+    "q62_pii_scrub" -> (q62PiiScrub _),
+    "q63_exact_index_screen" -> (q63ExactIndexScreen _))
 
   val oracle: Map[String, String] = Map(
+    // same synthesized batch as the Spark side; the anti-join + min-per-
+    // hash mirrors dedupAgainstIndex's semantics generically, so the
+    // oracle holds even if the fixture ever grows organic duplicates
+    "q63_exact_index_screen" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+         batch AS (
+           SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1100000, text || ' :novel:' || doc_id
+           FROM d WHERE doc_id % 5 = 1
+           UNION ALL
+           SELECT doc_id + 1200000, 'dupe ' || text FROM d WHERE doc_id % 5 = 2
+           UNION ALL
+           SELECT doc_id + 1300000, 'dupe ' || text FROM d WHERE doc_id % 5 = 2),
+         idx AS (SELECT DISTINCT md5(text) AS h FROM d),
+         b AS (SELECT doc_id, text, md5(text) AS h FROM batch),
+         nov AS (
+           SELECT b.* FROM b LEFT JOIN idx ON b.h = idx.h WHERE idx.h IS NULL),
+         k AS (SELECT h, min(doc_id) AS kid FROM nov GROUP BY h)
+         SELECT nov.doc_id, CAST(len(nov.text) AS BIGINT) AS text_len
+         FROM nov JOIN k ON nov.h = k.h AND nov.doc_id = k.kid""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id

@@ -69,13 +69,164 @@ object Dedup {
     val spark = newDocs.sparkSession
     import spark.implicits._
     val hashed = newDocs.withColumn("text_hash", md5($"text"))
+    firstPerHash(hashed.join(index, Seq("text_hash"), "left_anti"))
+  }
+
+  /** Keep the lowest-doc_id row per `text_hash` (within-batch copies of
+    * one content keep exactly one representative), then restore the
+    * caller's column set. The one shuffle in the incremental-exact-dedup
+    * path — and it shuffles only the BATCH. */
+  private def firstPerHash(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
     val batchFirst = org.apache.spark.sql.expressions.Window
       .partitionBy($"text_hash").orderBy($"doc_id".asc)
     hashed
-      .join(index, Seq("text_hash"), "left_anti")
       .withColumn("bf", row_number().over(batchFirst))
       .filter($"bf" === 1)
       .drop("bf", "text_hash")
+  }
+
+  /** Bloom membership summary of an [[exactHashIndex]] — the sidecar
+    * artifact that lets [[dedupAgainstIndexScreened]] dedup an ingest
+    * batch with ZERO index shuffle. One row: the serialized filter
+    * (built by Spark's own `BloomFilterAggregate` over
+    * `xxhash64(text_hash)` — the same machinery the optimizer uses for
+    * injected runtime join filters) plus the sizing parameters, embedded
+    * like [[minhashBandIndex]]'s `mh_*` columns so the probe side can
+    * never drift from the build side.
+    *
+    * Sizing: ~1.2 GB per 10⁹ indexed docs at fpp 0.01 — broadcastable
+    * where the 16-byte-hash index itself (16 GB per 10⁹) is not. The
+    * aggregate silently clamps to the session's runtime-filter conf
+    * caps, so this builder raises them to the requested size first —
+    * the caller's fpp is honored, never silently degraded.
+    *
+    * CONTRACT: the filter must summarize EVERY row of the index it
+    * screens for ([[appendToExactBloom]] keeps it in sync as the index
+    * grows) — a hash in the index but not the bloom would let a
+    * duplicate through. The converse staleness is safe: extra hashes no
+    * longer in the index only send more rows to the exact-join path.
+    * An EMPTY index yields a null filter, which probes as null →
+    * every batch row is definitely-new (correct for an empty index). */
+  def exactIndexBloom(index: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val numBits = math.max(64L,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp))
+    raiseConfFloor(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseConfFloor(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
+    val agg = GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64($"text_hash")),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+    index
+      .agg(agg.as("bf_bloom"))
+      .select($"bf_bloom", lit(expectedItems).as("bf_items"),
+        lit(fpp).as("bf_fpp"), lit(numBits).as("bf_bits"))
+  }
+
+  private def raiseConfFloor(spark: org.apache.spark.sql.SparkSession,
+      key: String, atLeast: Long): Unit =
+    if (spark.conf.getOption(key).map(_.toLong).forall(_ < atLeast))
+      spark.conf.set(key, atLeast)
+
+  /** Roll an [[exactIndexBloom]] forward for the rows appended to its
+    * index this ingest round — build a filter of the SAME geometry over
+    * just the new docs' hashes and OR the bit arrays (a bloom union is
+    * exact: the merged filter contains precisely the union of both
+    * inputs' insertions). Cost ∝ batch; the standing filter's bytes
+    * pass through untouched. Occupancy above `bf_items` degrades fpp
+    * only (more rows take the exact-join path) — rebuild from the full
+    * index when that drag shows up, correctness never depends on it. */
+  def appendToExactBloom(bloom: DataFrame, newDocs: DataFrame): DataFrame = {
+    val spark = bloom.sparkSession
+    import spark.implicits._
+    val head = bloom.select("bf_bloom", "bf_items", "bf_fpp", "bf_bits").take(1)
+    require(head.nonEmpty,
+      "empty bloom artifact — build it with exactIndexBloom over the index")
+    val (bytes, items, fpp, bits) = (head(0).getAs[Array[Byte]](0),
+      head(0).getLong(1), head(0).getDouble(2), head(0).getLong(3))
+    raiseConfFloor(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
+    raiseConfFloor(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
+    val agg = GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftColumnBridge.expression(xxhash64(md5($"text"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(items),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression())
+    val batchBytes = newDocs.agg(agg.as("b")).take(1)(0).getAs[Array[Byte]](0)
+    val merged = (Option(bytes), Option(batchBytes)) match {
+      case (Some(a), Some(b)) =>
+        val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
+        fa.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+        val out = new java.io.ByteArrayOutputStream()
+        fa.writeTo(out)
+        out.toByteArray
+      case (a, b) => a.orElse(b).orNull
+    }
+    spark.range(1).select(
+      GraftColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(merged, org.apache.spark.sql.types.BinaryType)).as("bf_bloom"),
+      lit(items).as("bf_items"),
+      lit(fpp).as("bf_fpp"), lit(bits).as("bf_bits"))
+  }
+
+  /** [[dedupAgainstIndex]] with a bloom pre-screen — same kept rows,
+    * but the index is never SHUFFLED and most batch rows never enter a
+    * join at all.
+    *
+    * THE 100-TB point: the plain left-anti hash-partitions BOTH sides —
+    * at 10¹⁰ indexed docs that is a 160 GB index shuffle per ingest
+    * batch, however small the batch. Here the broadcast bloom splits the
+    * batch map-side into definitely-new rows (no false negatives — they
+    * skip membership work entirely) and maybe-duplicates (true dups +
+    * fpp·batch). Only the maybe-set's distinct hashes — kilobytes for a
+    * typical dump — broadcast to a columnar SCAN of the index, and the
+    * confirmed hits broadcast back. Zero exchanges on the index side in
+    * any case; the one shuffle left is the within-batch window, ∝ batch.
+    * The index scan itself prunes like any columnar read (16 bytes/doc,
+    * min/max pushdown under a [[graft.sources.WarehouseWriter.saveSorted]]
+    * layout).
+    *
+    * `bloom` must summarize every index row (see [[exactIndexBloom]]'s
+    * contract; [[appendToExactBloom]] maintains it) — DedupSpec pins
+    * this path row-identical to [[dedupAgainstIndex]]. */
+  def dedupAgainstIndexScreened(newDocs: DataFrame, index: DataFrame,
+      bloom: DataFrame): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val head = bloom.select("bf_bloom").take(1)
+    require(head.nonEmpty,
+      "empty bloom artifact — build it with exactIndexBloom over the index")
+    val bytes = head(0).getAs[Array[Byte]](0)
+    val bloomLit = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bytes, org.apache.spark.sql.types.BinaryType))
+    val hashed = newDocs
+      .withColumn("text_hash", md5($"text"))
+      .withColumn("maybe_dup", coalesce(
+        graft.functions.ColumnOps.bloomMightContain(
+          bloomLit, xxhash64($"text_hash")), lit(false)))
+    // distinct maybe-hashes broadcast INTO the index scan; survivors
+    // (hashes actually present) broadcast back out. Both joins are
+    // broadcast by construction — candidate-proportional, never more
+    // than the batch's own distinct-hash count.
+    val present = index.join(
+      broadcast(hashed.filter($"maybe_dup").select($"text_hash").distinct()),
+      Seq("text_hash"), "left_semi")
+    firstPerHash(
+      hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
+        .drop("maybe_dup"))
   }
 
   /** Distinct k-token shingles per doc (docs shorter than k dropped). */

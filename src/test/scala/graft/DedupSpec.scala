@@ -290,6 +290,95 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.dedupAgainstIndex(replay, index2).count() == 0)
   }
 
+  test("bloom-screened incremental dedup equals the plain left-anti path") {
+    import java.nio.file.Files
+    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
+    val index = Dedup.exactHashIndex(corpus)
+    // bloom round-trips through parquet — it is the sidecar artifact
+    val bloomPath = Files.createTempDirectory("graft_bloom").toString
+    Dedup.exactIndexBloom(index, expectedItems = 10000)
+      .write.mode("overwrite").parquet(bloomPath)
+    val bloom = spark.read.parquet(bloomPath)
+    val plain = Dedup.dedupAgainstIndex(batch, index)
+    val screened = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+    assert(screened.columns.toSeq == batch.columns.toSeq,
+      "screened path must keep the batch schema (no helper columns leaked)")
+    assert(screened.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    assert(plain.count() > 0, "fixture split should leave novel batch rows")
+  }
+
+  test("bloom screen plan: two broadcast joins, index side never shuffles") {
+    // Forbid auto-broadcast so any non-explicit join would surface as a
+    // shuffle — the screened path must stay broadcast BY CONSTRUCTION.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      val batch = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
+      val index = Dedup.exactHashIndex(corpus)
+      val bloom = Dedup.exactIndexBloom(index, expectedItems = 10000)
+      val screened = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+      val qe = screened.queryExecution
+      screened.collect()
+      val plan = qe.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"index side must never shuffle-join:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("appendToExactBloom: rolled-forward bloom screens a grown index") {
+    val r1 = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    var index = Dedup.exactHashIndex(r1)
+    var bloom = Dedup.exactIndexBloom(index, expectedItems = 1000)
+
+    val b1 = Seq((10L, "alpha doc"), (11L, "gamma doc")).toDF("doc_id", "text")
+    val kept1 = Dedup.dedupAgainstIndexScreened(b1, index, bloom)
+    assert(kept1.select($"doc_id").as[Long].collect().toSet == Set(11L))
+    index = index.union(Dedup.exactHashIndex(kept1)).distinct()
+    bloom = Dedup.appendToExactBloom(bloom, kept1)
+
+    // round 2 screens against the grown index: the doc kept in round 1
+    // must now be caught by the ROLLED-FORWARD bloom, not slip through
+    val b2 = Seq((20L, "gamma doc"), (21L, "delta doc"),
+      (22L, "beta doc")).toDF("doc_id", "text")
+    val kept2 = Dedup.dedupAgainstIndexScreened(b2, index, bloom)
+    assert(kept2.select($"doc_id").as[Long].collect().toSet == Set(21L))
+    // geometry is preserved by the merge
+    val (r0, rN) = (Dedup.exactIndexBloom(index, 1000).select($"bf_bits"),
+      bloom.select($"bf_bits"))
+    assert(r0.as[Long].head() == rN.as[Long].head())
+  }
+
+  test("bloom of an empty index routes every batch row as definitely-new") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val index = Dedup.exactHashIndex(empty)
+    val bloom = Dedup.exactIndexBloom(index, expectedItems = 100)
+    assert(bloom.count() == 1)
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+    assert(kept.select($"doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("bloom-screened dedup equals plain on seeded random corpora") {
+    val rng = new scala.util.Random(20260813L)
+    val vocab = Vector("lorem", "ipsum", "dolor", "sit", "amet", "sed", "do")
+    def doc(): String = Seq.fill(6 + rng.nextInt(6))(
+      vocab(rng.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+      val batch = (100L to 140L).map(i => (i, doc())).toDF("doc_id", "text")
+      val index = Dedup.exactHashIndex(corpus)
+      val bloom = Dedup.exactIndexBloom(index, expectedItems = 1000)
+      val plain = Dedup.dedupAgainstIndex(batch, index)
+        .collect().map(_.toSeq).toSet
+      val screened = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+        .collect().map(_.toSeq).toSet
+      assert(screened == plain, s"trial $trial diverged")
+    }
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame) =
     df.select($"doc_a", $"doc_b", $"jaccard").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
