@@ -417,10 +417,17 @@ object Dedup {
     * persist for the next ingest round. Signature parameters and the
     * shingle representation come FROM the index, so the appended rows
     * are always computed consistently. */
-  def appendToMinhashIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
+  def appendToMinhashIndex(index: DataFrame, newDocs: DataFrame): DataFrame =
+    index.unionByName(minhashIndexDelta(index, newDocs))
+
+  /** Just the rows [[appendToMinhashIndex]] would ADD — the ingest
+    * round's index delta, fingerprinted under the artifact's own
+    * embedded parameters. For an index stored as a parquet directory
+    * this is the frame to `append` (cost and bytes ∝ batch); the union
+    * form exists for in-memory composition and specs. */
+  def minhashIndexDelta(index: DataFrame, newDocs: DataFrame): DataFrame = {
     val (k, numHashes, bands, hashed) = minhashIndexParams(index)
-    index.unionByName(
-      minhashBandIndex(newDocs, k, numHashes, bands, hashed))
+    minhashBandIndex(newDocs, k, numHashes, bands, hashed)
   }
 
   /** The signature parameters embedded in a [[minhashBandIndex]] — one

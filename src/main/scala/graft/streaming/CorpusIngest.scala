@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.Dedup
+
+/** Streaming corpus ingest with incremental near-dup dedup — the
+  * [[Dedup.nearDupIngestRound]] pipeline lifted onto Structured
+  * Streaming. Each micro-batch of documents screens against the
+  * persisted MinHash band-key index, keeps the novel rows, and rolls
+  * the index forward by its DELTA only — so a corpus that arrives as a
+  * stream (crawler output, firehose dumps) dedups continuously at
+  * cost ∝ micro-batch, exactly like the batch ingest rounds.
+  *
+  * The reference ingests on a monthly-dump cadence
+  * (docker/aact/Dockerfile:20-22, db2wh-etl.sh:31-60); this is the same
+  * station of the pipeline when the cadence shrinks to minutes.
+  *
+  * Delivery semantics: `foreachBatch` re-delivers a micro-batch after a
+  * crash, so every round first drops batch ids the index already holds
+  * (the crashed run's ingested rows) — a full replay becomes a no-op
+  * instead of tripping the fresh-id check. The seen-id probe uses the
+  * same double-broadcast shape as the bloom screen: batch ids broadcast
+  * INTO a single-column index scan, survivors broadcast back — the
+  * index is never shuffled by the guard.
+  */
+object CorpusIngest {
+
+  /** The generic seam: screen each micro-batch, hand `(kept rows,
+    * index delta, batchId)` to `sink`. The sink decides atomicity —
+    * plain parquet gets [[parquetDedupIngest]]'s ordering contract; a
+    * transactional table format can commit both frames atomically.
+    *
+    * `indexProvider` re-resolves the index EVERY micro-batch (the
+    * [[EventsStream.parquetDimProvider]] pattern), so the delta the
+    * sink appended for batch N is visible to the screen of batch N+1 —
+    * that read-your-own-writes loop is what makes the stream equal to
+    * sequential batch ingest rounds (StreamingSpec pins it).
+    *
+    * `kept` arrives MATERIALIZED (localCheckpoint): by the time the
+    * sink runs, nothing re-reads the index the sink is about to
+    * append to. */
+  def dedupIngestStream(docStream: DataFrame, indexProvider: () => DataFrame,
+      threshold: Double)(
+      sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val index = indexProvider()
+      val seen = index.select(col("doc_id"))
+        .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      val fresh = batch.join(broadcast(seen), Seq("doc_id"), "left_anti")
+      val (kept0, _) = Dedup.nearDupIngestRound(fresh, index, threshold)
+      val kept = kept0.localCheckpoint(true)
+      try sink(kept, Dedup.minhashIndexDelta(index, kept), id)
+      finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+    }
+
+  /** Parquet-directory convenience sink: kept docs append to
+    * `corpusPath`, the index delta appends to `indexPath` (which must
+    * hold a non-empty [[Dedup.minhashBandIndex]] before the stream
+    * starts — the artifact carries the signature parameters).
+    *
+    * Ordering contract: corpus BEFORE index. A crash between the two
+    * writes re-delivers the micro-batch, the replay guard sees the
+    * index without the crashed round's rows, and the round re-runs —
+    * so the corpus can hold a kept row twice (same doc_id, trivially
+    * dropped by an exact-id pass downstream) but can never LOSE one.
+    * The reverse order would absorb the replay and drop the kept rows
+    * on the floor. Exactly-once needs a sink that commits both frames
+    * in one transaction — use [[dedupIngestStream]] with that store's
+    * writer. */
+  def parquetDedupIngest(docStream: DataFrame, indexPath: String,
+      corpusPath: String, threshold: Double): DataStreamWriter[Row] = {
+    val spark = docStream.sparkSession
+    dedupIngestStream(docStream,
+      EventsStream.parquetDimProvider(spark, indexPath), threshold) {
+      (kept, delta, _) =>
+        kept.write.mode("append").parquet(corpusPath)
+        delta.write.mode("append").parquet(indexPath)
+    }
+  }
+}

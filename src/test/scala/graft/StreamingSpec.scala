@@ -4,13 +4,17 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.jobs.EventQueries
-import graft.streaming.EventsStream
+import graft.operators.Dedup
+import graft.streaming.{CorpusIngest, EventsStream}
 
 /** One Kafka record as the connector's v2 source would surface it —
   * same columns as [[EventsStream.kafkaWireSchema]]. */
 case class KafkaWire(key: Array[Byte], value: Array[Byte], topic: String,
     partition: Int, offset: Long, timestamp: java.sql.Timestamp,
     timestampType: Int)
+
+/** One streamed document for the corpus-ingest seam. */
+case class DocRow(doc_id: Long, text: String)
 
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
@@ -652,5 +656,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("streaming dedup ingest equals sequential batch ingest rounds") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" < 250)
+    val b1 = all.filter($"doc_id" >= 250 && $"doc_id" < 375)
+      .as[DocRow].collect().toIndexedSeq
+    val b2 = all.filter($"doc_id" >= 375).as[DocRow].collect().toIndexedSeq
+
+    val idxPath = Files.createTempDirectory("graft_ingest_idx").toString
+    val corpusPath = Files.createTempDirectory("graft_ingest_corpus")
+      .resolve("kept").toString
+    Dedup.minhashBandIndex(seed, k = 5, numHashes = 32, bands = 8)
+      .write.mode("overwrite").parquet(idxPath)
+
+    val ms = MemoryStream[DocRow](spark)
+    val q = CorpusIngest.parquetDedupIngest(
+      ms.toDF(), idxPath, corpusPath, threshold = 0.6).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // crash-recovery shape: the same micro-batch re-delivered verbatim
+      // must be absorbed (its kept ids are in the index, its dropped
+      // docs re-drop against the docs that out-kept them)
+      ms.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-side truth: two sequential ingest rounds over the same splits
+    val idx0 = Dedup.minhashBandIndex(seed, k = 5, numHashes = 32, bands = 8)
+    val (k1, idx1) = Dedup.nearDupIngestRound(
+      b1.toDF().select($"doc_id", $"text"), idx0, 0.6)
+    val (k2, idx2) = Dedup.nearDupIngestRound(
+      b2.toDF().select($"doc_id", $"text"), idx1, 0.6)
+    val wantKept = (k1.select($"doc_id").as[Long].collect() ++
+      k2.select($"doc_id").as[Long].collect()).sorted.toSeq
+    assert(wantKept.nonEmpty && wantKept.size < (b1.size + b2.size),
+      "fixture should drop some near-dups and keep some docs")
+
+    val gotCorpus = spark.read.parquet(corpusPath)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(gotCorpus == wantKept,
+      "streamed corpus must equal the sequential batch kepts, exactly once")
+    val gotIndex = spark.read.parquet(idxPath)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val wantIndex = idx2.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(gotIndex == wantIndex,
+      "rolled-forward index must equal the batch-side union index")
   }
 }
