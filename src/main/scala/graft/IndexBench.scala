@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, concat, count, lit, md5}
 
 import graft.operators.Dedup
 
@@ -124,6 +124,49 @@ object IndexBench {
     Comparison(screen, full)
   }
 
+  /** Exact-dedup side: bloom-screened anti-join
+    * ([[Dedup.dedupAgainstIndexScreened]]) vs the plain left-anti
+    * ([[Dedup.dedupAgainstIndex]]) for the same ingest batch. The
+    * fixture corpus is far too small to surface the structural
+    * difference (shuffling a tiny index costs nothing), so the standing
+    * index is synthesized at 4M hashes — the honest shape is a large
+    * standing corpus versus a small batch, and 4M:5k is still ~1000×
+    * TAMER than the 10¹⁰:10⁶ production ratio the screen exists for.
+    * The batch is all-novel (typical ingest: most docs are new), so the
+    * bloom's maybe-set is fpp-sized and the comparison isolates the
+    * routing cost: a pushed-down IN point-lookup over the range-sorted
+    * index layout (the production artifact shape — written sorted here
+    * for exactly that reason) vs a full index shuffle. Bloom build is
+    * untimed like the other index builds (amortized across every
+    * ingest; [[Dedup.appendToExactBloom]] keeps it rolling at cost
+    * ∝ batch). */
+  def exactDedup(spark: SparkSession, sfDir: String,
+      iters: Int = 3): Comparison = {
+    import spark.implicits._
+    val batch = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val n = 4000000L
+    val idxPath = Files.createTempDirectory("graft_ex_idx").toString
+    spark.range(n)
+      .select(md5(concat(lit("corpus-"), col("id"))).as("text_hash"))
+      .repartitionByRange(32, col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    // the artifact flow: build once, persist, screen from the LOADED
+    // frame (screening from the builder's lazy frame would re-aggregate
+    // the whole index per call — see exactIndexBloom's scaladoc)
+    val bloomPath = Files.createTempDirectory("graft_ex_bloom").toString
+    Dedup.exactIndexBloom(index, expectedItems = n)
+      .write.mode("overwrite").parquet(bloomPath)
+    val bloom = spark.read.parquet(bloomPath)
+    val screen = timeMedian(spark, iters)(
+      Dedup.dedupAgainstIndexScreened(batch, index, bloom))
+    val full = timeMedian(spark, iters)(
+      Dedup.dedupAgainstIndex(batch, index))
+    Comparison(screen, full)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -136,7 +179,8 @@ object IndexBench {
     spark.sparkContext.setLogLevel("WARN")
     val nd = nearDup(spark, sfDir)
     val ct = contamination(spark, sfDir)
-    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"sf":"$sfDir"}""")
+    val ex = exactDedup(spark, sfDir)
+    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -108,7 +108,14 @@ object Dedup {
     * duplicate through. The converse staleness is safe: extra hashes no
     * longer in the index only send more rows to the exact-join path.
     * An EMPTY index yields a null filter, which probes as null →
-    * every batch row is definitely-new (correct for an empty index). */
+    * every batch row is definitely-new (correct for an empty index).
+    *
+    * The returned frame is LAZY — the aggregate runs when consumed.
+    * Persist it (parquet, like the index) and screen from the loaded
+    * artifact; handing the builder's own frame to
+    * [[dedupAgainstIndexScreened]] would re-aggregate the whole index
+    * on every screen call, which is precisely the cost the artifact
+    * exists to amortize. */
   def exactIndexBloom(index: DataFrame, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
@@ -198,32 +205,66 @@ object Dedup {
     * min/max pushdown under a [[graft.sources.WarehouseWriter.saveSorted]]
     * layout).
     *
+    * When the maybe-set is small (≤ `inListLimit` distinct hashes —
+    * the overwhelmingly common case: fpp·batch + true dups), it is
+    * fetched to the driver and pushed into the index SCAN as an IN
+    * predicate, the way any broadcast is driver-mediated. Under a
+    * range-sorted index layout
+    * ([[graft.sources.WarehouseWriter.saveSorted]] on `text_hash`)
+    * parquet row-group statistics then prune the scan to the handful
+    * of groups that can contain a candidate — per-ingest index READ
+    * ∝ candidates, not index size: point-lookup economics on a plain
+    * parquet artifact. A larger maybe-set falls back to the
+    * distributed semi-join probe, which scans the index once but
+    * never shuffles it.
+    *
     * `bloom` must summarize every index row (see [[exactIndexBloom]]'s
     * contract; [[appendToExactBloom]] maintains it) — DedupSpec pins
-    * this path row-identical to [[dedupAgainstIndex]]. */
+    * this path row-identical to [[dedupAgainstIndex]] and covers both
+    * the pushdown and fallback routes. */
   def dedupAgainstIndexScreened(newDocs: DataFrame, index: DataFrame,
-      bloom: DataFrame): DataFrame = {
+      bloom: DataFrame, inListLimit: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val head = bloom.select("bf_bloom").take(1)
-    require(head.nonEmpty,
+    // existence probe on the TINY column only; the filter bytes enter
+    // the plan as a scalar subquery (the runtime-join-filter shape) —
+    // executed once, never traversed as a multi-MB literal by every
+    // optimizer pass, never fetched through the driver per call
+    require(bloom.select("bf_items").take(1).nonEmpty,
       "empty bloom artifact — build it with exactIndexBloom over the index")
-    val bytes = head(0).getAs[Array[Byte]](0)
-    val bloomLit = GraftColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal
-        .create(bytes, org.apache.spark.sql.types.BinaryType))
+    val bloomCol = bloom.select($"bf_bloom").scalar()
     val hashed = newDocs
       .withColumn("text_hash", md5($"text"))
       .withColumn("maybe_dup", coalesce(
         graft.functions.ColumnOps.bloomMightContain(
-          bloomLit, xxhash64($"text_hash")), lit(false)))
+          bloomCol, xxhash64($"text_hash")), lit(false)))
     // distinct maybe-hashes broadcast INTO the index scan; survivors
     // (hashes actually present) broadcast back out. Both joins are
     // broadcast by construction — candidate-proportional, never more
     // than the batch's own distinct-hash count.
-    val present = index.join(
-      broadcast(hashed.filter($"maybe_dup").select($"text_hash").distinct()),
-      Seq("text_hash"), "left_semi")
+    //
+    // The maybe-set is MATERIALIZED (localCheckpoint) before it meets
+    // the index: with live lineage, constraint inference copies the
+    // might_contain predicate onto the index side of the semi join
+    // through the equi-join key — a bloom probe per INDEX row, 100%
+    // selective by construction (the bloom contains every index hash),
+    // measured 1.5× slower than the plain anti-join at 16M index rows.
+    // A checkpointed frame carries no constraints to infer from, and
+    // the probe job it runs is ∝ batch.
+    val maybeHashes = hashed.filter($"maybe_dup")
+      .select($"text_hash").distinct().localCheckpoint(true)
+    val maybeList = maybeHashes.take(inListLimit + 1)
+    val present =
+      if (maybeList.length <= inListLimit) {
+        // point-lookup route: IN pushed to the parquet scan (the
+        // threshold conf must cover the list, or Spark degrades the
+        // push to a min/max range — useless over uniform hashes)
+        raiseConfFloor(spark,
+          "spark.sql.parquet.pushdown.inFilterThreshold", inListLimit + 1L)
+        index.filter($"text_hash".isin(maybeList.map(_.getString(0)): _*))
+          .select($"text_hash")
+      } else
+        index.join(broadcast(maybeHashes), Seq("text_hash"), "left_semi")
     firstPerHash(
       hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
         .drop("maybe_dup"))

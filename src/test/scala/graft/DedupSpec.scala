@@ -309,23 +309,64 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(plain.count() > 0, "fixture split should leave novel batch rows")
   }
 
-  test("bloom screen plan: two broadcast joins, index side never shuffles") {
+  test("bloom screen plan: IN pushed to the index scan, no shuffle join") {
     // Forbid auto-broadcast so any non-explicit join would surface as a
     // shuffle — the screened path must stay broadcast BY CONSTRUCTION.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      import java.nio.file.Files
       val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+      // plant corpus dups: an all-novel batch folds the whole index leg
+      // away (In(empty) → false → empty relation — the ideal degenerate
+      // plan, but not the route this test pins). localCheckpoint keeps
+      // the batch a single relation (a union would clone the anti join
+      // into each branch and muddy the join census below).
       val batch = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
-      val index = Dedup.exactHashIndex(corpus)
+        .union(corpus.limit(5)
+          .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+        .localCheckpoint(true)
+      // the index round-trips parquet — the pushdown this test pins
+      // lives in the parquet scan of the PERSISTED artifact
+      val idxPath = Files.createTempDirectory("graft_bloom_plan").toString
+      Dedup.exactHashIndex(corpus).write.mode("overwrite").parquet(idxPath)
+      val index = spark.read.parquet(idxPath)
       val bloom = Dedup.exactIndexBloom(index, expectedItems = 10000)
       val screened = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
       val qe = screened.queryExecution
       screened.collect()
-      val plan = qe.executedPlan.toString
+      // the AQE plan string prints the final plan then repeats the
+      // initial one — census the FINAL section only
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
       assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
         s"index side must never shuffle-join:\n$plan")
-      assert("BroadcastHashJoin".r.findAllIn(plan).size == 2, plan)
+      // point-lookup route: the maybe-set reaches the index's parquet
+      // scan as a pushed IN predicate (row-group pruning under a sorted
+      // layout); only the anti join remains — broadcast
+      assert("BroadcastHashJoin".r.findAllIn(plan).size == 1, plan)
+      assert(plan.contains("PushedFilters: [In(text_hash"),
+        s"IN must reach the index parquet scan:\n$plan")
+      // the bloom predicate must NOT be inferred onto the index side (a
+      // per-index-row probe was the measured regression this guards)
+      assert(!plan.contains("might_contain(Subquery subquery"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("bloom screen fallback route (semi join) equals plain and pushdown") {
+    val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
+    val batch = docs.filter($"doc_id" % 2 === 1).select($"doc_id", $"text")
+      // plant corpus dups so the maybe-set is non-empty on both routes
+      .union(corpus.limit(5).select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    val index = Dedup.exactHashIndex(corpus)
+    val bloom = Dedup.exactIndexBloom(index, expectedItems = 10000)
+    val plain = Dedup.dedupAgainstIndex(batch, index)
+      .collect().map(_.toSeq).toSet
+    // inListLimit = 0 forces the distributed semi-join route
+    val semi = Dedup.dedupAgainstIndexScreened(batch, index, bloom,
+      inListLimit = 0).collect().map(_.toSeq).toSet
+    val pushed = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+      .collect().map(_.toSeq).toSet
+    assert(semi == plain)
+    assert(pushed == plain)
   }
 
   test("appendToExactBloom: rolled-forward bloom screens a grown index") {
