@@ -106,6 +106,60 @@ object WarehouseWriter {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
+  /** Compact a parquet DIRECTORY that has accumulated many small files
+    * into ~`targetFileBytes`-sized ones — the maintenance pass every
+    * append-mode parquet sink eventually owes. Our own
+    * [[graft.streaming.CorpusIngest.parquetDedupIngest]] is the house
+    * example: one corpus file and one index-delta file per micro-batch,
+    * and a 100 TB table read at 10 000 files/s of open-file overhead
+    * turns small files into the dominant scan cost.
+    *
+    * `sortCol` additionally restores the [[saveSorted]] zone-map
+    * layout (range-partitioned, sorted within files) — what the
+    * bloom-screen's point-lookup pushdown
+    * ([[graft.operators.Dedup.dedupAgainstIndexScreened]]) wants the
+    * index directory to look like after many deltas blurred it.
+    *
+    * Output file count = ceil(input bytes / targetFileBytes), computed
+    * from the actual file listing — compression can make real output
+    * files smaller, the target is an upper-bound shape, not a promise.
+    * The swap is rewrite-to-sibling + two renames + delete: NOT atomic
+    * for concurrent readers (a reader planning in the swap window sees
+    * a missing path). Run it between ingest rounds — for
+    * [[graft.streaming.CorpusIngest]], while the stream is stopped or
+    * between micro-batches; under a live multi-reader catalog this job
+    * belongs to a transactional table format instead. Returns
+    * (files before, files after, input bytes). */
+  def compactParquet(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCol: Option[String] = None): (Int, Int, Long) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val out = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nOut)
+    }
+    val tmp = new org.apache.hadoop.fs.Path(hPath.getParent,
+      s".${hPath.getName}.compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(hPath.getParent,
+      s".${hPath.getName}.compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // the rewrite is fully durable before the original is touched; a
+    // crash mid-swap leaves either the original or the finished tmp on
+    // disk, never a partial mix
+    require(fs.rename(hPath, old), s"compact swap failed renaming $path aside")
+    require(fs.rename(tmp, hPath), s"compact swap failed installing $tmp")
+    fs.delete(old, true)
+    (files.length, nOut, bytes)
+  }
+
   /** JSONL corpus sink — one JSON object per line, the interchange
     * format LLM training corpora actually move in (WebText/Pile/Dolma
     * lineage). Distributed write, one file per partition; `compression`

@@ -61,6 +61,11 @@ object CorpusIngest {
     * hold a non-empty [[Dedup.minhashBandIndex]] before the stream
     * starts — the artifact carries the signature parameters).
     *
+    * Both directories accrue one file per micro-batch — the standard
+    * streaming-sink debt; fold it periodically with
+    * [[graft.sources.WarehouseWriter.compactParquet]], run between
+    * rounds or while the stream is stopped.
+    *
     * Ordering contract: corpus BEFORE index. A crash between the two
     * writes re-delivers the micro-batch, the replay guard sees the
     * index without the crashed round's rows, and the round re-runs —

@@ -134,6 +134,70 @@ class WarehouseWriterSpec extends AnyFunSuite with SparkSpec {
     assert(back.filter($"doc_id".isNotNull).count() == 2)
   }
 
+  test("compactParquet folds a many-file append dir into the target shape") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text", $"source")
+    val dir = tmp("graft_compact")
+    // simulate a streaming sink's debt: many micro-batch appends, each
+    // a handful of files
+    (0L until 10L).foreach { i =>
+      docs.filter($"doc_id" % 10 === i).repartition(3)
+        .write.mode("append").parquet(dir)
+    }
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles() = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-")).toSeq
+    assert(partFiles().size >= 20, "fixture should start fragmented")
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+
+    val (nBefore, nAfter, bytes) =
+      WarehouseWriter.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(nBefore >= 20, "reported input census must see the fragmentation")
+    assert(nAfter == 1 && partFiles().size == 1,
+      "everything fits one target-sized file")
+    assert(bytes > 0)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before,
+      "compaction must not change the relation")
+    // no swap debris left behind
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(hp.getParent,
+      s".${hp.getName}.compact-tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(hp.getParent,
+      s".${hp.getName}.compact-old")))
+  }
+
+  test("compactParquet sortCol restores disjoint per-file key ranges") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val dir = tmp("graft_compact_sorted")
+    (0L until 8L).foreach { i =>
+      docs.filter($"doc_id" % 8 === i)
+        .write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    // small target → several output files, each covering a disjoint
+    // doc_id range (the zone-map layout the scan pushdown prunes on)
+    WarehouseWriter.compactParquet(spark, dir, targetFileBytes = 64L << 10,
+      sortCol = Some("doc_id"))
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hp)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq
+    assert(parts.size > 1, "fixture should need several target-sized files")
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(
+        min($"doc_id").as("lo"), max($"doc_id").as("hi")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file ranges overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
+  }
+
   test("properties config seam parses and renders k=v pairs (S2)") {
     val f = Files.createTempFile("graft", ".properties")
     Files.writeString(f, "host=localhost\nport=5432\ndbname=aact\n")
