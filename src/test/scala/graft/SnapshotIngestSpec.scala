@@ -105,4 +105,63 @@ class SnapshotIngestSpec extends AnyFunSuite with SparkSpec {
         TableSpec("t", schema, file = Some("t.csv")))
     }
   }
+
+  private val driftSchema = StructType(Seq(StructField("id", IntegerType),
+    StructField("name", StringType), StructField("score", DoubleType)))
+
+  test("header drift: an evolved dump fails the strict ingest, not silently shifts") {
+    // the upstream gained a column mid-table: POSITIONAL schema
+    // application would load 'extra' cells as name and names as score
+    // (every cell still parses — FAILFAST cannot see it)
+    val dumpDir = Files.createTempDirectory("graft_dump_drift")
+    Files.write(dumpDir.resolve("t.csv"),
+      "id|extra|name|score\n1|x|alpha|1.5\n2|y|beta|2.5\n".getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("graft_snap_drift").toString
+    val drift = SnapshotIngest.headerDrift(spark, dumpDir.toString,
+      TableSpec("t", driftSchema, file = Some("t.csv")))
+    assert(drift.added == Seq("extra") && drift.missing.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotIngest.ingestTable(spark, dumpDir.toString, outDir,
+        TableSpec("t", driftSchema, file = Some("t.csv")))
+    }
+    assert(e.getMessage.contains("drifted") &&
+      e.getMessage.contains("byName"))
+  }
+
+  test("byName ingest aligns added + reordered + dropped columns") {
+    // header says extra|name|id (score dropped, order scrambled): each
+    // declared column must land under its NAME, score as typed NULLs
+    val dumpDir = Files.createTempDirectory("graft_dump_byname")
+    Files.write(dumpDir.resolve("t.csv"),
+      "extra|name|id\nx|alpha|1\ny|beta|2\n".getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("graft_snap_byname").toString
+    val n = SnapshotIngest.ingestTable(spark, dumpDir.toString, outDir,
+      TableSpec("t", driftSchema, file = Some("t.csv")), byName = true)
+    assert(n == 2)
+    val restored = spark.read.parquet(s"$outDir/t.parquet")
+    assert(restored.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(restored.orderBy($"id").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.isNullAt(2))).toSeq ==
+      Seq((1, "alpha", true), (2, "beta", true)))
+  }
+
+  test("reordered-only drift is flagged, and byName restores the clean relation") {
+    val dumpDir = Files.createTempDirectory("graft_dump_reorder")
+    Files.write(dumpDir.resolve("t.csv"),
+      "name|id|score\nalpha|1|1.5\nbeta|2|2.5\n".getBytes("UTF-8"))
+    val drift = SnapshotIngest.headerDrift(spark, dumpDir.toString,
+      TableSpec("t", driftSchema, file = Some("t.csv")))
+    assert(drift.reordered && drift.added.isEmpty && drift.missing.isEmpty)
+    val outDir = Files.createTempDirectory("graft_snap_reorder").toString
+    intercept[IllegalArgumentException] {
+      SnapshotIngest.ingestTable(spark, dumpDir.toString, outDir,
+        TableSpec("t", driftSchema, file = Some("t.csv")))
+    }
+    SnapshotIngest.ingestTable(spark, dumpDir.toString, outDir,
+      TableSpec("t", driftSchema, file = Some("t.csv")), byName = true)
+    assert(spark.read.parquet(s"$outDir/t.parquet")
+      .orderBy($"id").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "alpha", 1.5), (2, "beta", 2.5)))
+  }
 }
