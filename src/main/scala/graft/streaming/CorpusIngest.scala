@@ -56,6 +56,60 @@ object CorpusIngest {
       finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
     }
 
+  /** Streaming EXACT dedup ingest — [[dedupIngestStream]]'s sibling for
+    * the content-hash index family: each micro-batch screens through
+    * [[Dedup.dedupAgainstIndexScreened]] (bloom route + point-lookup
+    * pushdown), keeps only novel content, and hands the sink the three
+    * artifacts to roll forward. No replay guard is needed here — exact
+    * dedup is idempotent BY CONTENT: a re-delivered micro-batch's kept
+    * rows hash-match the index that already absorbed them and drop on
+    * their own.
+    *
+    * `sink` receives `(kept, indexDelta, bloomNext, batchId)`:
+    * `indexDelta` is just the kept rows' hashes (novel by construction,
+    * so the index update is a pure append), `bloomNext` the rolled-
+    * forward one-row bloom artifact. Write order matters — see
+    * [[parquetExactDedupIngest]]. */
+  def exactDedupIngestStream(docStream: DataFrame,
+      indexProvider: () => DataFrame, bloomProvider: () => DataFrame)(
+      sink: (DataFrame, DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val index = indexProvider()
+      val bloom = bloomProvider()
+      val kept = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+        .localCheckpoint(true)
+      try sink(kept, Dedup.exactHashIndex(kept),
+        Dedup.appendToExactBloom(bloom, kept), id)
+      finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+    }
+
+  /** Parquet convenience sink for the exact family: kept docs append to
+    * `corpusPath`, the bloom artifact overwrites `bloomPath`, the hash
+    * delta appends to `indexPath` — IN THAT ORDER, and the order is the
+    * correctness argument: the bloom must summarize every index row
+    * ([[Dedup.exactIndexBloom]]'s contract), so it is made a SUPERSET
+    * first (extra bloom hashes only cost false positives) and the index
+    * catches up after. A crash in any window re-delivers the batch;
+    * rows whose index write landed drop by content, rows whose write
+    * didn't re-keep — so the corpus can repeat a kept row (same
+    * content, new id — one [[Dedup.exact]] pass downstream folds them)
+    * but never loses one, and a duplicate can never slip past a bloom
+    * that lags its index. Bootstrap both artifacts before starting:
+    * `exactHashIndex` + `exactIndexBloom` over the seed corpus (or an
+    * empty frame). */
+  def parquetExactDedupIngest(docStream: DataFrame, indexPath: String,
+      bloomPath: String, corpusPath: String): DataStreamWriter[Row] = {
+    val spark = docStream.sparkSession
+    exactDedupIngestStream(docStream,
+      EventsStream.parquetDimProvider(spark, indexPath),
+      EventsStream.parquetDimProvider(spark, bloomPath)) {
+      (kept, delta, bloomNext, _) =>
+        kept.write.mode("append").parquet(corpusPath)
+        bloomNext.write.mode("overwrite").parquet(bloomPath)
+        delta.write.mode("append").parquet(indexPath)
+    }
+  }
+
   /** Parquet-directory convenience sink: kept docs append to
     * `corpusPath`, the index delta appends to `indexPath` (which must
     * hold a non-empty [[Dedup.minhashBandIndex]] before the stream

@@ -709,4 +709,77 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(gotIndex == wantIndex,
       "rolled-forward index must equal the batch-side union index")
   }
+
+  test("streaming exact dedup ingest rolls corpus, bloom, and index forward") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" < 250)
+    val seedTexts = seed.orderBy($"doc_id").limit(2)
+      .as[DocRow].collect()
+    // batch 1: novel docs + a seed re-ingest + a within-batch dup pair
+    val novel1 = all.filter($"doc_id" >= 250 && $"doc_id" < 300)
+      .as[DocRow].collect()
+    val b1 = (novel1 :+ DocRow(9001L, seedTexts(0).text) :+
+      DocRow(9002L, "a fresh streamed doc") :+
+      DocRow(9003L, "a fresh streamed doc")).toIndexedSeq
+    // batch 2: more novel + a copy of a batch-1 keep (must drop against
+    // the ROLLED-FORWARD artifacts) + another seed re-ingest
+    val novel2 = all.filter($"doc_id" >= 300 && $"doc_id" < 350)
+      .as[DocRow].collect()
+    val b2 = (novel2 :+ DocRow(9004L, "a fresh streamed doc") :+
+      DocRow(9005L, seedTexts(1).text)).toIndexedSeq
+
+    val idxPath = Files.createTempDirectory("graft_ex_ingest_idx").toString
+    val bloomPath = Files.createTempDirectory("graft_ex_ingest_bloom").toString
+    val corpusPath = Files.createTempDirectory("graft_ex_ingest_corpus")
+      .resolve("kept").toString
+    val idx0 = Dedup.exactHashIndex(seed)
+    idx0.write.mode("overwrite").parquet(idxPath)
+    Dedup.exactIndexBloom(idx0, expectedItems = 10000)
+      .write.mode("overwrite").parquet(bloomPath)
+
+    val ms = MemoryStream[DocRow](spark)
+    val q = CorpusIngest.parquetExactDedupIngest(
+      ms.toDF(), idxPath, bloomPath, corpusPath).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      // exact dedup is idempotent by content: a verbatim re-delivery
+      // must drop everything against the rolled-forward artifacts
+      ms.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-side truth: two sequential screened rounds
+    val k1 = Dedup.dedupAgainstIndex(b1.toDF(), idx0)
+    val idx1 = idx0.union(Dedup.exactHashIndex(k1)).distinct()
+    val k2 = Dedup.dedupAgainstIndex(b2.toDF(), idx1)
+    val wantKept = (k1.select($"doc_id").as[Long].collect() ++
+      k2.select($"doc_id").as[Long].collect()).sorted.toSeq
+    assert(wantKept.contains(9002L) && !wantKept.contains(9001L) &&
+      !wantKept.contains(9003L) && !wantKept.contains(9004L) &&
+      !wantKept.contains(9005L), s"fixture shape broke: $wantKept")
+
+    val gotCorpus = spark.read.parquet(corpusPath)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(gotCorpus == wantKept,
+      "streamed corpus must equal sequential screened rounds, replay absorbed")
+    // index holds exactly the distinct content hashes seen so far
+    val wantHashes = Dedup.exactHashIndex(seed.unionByName(b1.toDF())
+      .unionByName(b2.toDF()))
+      .as[String].collect().sorted.toSeq
+    assert(spark.read.parquet(idxPath).as[String].collect().sorted.toSeq
+      == wantHashes)
+    // and the rolled-forward bloom still screens correctly for a fresh
+    // batch of one old + one new doc
+    val probe = Seq(DocRow(9100L, "a fresh streamed doc"),
+      DocRow(9101L, "never seen before text")).toDF()
+    val keptProbe = Dedup.dedupAgainstIndexScreened(probe,
+      spark.read.parquet(idxPath), spark.read.parquet(bloomPath))
+    assert(keptProbe.select($"doc_id").as[Long].collect().toSet ==
+      Set(9101L))
+  }
 }
