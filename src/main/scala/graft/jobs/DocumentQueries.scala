@@ -624,6 +624,35 @@ object DocumentQueries {
       .select($"doc_id", length($"text").cast("bigint").as("text_len"))
   }
 
+  // ---------------------------------------------------------------- q64
+  /** Deterministic epoch shuffle — the data-loader ordering step: each
+    * training epoch re-orders the corpus by `md5(epoch:doc_id)`, so
+    * every epoch sees a different, REPRODUCIBLE permutation with zero
+    * RNG state (the q49/q54 hash-bucket philosophy applied to ORDER —
+    * rerun-stable, partition-count-stable, engine-portable; `shuffle`
+    * in the training-loop sense, not Spark's).
+    *
+    * Declared as the per-(epoch, shard) manifest a loader consumes:
+    * shard = first md5 byte, `n_docs` per shard, and the shard's lead
+    * doc (min key — ties impossible, keys are unique per epoch×doc).
+    *
+    * THE 100-TB shape: a GLOBAL permutation rank would be one
+    * totally-ordered window — a single-partition sort, the classic
+    * scale killer. Sharding BY the hash prefix makes the permutation
+    * hierarchical (order shards, then order within shard by key), so
+    * the manifest is one hash-partitioned rollup and each shard sorts
+    * independently at read time — loaders stream shards in parallel
+    * exactly like q61's packers. */
+  def q64EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir)
+      .select($"doc_id", explode(array(lit(1), lit(2))).as("epoch"))
+      .withColumn("key", md5(concat($"epoch", lit(":"), $"doc_id")))
+      .groupBy($"epoch", substring($"key", 1, 2).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by($"doc_id", $"key").as("lead_doc"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -657,7 +686,8 @@ object DocumentQueries {
     "q60_neardup_index_screen" -> (q60NearDupIndexScreen _),
     "q61_sequence_packing" -> (q61SequencePacking _),
     "q62_pii_scrub" -> (q62PiiScrub _),
-    "q63_exact_index_screen" -> (q63ExactIndexScreen _))
+    "q63_exact_index_screen" -> (q63ExactIndexScreen _),
+    "q64_epoch_shuffle" -> (q64EpochShuffle _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -681,6 +711,16 @@ object DocumentQueries {
          k AS (SELECT h, min(doc_id) AS kid FROM nov GROUP BY h)
          SELECT nov.doc_id, CAST(len(nov.text) AS BIGINT) AS text_len
          FROM nov JOIN k ON nov.h = k.h AND nov.doc_id = k.kid""",
+    "q64_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+         x AS (
+           SELECT epoch, doc_id,
+             md5(epoch || ':' || doc_id) AS key
+           FROM e CROSS JOIN documents)
+         SELECT epoch, substr(key, 1, 2) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           arg_min(doc_id, key) AS lead_doc
+         FROM x GROUP BY epoch, substr(key, 1, 2)""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id
