@@ -138,6 +138,7 @@ object WarehouseWriter {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(hPath)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    if (files.isEmpty) return (0, 0, 0L) // nothing to fold — no-op, not a failed read
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(path)

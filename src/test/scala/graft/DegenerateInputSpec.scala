@@ -88,6 +88,35 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.contaminationAgainstIndex(degenerate, wfIdx).count() == 0L)
   }
 
+  test("bloom-screened exact dedup: empty and null-text batches, both routes") {
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val index = Dedup.exactHashIndex(docs)
+    val bloom = Dedup.exactIndexBloom(index, expectedItems = 1000)
+    // empty batch: In(empty) folds the index leg away entirely
+    assert(Dedup.dedupAgainstIndexScreened(docs.limit(0), index, bloom)
+      .count() == 0L)
+    assert(Dedup.dedupAgainstIndexScreened(docs.limit(0), index, bloom,
+      inListLimit = 0).count() == 0L)
+    // null/empty text: md5(null) is null — null hashes can never match
+    // an index row, so both rows keep (as dedupAgainstIndex does); the
+    // screened path must agree on BOTH routes
+    val degenerate = Seq((900L, null.asInstanceOf[String]), (901L, ""))
+      .toDF("doc_id", "text")
+    val want = Dedup.dedupAgainstIndex(degenerate, index)
+      .collect().map(_.toSeq).toSet
+    assert(Dedup.dedupAgainstIndexScreened(degenerate, index, bloom)
+      .collect().map(_.toSeq).toSet == want)
+    assert(Dedup.dedupAgainstIndexScreened(degenerate, index, bloom,
+      inListLimit = 0).collect().map(_.toSeq).toSet == want)
+  }
+
+  test("compactParquet no-ops on a directory with no data files") {
+    val dir = Files.createTempDirectory("graft_degen_compact").toString
+    assert(graft.sources.WarehouseWriter.compactParquet(spark, dir)
+      == ((0, 0, 0L)))
+  }
+
   test("q59/q61 return empty (not throw) on empty inputs") {
     // empty documents corpus → zero packs
     assert(DocumentQueries.queries("q61_sequence_packing")(spark, emptyDir)
