@@ -653,6 +653,42 @@ object DocumentQueries {
         min_by($"doc_id", $"key").as("lead_doc"))
   }
 
+  // ---------------------------------------------------------------- q65
+  /** Corpus bigram cross-entropy — the deterministic stand-in for
+    * perplexity-based quality filtering (CCNet/Gopher station: score
+    * each doc by how predictable its phrasing is under a language
+    * model, drop the tails). The "LM" here is the corpus' own bigram
+    * table — `surprise = ln(total_bigrams) − avg(ln c(g))` over the
+    * doc's bigrams, i.e. the per-token cross-entropy (nats) of the
+    * doc under the corpus bigram distribution: boilerplate-heavy docs
+    * score low, rare/garbled phrasing scores high. In production the
+    * joined table is an EXTERNAL LM's n-gram probabilities (KenLM
+    * dump) — the plan shape is identical: one bounded table joined to
+    * the doc's exploded n-grams + one per-doc rollup.
+    *
+    * Scale notes: the bigram table is the heavy intermediate — at
+    * 100 TB cap it (top-V vocab + unk-mapping or a df floor, the q20
+    * maxDF move) so it broadcasts; the doc side is one pass. The
+    * count enters as a scalar subquery (q56's pattern — no join, no
+    * literal). ln sums cross-engine are safe at round-4 (q56
+    * precedent); the corpus contains each scored doc, so every doc
+    * bigram has c ≥ 1 — no smoothing constant to disagree on. */
+  def q65BigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = graft.operators.CacheScope.persist(
+      docs(spark, dir)
+        .withColumn("toks", tokens($"text"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", explode(shingles($"toks", 2)).as("g")))
+    val lm = bi.groupBy($"g").agg(count(lit(1)).as("c"))
+    val total = bi.agg(count(lit(1)).cast("double")).scalar()
+    bi.join(lm, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(log($"c")).as("alc"))
+      .select($"doc_id", $"n_bigrams",
+        round(log(total) - $"alc", 4).as("surprise"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -687,7 +723,8 @@ object DocumentQueries {
     "q61_sequence_packing" -> (q61SequencePacking _),
     "q62_pii_scrub" -> (q62PiiScrub _),
     "q63_exact_index_screen" -> (q63ExactIndexScreen _),
-    "q64_epoch_shuffle" -> (q64EpochShuffle _))
+    "q64_epoch_shuffle" -> (q64EpochShuffle _),
+    "q65_bigram_surprise" -> (q65BigramSurprise _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -721,6 +758,22 @@ object DocumentQueries {
            CAST(count(*) AS BIGINT) AS n_docs,
            arg_min(doc_id, key) AS lead_doc
          FROM x GROUP BY epoch, substr(key, 1, 2)""",
+    "q65_bigram_surprise" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(
+               list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+               z -> z[1] || ' ' || z[2])) AS g
+           FROM t),
+         lm AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+         tot AS (SELECT count(*)::DOUBLE AS t FROM bg)
+         SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(ln((SELECT t FROM tot)) - avg(ln(lm.c)), 4) AS surprise
+         FROM bg JOIN lm USING (g)
+         GROUP BY bg.doc_id""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id
