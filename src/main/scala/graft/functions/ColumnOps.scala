@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Pure `Column` builders — the engine's scalar-function layer.
@@ -41,19 +40,6 @@ object ColumnOps {
       .foldLeft(when(rev.head._1, rev.head._2)) { case (acc, (c, v)) => acc.when(c, v) }
       .otherwise(default)
   }
-
-  /** Membership probe against a serialized Spark bloom filter (the
-    * binary an aggregate built over `xxhash64` values produces) —
-    * Spark's own native `BloomFilterMightContain` predicate, codegen'd,
-    * the same expression the optimizer injects for runtime join
-    * filters. `hashed` must be the SAME `xxhash64(...)` the filter was
-    * built over. No false negatives: `false` means definitely absent,
-    * `true` means present-or-collision at the filter's fpp. A null
-    * filter yields null (filter-drops every row probed against it). */
-  def bloomMightContain(bloomBytes: Column, hashed: Column): Column =
-    GraftColumnBridge.column(BloomFilterMightContain(
-      GraftColumnBridge.expression(bloomBytes),
-      GraftColumnBridge.expression(hashed)))
 
   /** Integer-code lookup `value -> code` with a default — the when-chain
     * form of a dictionary encode (no UDF, no shuffle). */

@@ -226,18 +226,27 @@ object Dedup {
       bloom: DataFrame, inListLimit: Int = 1000): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
-    // existence probe on the TINY column only; the filter bytes enter
-    // the plan as a scalar subquery (the runtime-join-filter shape) —
-    // executed once, never traversed as a multi-MB literal by every
-    // optimizer pass, never fetched through the driver per call
-    require(bloom.select("bf_items").take(1).nonEmpty,
+    // the filter becomes a CLUSTER BROADCAST probed by the native
+    // graft_bloom_probe expression: the driver holds the bytes once
+    // (inherent to any broadcast), executors torrent them once each,
+    // and the task binary carries only a handle. The earlier shapes
+    // both failed at scale: a multi-MB literal is re-traversed by
+    // every optimizer pass, and a scalar subquery's RESULT rides the
+    // serialized plan of every stage that references it ("Broadcasting
+    // large task binary" at 1 MB, fatal at the multi-GB filters a
+    // 10¹⁰-row index needs).
+    val head = bloom.select($"bf_bloom").take(1)
+    require(head.nonEmpty,
       "empty bloom artifact — build it with exactIndexBloom over the index")
-    val bloomCol = bloom.select($"bf_bloom").scalar()
+    val filter = Option(head(0).getAs[Array[Byte]](0))
+      .map(org.apache.spark.util.sketch.BloomFilter.readFrom).orNull
+    val bc = spark.sparkContext.broadcast(filter)
     val hashed = newDocs
       .withColumn("text_hash", md5($"text"))
       .withColumn("maybe_dup", coalesce(
-        graft.functions.ColumnOps.bloomMightContain(
-          bloomCol, xxhash64($"text_hash")), lit(false)))
+        GraftColumnBridge.column(graft.expressions.BloomProbe(bc,
+          GraftColumnBridge.expression(xxhash64($"text_hash")))),
+        lit(false)))
     // distinct maybe-hashes broadcast INTO the index scan; survivors
     // (hashes actually present) broadcast back out. Both joins are
     // broadcast by construction — candidate-proportional, never more

@@ -346,8 +346,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       assert(plan.contains("PushedFilters: [In(text_hash"),
         s"IN must reach the index parquet scan:\n$plan")
       // the bloom predicate must NOT be inferred onto the index side (a
-      // per-index-row probe was the measured regression this guards)
-      assert(!plan.contains("might_contain(Subquery subquery"), plan)
+      // per-index-row probe was the measured regression this guards) —
+      // neither the built-in form nor the broadcast-handle kernel
+      val idxScanLines = plan.linesIterator
+        .filter(_.contains("graft_bloom_plan")).toSeq
+      assert(idxScanLines.nonEmpty, s"expected the index scan in:\n$plan")
+      assert(idxScanLines.forall(l =>
+        !l.contains("graft_bloom_probe") && !l.contains("might_contain")),
+        s"bloom probe inferred onto the index scan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 

@@ -160,4 +160,38 @@ class ExprFuzzSpec extends AnyFunSuite with SparkSpec {
     // bit-identical, not approximately equal
     assert(both.filter($"native" =!= $"hof").count() === 0)
   }
+
+  test("graft_bloom_probe matches driver-side truth under forced codegen") {
+    import org.apache.spark.sql.GraftColumnBridge
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rng = new scala.util.Random(64L)
+      val present = Seq.fill(200)(rng.nextLong())
+      val filter = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+      present.foreach(filter.putLong)
+      val bc = spark.sparkContext.broadcast(filter)
+      def probe(c: org.apache.spark.sql.Column) =
+        GraftColumnBridge.column(graft.expressions.BloomProbe(bc,
+          GraftColumnBridge.expression(c)))
+      val absent = Seq.fill(200)(rng.nextLong())
+      val rows = (present ++ absent).toDF("h")
+        .select($"h", probe($"h").as("p")).collect()
+      rows.foreach { r =>
+        assert(r.getBoolean(1) == filter.mightContainLong(r.getLong(0)),
+          s"probe diverged from the filter at ${r.getLong(0)}")
+      }
+      // no false negatives on inserted values, by construction
+      assert(rows.take(200).forall(_.getBoolean(1)))
+      // null probe → null; null broadcast payload (empty index) → null
+      val nulls = Seq(Option.empty[java.lang.Long]).toDF("h")
+        .select(probe($"h").as("p")).collect()
+      assert(nulls.head.isNullAt(0))
+      val bcNull = spark.sparkContext.broadcast(
+        null.asInstanceOf[org.apache.spark.util.sketch.BloomFilter])
+      val np = present.take(3).toDF("h")
+        .select(GraftColumnBridge.column(graft.expressions.BloomProbe(bcNull,
+          GraftColumnBridge.expression($"h"))).as("p")).collect()
+      assert(np.forall(_.isNullAt(0)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
