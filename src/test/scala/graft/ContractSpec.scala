@@ -186,6 +186,26 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("bloom artifact builders validate their sizing and presence contracts") {
+    val index = Dedup.exactHashIndex(docs.limit(10))
+    intercept[IllegalArgumentException] {
+      Dedup.exactIndexBloom(index, expectedItems = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactIndexBloom(index, expectedItems = 100, fpp = 1.5)
+    }
+    // empty artifact frames fail fast with the remedy, on both consumers
+    val emptyArtifact = Dedup.exactIndexBloom(index, 100).limit(0)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndexScreened(docs.limit(1), index, emptyArtifact)
+    }
+    assert(e1.getMessage.contains("exactIndexBloom"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendToExactBloom(emptyArtifact, docs.limit(1))
+    }
+    assert(e2.getMessage.contains("exactIndexBloom"), e2.getMessage)
+  }
+
   test("rangeJoin rejects overlapping non-key column names up front") {
     val left = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
     val iv = Seq((1L, 0L, 20L, "y")).toDF("k", "s", "e", "payload")

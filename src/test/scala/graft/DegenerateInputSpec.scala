@@ -39,7 +39,9 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     for (name <- Seq("q17_dedup_exact", "q20_ngram_jaccard", "q21_minhash_lsh",
       "q22_simhash", "q36_winnow_fingerprints", "q45_quality_keep",
       "q46_token_chunks", "q49_hash_split", "q53_repetition",
-      "q54_source_mix", "q56_tfidf_topk", "q57_source_overlap")) {
+      "q54_source_mix", "q56_tfidf_topk", "q57_source_overlap",
+      "q63_exact_index_screen", "q64_epoch_shuffle",
+      "q65_bigram_surprise")) {
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n == 0L, s"$name returned $n rows on an empty corpus")
     }
