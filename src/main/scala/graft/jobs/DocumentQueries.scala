@@ -689,6 +689,31 @@ object DocumentQueries {
         round(log(total) - $"alc", 4).as("surprise"))
   }
 
+  /** [[q65BigramSurprise]] with 8-byte xxhash64 shuffle keys — the
+    * 100 TB form (the q52 move): both bigram-stream shuffles (LM
+    * aggregation + LM join) carry longs instead of ~40-byte gram
+    * strings. A 64-bit collision MERGES two bigrams' counts, nudging
+    * `ln c` for those grams only — ScaleOpsSpec pins it value-equal to
+    * the string-keyed query at test scale (no collisions) and the
+    * birthday bound keeps them astronomically rare at corpus scale. */
+  def bigramSurpriseHashed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bi = graft.operators.CacheScope.persist(
+      docs(spark, dir)
+        .withColumn("toks", tokens($"text"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id",
+          explode(shingles($"toks", 2)).as("g"))
+        .select($"doc_id", xxhash64($"g").as("g")))
+    val lm = bi.groupBy($"g").agg(count(lit(1)).as("c"))
+    val total = bi.agg(count(lit(1)).cast("double")).scalar()
+    bi.join(lm, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg(log($"c")).as("alc"))
+      .select($"doc_id", $"n_bigrams",
+        round(log(total) - $"alc", 4).as("surprise"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —

@@ -122,6 +122,17 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(hashed.count { case (d, (_, nov)) => nov == exact(d)._2 } == hashed.size)
   }
 
+  test("q65 hashed-key surprise matches the string-key query sans collisions") {
+    // 8-byte shuffle keys for both bigram shuffles; a collision merges
+    // two grams' counts (nudges ln c), absent at this scale
+    val exact = graft.jobs.DocumentQueries
+      .queries("q65_bigram_surprise")(spark, sf0001)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val hashed = graft.jobs.DocumentQueries.bigramSurpriseHashed(spark, sf0001)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hashed == exact, "hashed-key twin drifted from the string-key query")
+  }
+
   test("q06's salted opt-in returns exactly the plain q06 result") {
     val plain = RelationalQueries.q06StarFeatures(spark, sf0001)
     val salted = RelationalQueries.q06StarFeaturesSalted(spark, sf0001, salt = 8)
