@@ -205,6 +205,140 @@ object Similarity {
     ivfTopKWithCentroids(emb,
       centroidTable(emb.sparkSession, model), probes, k, cellCap)
 
+  /** Order-insensitive checksum of a model's centroids — embedded in
+    * the postings artifact so an append or serve with the WRONG model
+    * fails fast instead of silently assigning against different cells
+    * (the one corruption the cells-count check cannot see). */
+  def centroidChecksum(model: KMeansModel): Long =
+    model.clusterCenters.map(c =>
+      java.util.Arrays.hashCode(c.toArray).toLong).sum
+
+  /** Persistable IVF POSTINGS — the corpus side of the index as an
+    * artifact: every vector under its home cell (hot cells capped at
+    * `cellCap`, closest-to-centroid win), with the assignment distance
+    * stored so the cap can be re-applied EXACTLY on later appends, and
+    * the model's cell count + cap + centroid checksum embedded
+    * ([[graft.operators.Dedup.minhashBandIndex]]'s params-in-artifact
+    * stance). Save as parquet next to [[saveIvfIndex]]'s model dir;
+    * [[ivfTopKFromPostings]] then serves queries WITHOUT re-assigning
+    * the corpus — the missing piece that makes IVF serving cost
+    * ∝ queries instead of ∝ corpus per call. */
+  def ivfPostings(emb: DataFrame, model: KMeansModel,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    assignedHome(prepared(emb), centroidTable(spark, model), cellCap)
+      .withColumn("iv_cells", lit(model.clusterCenters.length))
+      .withColumn("iv_cap", lit(cellCap))
+      .withColumn("iv_ck", lit(centroidChecksum(model)))
+  }
+
+  /** Home-cell assignment + deterministic hot-cell cap, shared by the
+    * build and append paths (equality between them depends on this
+    * being ONE definition). */
+  private def assignedHome(corpus: DataFrame, cents: DataFrame,
+      cellCap: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c2 = cents
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    corpus
+      .join(broadcast(c2))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .withColumn("cr", row_number().over(byDist))
+      .filter($"cr" === 1)
+      .select($"cell", $"vec_id".as("cand_id"), $"v".as("cv"),
+        $"nrm".as("cn"), $"d2")
+      .withColumn("cellRank", row_number().over(byCell))
+      .filter($"cellRank" <= cellCap)
+      .drop("cellRank")
+  }
+
+  /** The parameters embedded in a postings artifact (fail-fast seam). */
+  private def postingsParams(postings: DataFrame): (Int, Int, Long) = {
+    val head = postings.select("iv_cells", "iv_cap", "iv_ck").take(1)
+    require(head.nonEmpty,
+      "empty IVF postings — build them with ivfPostings over the corpus")
+    (head(0).getInt(0), head(0).getInt(1), head(0).getLong(2))
+  }
+
+  /** Roll a postings artifact forward for newly arrived vectors —
+    * assignment against the FROZEN centroids (the model must be the
+    * artifact's own: checksum-verified), then the hot-cell cap
+    * re-applied over old ∪ new WITHIN TOUCHED CELLS ONLY, so a closer
+    * newcomer evicts exactly as a from-scratch build would. Cost:
+    * delta assignment (∝ batch, centroids broadcast) + a window over
+    * the touched cells' populations — never a full-postings pass; at
+    * most `numCells` cells exist, and a batch touches at most
+    * batch-many. Spec-pinned EXACTLY equal to rebuilding postings over
+    * the union (d2 is stored, so cap ties resolve identically). */
+  def appendToIvfPostings(postings: DataFrame, model: KMeansModel,
+      newEmb: DataFrame): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val (cells, cap, ck) = postingsParams(postings)
+    require(model.clusterCenters.length == cells,
+      s"model has ${model.clusterCenters.length} cells, artifact $cells")
+    require(centroidChecksum(model) == ck,
+      "model centroids differ from the artifact's — append with the " +
+        "index's own saved model (loadIvfIndex), or rebuild ivfPostings")
+    val delta = assignedHome(prepared(newEmb),
+      centroidTable(spark, model), cap)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap))
+      .withColumn("iv_ck", lit(ck))
+    val touched = delta.select($"cell").distinct()
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    val recapped = postings
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+      .unionByName(delta)
+      .withColumn("cellRank", row_number().over(byCell))
+      .filter($"cellRank" <= cap)
+      .drop("cellRank")
+    postings
+      .join(broadcast(touched), Seq("cell"), "left_anti")
+      .unionByName(recapped)
+  }
+
+  /** Serve top-k for a QUERY set from the persisted postings: queries
+    * assign to their `probes` nearest cells (broadcast centroids —
+    * query-side work only), candidates come from the artifact. The
+    * corpus is never re-assigned, never re-normed: steady-state serving
+    * cost is ∝ queries × probed-cell populations. Queries matching a
+    * posting's cand_id are self-excluded (same contract as the other
+    * top-k paths). */
+  def ivfTopKFromPostings(queryEmb: DataFrame, model: KMeansModel,
+      postings: DataFrame, probes: Int, k: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    val (cells, _, ck) = postingsParams(postings)
+    require(model.clusterCenters.length == cells &&
+      centroidChecksum(model) == ck,
+      "model centroids differ from the postings artifact's")
+    val c2 = centroidTable(spark, model)
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val queries = prepared(queryEmb)
+      .join(broadcast(c2))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .withColumn("cr", row_number().over(byDist))
+      .filter($"cr" <= probes)
+      .select($"cell", $"vec_id", $"v", $"nrm")
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
+    queries
+      .join(postings.select($"cell", $"cand_id", $"cv", $"cn"), Seq("cell"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+      .select($"vec_id", $"cand_id", $"sim")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+  }
+
   /** Measured recall@k of the trained-IVF path against brute-force
     * truth — the index-quality number a recall-sensitive deployment
     * tracks per index build (emitted into the bench metrics block;

@@ -100,6 +100,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("IVF postings artifact: build → parquet → serve equals the model path") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_post").toString
+    Similarity.ivfPostings(emb, model, cellCap = 64)
+      .write.mode("overwrite").parquet(path)
+    val postings = spark.read.parquet(path)
+    val served = Similarity.ivfTopKFromPostings(emb, model, postings,
+      probes = 4, k = 3)
+    val direct = Similarity.ivfTopKWithModel(emb, model, probes = 4, k = 3,
+      cellCap = 64)
+    assert(served.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(served).count() == 0,
+      "postings-served top-k must equal the corpus-reassigning path")
+    assert(served.count() > 0)
+  }
+
+  test("appendToIvfPostings equals a from-scratch build over the union") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val old = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    // a tight cap so the append genuinely EVICTS: newcomers closer to a
+    // centroid must push capped-out old members, exactly as a rebuild
+    val cap = 16
+    val appended = Similarity.appendToIvfPostings(
+      Similarity.ivfPostings(old, model, cap), model, batch)
+    val rebuilt = Similarity.ivfPostings(emb, model, cap)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(appended) == rows(rebuilt))
+    // eviction actually happened (cap binds at this fixture density)
+    assert(rebuilt.count() < Similarity.ivfPostings(emb, model).count())
+  }
+
+  test("IVF postings reject a foreign model by centroid checksum") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L)
+    val other = Similarity.fitIvfIndex(emb, numCells = 8, seed = 7L)
+    val postings = Similarity.ivfPostings(emb, model)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPostings(postings, other, emb.limit(5))
+    }
+    assert(e.getMessage.contains("centroids differ"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromPostings(emb, other, postings, 4, 3)
+    }
+  }
+
   test("IVF cell cap bounds any query's candidate set on hot cells") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     // k larger than any possible candidate count → output rows = distinct
