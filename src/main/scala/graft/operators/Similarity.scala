@@ -279,6 +279,22 @@ object Similarity {
       newEmb: DataFrame): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
+    val (recapped, touched) = recapTouched(postings, model, newEmb)
+    postings
+      .join(broadcast(touched), Seq("cell"), "left_anti")
+      .unionByName(recapped)
+  }
+
+  /** The touched-cell recap shared by [[appendToIvfPostings]] and the
+    * in-place directory form: (recapped rows of every touched cell,
+    * the touched-cell list). Re-appending an already-indexed vector is
+    * ABSORBED (dedup on (cell, cand_id) — identical rows by
+    * determinism of d2), which is what makes a crash-replayed in-place
+    * append converge instead of double-counting candidates. */
+  private def recapTouched(postings: DataFrame, model: KMeansModel,
+      newEmb: DataFrame): (DataFrame, DataFrame) = {
+    val spark = postings.sparkSession
+    import spark.implicits._
     val (cells, cap, ck) = postingsParams(postings)
     require(model.clusterCenters.length == cells,
       s"model has ${model.clusterCenters.length} cells, artifact $cells")
@@ -294,13 +310,52 @@ object Similarity {
     val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
     val recapped = postings
       .join(broadcast(touched), Seq("cell"), "left_semi")
-      .unionByName(delta)
+      .unionByName(delta.select(postings.columns.map(col): _*))
+      .dropDuplicates(Seq("cell", "cand_id"))
       .withColumn("cellRank", row_number().over(byCell))
       .filter($"cellRank" <= cap)
       .drop("cellRank")
-    postings
-      .join(broadcast(touched), Seq("cell"), "left_anti")
-      .unionByName(recapped)
+    (recapped, touched)
+  }
+
+  /** Persist postings PARTITIONED BY CELL — the directory layout that
+    * makes in-place maintenance and cell-pruned serving possible
+    * (a probe of 12 cells reads 12 directories). */
+  def saveIvfPostings(postings: DataFrame, path: String): Unit =
+    postings.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Roll a cell-partitioned postings DIRECTORY forward in place:
+    * dynamic partition overwrite rewrites ONLY the touched cells'
+    * directories — at 10⁴ cells and a batch touching dozens, the
+    * artifact rewrite is ~touched/total of the naive full overwrite.
+    * The recapped frame is materialized before the write (a plain-
+    * parquet overwrite may not read its own input), and the
+    * (cell, cand_id) dedup in the recap makes a crash-replayed batch
+    * converge to the same directory state. Concurrent readers see
+    * per-partition swaps, not one atomic commit — run between serving
+    * epochs, or move the artifact to a transactional format for live
+    * multi-reader maintenance (same stance as
+    * [[graft.sources.WarehouseWriter.compactParquet]]). */
+  def appendIvfPostingsInPlace(spark: SparkSession, path: String,
+      model: KMeansModel, newEmb: DataFrame): Unit = {
+    spark.catalog.refreshByPath(path)
+    val postings = spark.read.parquet(path)
+    val (recapped, _) = recapTouched(postings, model, newEmb)
+    val materialized = recapped.localCheckpoint(true)
+    try {
+      val saved = spark.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try materialized.write.mode("overwrite").partitionBy("cell")
+        .parquet(path)
+      finally saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+    } finally org.apache.spark.sql.GraftColumnBridge
+      .unpersistLocalCheckpoint(materialized)
   }
 
   /** Serve top-k for a QUERY set from the persisted postings: queries

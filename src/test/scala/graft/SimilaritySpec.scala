@@ -139,6 +139,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rebuilt.count() < Similarity.ivfPostings(emb, model).count())
   }
 
+  test("in-place postings append rewrites only touched cell directories") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 32, seed = 42L,
+      trainFraction = 0.5)
+    val old = emb.filter($"vec_id" % 10 =!= 0)
+    val batch = emb.filter($"vec_id" % 10 === 0)
+      .orderBy($"vec_id").limit(5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_inplace").toString
+    val oldPostings = Similarity.ivfPostings(old, model, cellCap = 16)
+    Similarity.saveIvfPostings(oldPostings, path)
+
+    val touched = Similarity.appendToIvfPostings(oldPostings, model, batch)
+      .join(Similarity.ivfPostings(batch, model, 16).select($"cell"),
+        Seq("cell"), "left_semi") // cells the batch lands in
+      .select($"cell").distinct().as[Int].collect().toSet
+    val untouchedCell = spark.read.parquet(path)
+      .select($"cell").distinct().as[Int].collect()
+      .filterNot(touched).headOption
+      .getOrElse(fail("fixture needs an untouched cell — shrink the batch"))
+    val hp = new org.apache.hadoop.fs.Path(s"$path/cell=$untouchedCell")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing() = fs.listStatus(hp)
+      .map(f => (f.getPath.getName, f.getModificationTime)).toSet
+    val before = listing()
+
+    Similarity.appendIvfPostingsInPlace(spark, path, model, batch)
+    val want = Similarity.appendToIvfPostings(oldPostings, model, batch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(spark.read.parquet(path)) == rows(want))
+    assert(listing() == before,
+      "an untouched cell's directory must not be rewritten")
+    // crash-replay convergence: the same batch again changes nothing
+    Similarity.appendIvfPostingsInPlace(spark, path, model, batch)
+    assert(rows(spark.read.parquet(path)) == rows(want))
+  }
+
   test("IVF postings reject a foreign model by centroid checksum") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L)
