@@ -1,10 +1,11 @@
 package graft.streaming
 
+import org.apache.spark.ml.clustering.KMeansModel
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Streaming corpus ingest with incremental near-dup dedup — the
   * [[Dedup.nearDupIngestRound]] pipeline lifted onto Structured
@@ -109,6 +110,25 @@ object CorpusIngest {
         delta.write.mode("append").parquet(indexPath)
     }
   }
+
+  /** Streaming EMBEDDING ingest — the third artifact family on the
+    * same seam: each micro-batch of `(vec_id, embedding, label)` rows
+    * rolls the cell-partitioned IVF postings directory forward via
+    * [[Similarity.appendIvfPostingsInPlace]] (frozen centroids,
+    * touched-cell partition overwrite, cost ∝ batch + touched cells).
+    * Crash re-deliveries CONVERGE — the recap dedups on
+    * (cell, cand_id), so replaying a micro-batch reproduces the same
+    * directory state (the property the in-place spec pins). Bootstrap
+    * `postingsPath` with [[Similarity.saveIvfPostings]] over the seed
+    * corpus (or an empty frame) using the model this stream will run;
+    * retrain + rebuild when drift erodes recall (the IvfSweep knee is
+    * the signal), exactly as a batch deployment would. */
+  def embeddingIngest(embStream: DataFrame, model: KMeansModel,
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      Similarity.appendIvfPostingsInPlace(batch.sparkSession, postingsPath,
+        model, batch)
+    }
 
   /** Parquet-directory convenience sink: kept docs append to
     * `corpusPath`, the index delta appends to `indexPath` (which must

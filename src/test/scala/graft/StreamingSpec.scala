@@ -16,6 +16,9 @@ case class KafkaWire(key: Array[Byte], value: Array[Byte], topic: String,
 /** One streamed document for the corpus-ingest seam. */
 case class DocRow(doc_id: Long, text: String)
 
+/** One streamed embedding for the IVF-ingest seam. */
+case class EmbRow(vec_id: Long, embedding: Array[Float], label: Int)
+
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val eventsDir = EventsStream.stageEventsDir(sf0001)
@@ -781,5 +784,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       spark.read.parquet(idxPath), spark.read.parquet(bloomPath))
     assert(keptProbe.select($"doc_id").as[Long].collect().toSet ==
       Set(9101L))
+  }
+
+  test("streaming embedding ingest rolls the IVF postings forward per batch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    def embRows(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[EmbRow].collect().toIndexedSeq
+    val b1 = embRows($"vec_id" % 3 === 1)
+    val b2 = embRows($"vec_id" % 3 === 2)
+
+    val path = Files.createTempDirectory("graft_emb_ingest").toString
+    val p0 = Similarity.ivfPostings(seed, model, cellCap = 16)
+    Similarity.saveIvfPostings(p0, path)
+
+    val ms = MemoryStream[EmbRow](spark)
+    val q = CorpusIngest.embeddingIngest(ms.toDF(), model, path).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // replay converges
+    } finally q.stop()
+
+    val p1 = Similarity.appendToIvfPostings(p0, model, b1.toDF())
+    val want = Similarity.appendToIvfPostings(p1, model, b2.toDF())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(spark.read.parquet(path)) == rows(want),
+      "streamed postings must equal sequential batch appends, replay absorbed")
+    // the rolled-forward artifact still serves
+    val served = Similarity.ivfTopKFromPostings(
+      emb.limit(20), model, spark.read.parquet(path), probes = 4, k = 3)
+    assert(served.count() > 0)
   }
 }
