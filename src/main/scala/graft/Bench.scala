@@ -111,7 +111,8 @@ object Bench {
         val nd = IndexBench.nearDup(spark, sfDir, iters = 3)
         val ct = IndexBench.contamination(spark, sfDir, iters = 3)
         val ex = IndexBench.exactDedup(spark, sfDir, iters = 3)
-        f"""{"ivf_recall_at_10":$recall%.4f,"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f}"""
+        val iv = IndexBench.ivfServe(spark, sfDir, iters = 3)
+        f"""{"ivf_recall_at_10":$recall%.4f,"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message
