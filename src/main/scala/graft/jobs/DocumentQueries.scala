@@ -714,6 +714,31 @@ object DocumentQueries {
         round(log(total) - $"alc", 4).as("surprise"))
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Deterministic balanced eval sample — fixed-n held-out docs PER
+    * SOURCE (the eval-set construction station: q49's proportional
+    * split can starve a small source; a benchmark wants n per stratum).
+    * "Random" order is `md5(salt:doc_id)` — reproducible across
+    * reruns/partitionings/engines, salted so it is independent of the
+    * q49 split and the q64 epoch permutations (different salt ⇒
+    * different, uncorrelated hash order).
+    *
+    * Scale shape: one shuffle on the stratum key; the rank window is a
+    * top-n per group, which Spark executes as WindowGroupLimit —
+    * partial limits run MAP-SIDE before the exchange, so the shuffle
+    * carries ~n rows per source per task, not the corpus. */
+  val evalSamplePerSource = 20
+  def q66EvalSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(md5(concat(lit("eval:"), $"doc_id")).asc, $"doc_id".asc)
+    docs(spark, dir)
+      .select($"doc_id", $"source")
+      .withColumn("rk", row_number().over(byHash))
+      .filter($"rk" <= evalSamplePerSource)
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -749,7 +774,8 @@ object DocumentQueries {
     "q62_pii_scrub" -> (q62PiiScrub _),
     "q63_exact_index_screen" -> (q63ExactIndexScreen _),
     "q64_epoch_shuffle" -> (q64EpochShuffle _),
-    "q65_bigram_surprise" -> (q65BigramSurprise _))
+    "q65_bigram_surprise" -> (q65BigramSurprise _),
+    "q66_eval_sample" -> (q66EvalSample _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -799,6 +825,13 @@ object DocumentQueries {
            round(ln((SELECT t FROM tot)) - avg(ln(lm.c)), 4) AS surprise
          FROM bg JOIN lm USING (g)
          GROUP BY bg.doc_id""",
+    "q66_eval_sample" ->
+      s"""SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('eval:' || doc_id), doc_id) AS INTEGER) AS rk
+           FROM documents)
+         WHERE rk <= $evalSamplePerSource""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id
