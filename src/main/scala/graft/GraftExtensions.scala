@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftColumnBridge, SparkSession, SparkSessionExtens
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ArrayDotProduct, MinHashBandKeys, MinHashSignature, ShingleHashes, SimHashPacked, WinnowMins}
+import graft.expressions.{ArrayDotProduct, MinHashBandKeys, MinHashSignature, NfcNormalize, ShingleHashes, SimHashPacked, WinnowMins}
 
 /** `SparkSessionExtensions` hook registering graft's native expressions
   * as SQL functions — enable cluster-wide with
@@ -114,6 +114,13 @@ object GraftExtensions {
           requireArity("graft_winnow_mins", children, Seq(2))
           WinnowMins(children.head,
             foldableInt("graft_winnow_mins", "w", children(1)))
+        }),
+      // graft_nfc(text string) — Unicode NFC canonical composition
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+        (children: Seq[Expression]) => {
+          requireArity("graft_nfc", children, Seq(1))
+          NfcNormalize(children.head)
         }))
 
   /** Register on an already-running session (tests, notebooks). */

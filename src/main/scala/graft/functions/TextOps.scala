@@ -86,6 +86,34 @@ object TextOps {
         emailRe, "<EMAIL>"),
       ipv4Re, "<IP>")
 
+  /** Unicode NFC canonical composition — [[graft.expressions.NfcNormalize]]
+    * as a Column (also SQL-registered as `graft_nfc`). */
+  def nfcNormalize(text: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.NfcNormalize(GraftColumnBridge.expression(text)))
+
+  /** Text-cleaning patterns. Both run under Java regex (Spark) and RE2
+    * (DuckDB oracle, q69) with IDENTICAL pattern text — `\xHH`/`\x{HHHH}`
+    * escapes and char-class ranges mean the same thing in both dialects.
+    *  - [[controlRe]]: C0 control chars except \t \n \r (stripped — the
+    *    mojibake bytes a crawl drags in);
+    *  - [[unicodeSpaceRe]]: ASCII whitespace + NBSP/narrow-NBSP/figure
+    *    space (collapsed to one space). */
+  val controlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  val unicodeSpaceRe = "[ \\t\\n\\r\\x{00A0}\\x{202F}\\x{2007}]+"
+
+  /** The text-cleaning station (C4/CCNet lineage): strip control chars,
+    * NFC-normalize, collapse unicode whitespace, trim — IN THAT ORDER,
+    * and the order is contractual: stripping a control byte can make a
+    * base letter adjacent to a combining mark, so NFC must run AFTER
+    * the strip for the pair to compose (spec-pinned). Per-row expression
+    * work, zero shuffle; the NFC step is the native [[nfcNormalize]]
+    * kernel with an allocation-free ASCII fast path. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      nfcNormalize(regexp_replace(text, controlRe, "")),
+      unicodeSpaceRe, " "))
+
   /** 60-bit hash from the md5 hex prefix — slower than xxhash64 but
     * reproducible in any engine with md5 (the DuckDB oracle recomputes
     * it as `('0x'||substr(md5(w),1,15))::UBIGINT`). 15 hex chars = 60

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextOps._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Validate}
 
 /** Text-analysis + deduplication surface over the `documents` table
   * (the LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -739,6 +739,68 @@ object DocumentQueries {
       .filter($"rk" <= evalSamplePerSource)
   }
 
+  // ---------------------------------------------------------------- q67
+  /** One-pass data-quality gate over the corpus snapshot — the
+    * expectation suite ([[graft.operators.Validate]]) an ingest runs
+    * before promoting a snapshot (reference analogue: the row-count /
+    * drift shell checks around the warehouse load, `db2wh-etl.sh`).
+    * The whole suite is ONE aggregate over `documents` (adding a check
+    * adds a column, not a pass); verdicts are scalar projections over
+    * the one-row result. Ratios are exact integer-sum / count with a
+    * single double division, so values are bit-identical across
+    * engines and partitionings. */
+  val qualityAllowedLangs: Seq[String] = Seq("en", "zh", "es", "de", "fr")
+  def q67QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import Validate.{Check, fraction, ratio}
+    Validate.report(docs(spark, dir), Seq(
+      Check("row_count", count(lit(1)), _ > 0.0),
+      Check("doc_id_unique",
+        fraction(countDistinct($"doc_id"), count(lit(1))),
+        _ === 1.0),
+      Check("text_nonempty", ratio($"text".isNotNull && length($"text") > 0),
+        _ >= 0.99),
+      Check("n_chars_consistent", ratio($"n_chars" === length($"text")),
+        _ === 1.0),
+      Check("lang_in_allowed_set", ratio($"lang".isin(qualityAllowedLangs: _*)),
+        _ === 1.0),
+      Check("n_chars_min", min($"n_chars"), _ >= 1.0),
+      Check("n_chars_max", max($"n_chars"), _ <= 100000.0)))
+  }
+
+  // ---------------------------------------------------------------- q69
+  /** Text-cleaning station ([[graft.functions.TextOps.cleanText]]: strip
+    * C0 controls → NFC-compose → collapse unicode whitespace → trim)
+    * over deterministically DIRTIED fixture text — the q62 move: the
+    * fixture corpus is already clean, so both engines append the same
+    * mojibake suffix (decomposed accents, a NUL between a base letter
+    * and its combining mark, tab/NBSP/double-space runs) and must agree
+    * byte-for-byte on the cleaned result (md5-checked). Per-row
+    * expression work, zero shuffle; the NFC step is the native
+    * `graft_nfc` kernel. */
+  /** The dirt appended to every fixture doc by q69, built from char
+    * codes so the source stays pure ASCII: ` Cafe`+U+0301 (combining
+    * acute — NFC composes to `é`), ` A`+NUL+U+0301+`B` (the mark
+    * composes onto `A` only AFTER the control strip removes the NUL),
+    * tab, `C`+NBSP+`D`, double space, `E`. */
+  val dirtySuffix: String = new String(Array(
+    ' ', 'C', 'a', 'f', 'e', 0x0301.toChar,
+    ' ', 'A', 0x0000.toChar, 0x0301.toChar, 'B',
+    '\t', 'C', 0x00A0.toChar, 'D', ' ', ' ', 'E'))
+
+  def q69TextClean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // " Cafe"+U+0301 (composes to é), "A"+NUL+U+0301+"B" (composes only
+    // after the control strip), tab, NBSP, double space
+    val messy = concat($"text", lit(DocumentQueries.dirtySuffix))
+    val clean = cleanText(messy)
+    docs(spark, dir)
+      .select($"doc_id",
+        length(messy).cast("long").as("raw_len"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_hash"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -775,7 +837,9 @@ object DocumentQueries {
     "q63_exact_index_screen" -> (q63ExactIndexScreen _),
     "q64_epoch_shuffle" -> (q64EpochShuffle _),
     "q65_bigram_surprise" -> (q65BigramSurprise _),
-    "q66_eval_sample" -> (q66EvalSample _))
+    "q66_eval_sample" -> (q66EvalSample _),
+    "q67_quality_gate" -> (q67QualityGate _),
+    "q69_text_clean" -> (q69TextClean _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -832,6 +896,51 @@ object DocumentQueries {
                ORDER BY md5('eval:' || doc_id), doc_id) AS INTEGER) AS rk
            FROM documents)
          WHERE rk <= $evalSamplePerSource""",
+    // identical arithmetic to Validate.report: exact integer sums, one
+    // double division per ratio, verdicts recomputed from the values
+    "q67_quality_gate" ->
+      """WITH m AS (SELECT
+           count(*) AS n,
+           count(distinct doc_id) AS n_ids,
+           sum(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 1 ELSE 0 END) AS nonempty,
+           sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS consistent,
+           sum(CASE WHEN lang IN ('en','zh','es','de','fr') THEN 1 ELSE 0 END) AS lang_ok,
+           min(n_chars) AS min_c, max(n_chars) AS max_c
+         FROM documents)
+         SELECT 'row_count' AS check_name, CAST(n AS DOUBLE) AS value, n > 0 AS passed FROM m
+         UNION ALL SELECT 'doc_id_unique', CAST(n_ids AS DOUBLE) / CAST(n AS DOUBLE),
+           CAST(n_ids AS DOUBLE) / CAST(n AS DOUBLE) = 1e0 FROM m
+         UNION ALL SELECT 'text_nonempty', CAST(nonempty AS DOUBLE) / CAST(n AS DOUBLE),
+           CAST(nonempty AS DOUBLE) / CAST(n AS DOUBLE) >= 0.99 FROM m
+         UNION ALL SELECT 'n_chars_consistent', CAST(consistent AS DOUBLE) / CAST(n AS DOUBLE),
+           CAST(consistent AS DOUBLE) / CAST(n AS DOUBLE) = 1e0 FROM m
+         UNION ALL SELECT 'lang_in_allowed_set', CAST(lang_ok AS DOUBLE) / CAST(n AS DOUBLE),
+           CAST(lang_ok AS DOUBLE) / CAST(n AS DOUBLE) = 1e0 FROM m
+         UNION ALL SELECT 'n_chars_min', CAST(min_c AS DOUBLE), min_c >= 1 FROM m
+         UNION ALL SELECT 'n_chars_max', CAST(max_c AS DOUBLE), max_c <= 100000 FROM m""",
+    // same dirt suffix as dirtySuffix (chr codes), same clean pipeline:
+    // strip C0 controls -> nfc_normalize -> collapse unicode spaces ->
+    // trim; regex pattern TEXT is identical to TextOps (RE2 and Java
+    // agree on \xHH / \x{HHHH} and char-class ranges); 'g' flag because
+    // DuckDB regexp_replace is first-match-only by default where
+    // Spark's is global
+    "q69_text_clean" ->
+      """WITH m AS (
+           SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' A' || chr(0) || chr(769) || 'B'
+               || chr(9) || 'C' || chr(160) || 'D  E' AS messy
+           FROM documents),
+         c AS (
+           SELECT doc_id, messy,
+             trim(regexp_replace(
+               nfc_normalize(regexp_replace(messy,
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')),
+               '[ \t\n\r\x{00A0}\x{202F}\x{2007}]+', ' ', 'g')) AS clean
+           FROM m)
+         SELECT doc_id, CAST(length(messy) AS BIGINT) AS raw_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           md5(clean) AS clean_hash
+         FROM c""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id

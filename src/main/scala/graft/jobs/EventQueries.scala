@@ -311,6 +311,57 @@ object EventQueries {
       .select($"user_id", $"view_id", $"click_id", $"view_ts", $"click_ts")
   }
 
+  // ---------------------------------------------------------------- q68
+  /** Ingest-rate anomaly screen — the pipeline-monitoring station: an
+    * hour whose event count sits more than `zThreshold` sample standard
+    * deviations from its own trailing-`horizonHours` baseline is
+    * flagged (a stalled upstream scraper reads as a drop, a replayed
+    * dump or runaway client as a spike). The baseline EXCLUDES the
+    * scored hour (an anomaly must not dampen its own z-score) and is a
+    * RANGE frame over the hour index, so gap hours genuinely age out
+    * of the window instead of stretching it.
+    *
+    * Determinism across engines/partitionings: the windowed sums are
+    * exact integers (count, Σx, Σx² in BIGINT); the z-score is then
+    * ONE fixed shape of correctly-rounded double ops from those exact
+    * integers — no scan-order float accumulation anywhere (`stddev`
+    * over a window would accumulate in frame order).
+    *
+    * Scale shape: the hourly rollup is a map-side-partial aggregate
+    * whose shuffle carries one row per (partition, hour); the window
+    * then runs over ≤ hours-per-decade rows (~10⁵ at a century of
+    * data) — a deliberate single-partition sort over a frame that is
+    * tiny BY CONSTRUCTION, not by luck. Partition by calendar year
+    * before the window if the hour index ever stops fitting one task. */
+  def hourlyAnomaly(events: DataFrame, horizonHours: Int = 24,
+      minBaseline: Int = 12, zThreshold: Double = 3.0): DataFrame = {
+    val hours = events
+      .select(expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)" +
+          " div 3600000000").as("hour_idx"))
+      .groupBy("hour_idx")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy(col("hour_idx")).rangeBetween(-horizonHours, -1)
+    val n = col("base_n").cast("double")
+    val s = col("base_s").cast("double")
+    val q = col("base_q").cast("double")
+    val x = col("n_events").cast("double")
+    val varNum = n * q - s * s // n·Σx² − (Σx)²; > 0 ⟺ baseline non-constant
+    hours
+      .withColumn("base_n", count(col("n_events")).over(w))
+      .withColumn("base_s", sum(col("n_events")).over(w).cast("long"))
+      .withColumn("base_q",
+        sum(col("n_events") * col("n_events")).over(w).cast("long"))
+      .withColumn("z",
+        when(col("base_n") >= minBaseline && varNum > 0.0,
+          (x - s / n) / sqrt(varNum / (n * (n - lit(1.0))))))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select("hour_idx", "n_events", "base_n", "z", "is_anomaly")
+  }
+
+  def q68IngestAnomaly(spark: SparkSession, dir: String): DataFrame =
+    hourlyAnomaly(ev(spark, dir))
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_events_json" -> (q14EventsJson _),
@@ -322,7 +373,8 @@ object EventQueries {
     "q50_funnel" -> (q50Funnel _),
     "q51_retention" -> (q51Retention _),
     "q58_attributed_clicks" -> (q58AttributedClicks _),
-    "q59_attributed_outer" -> (q59AttributedClicksOuter _))
+    "q59_attributed_outer" -> (q59AttributedClicksOuter _),
+    "q68_ingest_anomaly" -> (q68IngestAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "q14_events_json" ->
@@ -471,5 +523,36 @@ object EventQueries {
          SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
          FROM v LEFT JOIN c ON v.user_id = c.cu
           AND epoch_us(c.click_ts) > epoch_us(v.view_ts)
-          AND epoch_us(c.click_ts) <= epoch_us(v.view_ts) + 86400000000""")
+          AND epoch_us(c.click_ts) <= epoch_us(v.view_ts) + 86400000000""",
+    // identical arithmetic to hourlyAnomaly: exact BIGINT window sums,
+    // then one fixed shape of double ops (casts → products → division →
+    // sqrt), so z is bit-identical across engines
+    "q68_ingest_anomaly" ->
+      """WITH h AS (
+           SELECT epoch_us(ts) // 3600000000 AS hour_idx,
+             count(*) AS n_events
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT hour_idx, n_events,
+             count(n_events) OVER w AS base_n,
+             CAST(sum(n_events) OVER w AS BIGINT) AS base_s,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS base_q
+           FROM h
+           WINDOW w AS (ORDER BY hour_idx
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT hour_idx, n_events, base_n,
+             CASE WHEN base_n >= 12
+                   AND CAST(base_n AS DOUBLE) * CAST(base_q AS DOUBLE)
+                     - CAST(base_s AS DOUBLE) * CAST(base_s AS DOUBLE) > 0e0
+               THEN (CAST(n_events AS DOUBLE)
+                      - CAST(base_s AS DOUBLE) / CAST(base_n AS DOUBLE))
+                 / sqrt((CAST(base_n AS DOUBLE) * CAST(base_q AS DOUBLE)
+                          - CAST(base_s AS DOUBLE) * CAST(base_s AS DOUBLE))
+                   / (CAST(base_n AS DOUBLE) * (CAST(base_n AS DOUBLE) - 1e0)))
+             END AS z
+           FROM b)
+         SELECT hour_idx, n_events, base_n, z,
+           coalesce(abs(z) > 3e0, false) AS is_anomaly
+         FROM z""")
 }

@@ -104,6 +104,44 @@ class TextQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == ((0, 0, 2, "edge <IP> and <IP> ok")))
   }
 
+  test("cleanText: controls stripped, NFC composed, whitespace collapsed") {
+    import graft.functions.TextOps
+    // decomposed "Cafe"+U+0301; "A"+NUL+U+0301+"B" where the mark can
+    // compose onto A only AFTER the control strip (order contract);
+    // tab / NBSP / double-space runs collapse to single spaces
+    val dirty = new String(Array(
+      ' ', 'C', 'a', 'f', 'e', 0x0301.toChar,
+      ' ', 'A', 0x0000.toChar, 0x0301.toChar, 'B',
+      '\t', 'C', 0x00A0.toChar, 'D', ' ', ' ', 'E', ' '))
+    val cleaned = Seq(Tuple1("Hi" + dirty)).toDF("text")
+      .select(TextOps.cleanText($"text").as("c")).head.getString(0)
+    val cafe = "Caf" + 0x00E9.toChar         // é composed
+    val ab = "" + 0x00C1.toChar + "B"        // Á composed post-strip
+    assert(cleaned == s"Hi $cafe $ab C D E", s"got: $cleaned")
+    // ASCII text is untouched (the kernel's fast path is the identity)
+    val ascii = "plain ascii text"
+    assert(Seq(Tuple1(ascii)).toDF("text")
+      .select(TextOps.cleanText($"text")).head.getString(0) == ascii)
+  }
+
+  test("graft_nfc is SQL-registered and matches java.text.Normalizer on fuzz") {
+    import java.text.Normalizer
+    val decomposed = "Cafe" + 0x0301.toChar
+    val viaSql = spark.sql(
+      s"SELECT graft_nfc('$decomposed')").head.getString(0)
+    assert(viaSql == "Caf" + 0x00E9.toChar)
+    // seeded fuzz over a palette rich in combining marks vs driver truth
+    val palette = Array[Char]('a', 'e', 'o', 'n', ' ', 0x0301.toChar,
+      0x0300.toChar, 0x0303.toChar, 0x00E9.toChar, 0x4F60.toChar, 'Z')
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)(
+      String.valueOf(Array.fill(rnd.nextInt(12))(palette(rnd.nextInt(palette.length)))))
+    val got = rows.map(Tuple1(_)).toDF("s")
+      .select(graft.functions.TextOps.nfcNormalize($"s")).collect().map(_.getString(0))
+    val want = rows.map(Normalizer.normalize(_, Normalizer.Form.NFC))
+    assert(got.sameElements(want))
+  }
+
   test("q61 sequence packing: hand fixture packs by running token offset") {
     // one shard, budget 256: doc token counts 100, 100, 100, 300, 10 →
     // starts 0,100,200,300,600 → packs 0,0,0,1,2. The 300-token doc
