@@ -41,7 +41,7 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       "q46_token_chunks", "q49_hash_split", "q53_repetition",
       "q54_source_mix", "q56_tfidf_topk", "q57_source_overlap",
       "q63_exact_index_screen", "q64_epoch_shuffle",
-      "q65_bigram_surprise")) {
+      "q65_bigram_surprise", "q66_eval_sample", "q69_text_clean")) {
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n == 0L, s"$name returned $n rows on an empty corpus")
     }
@@ -129,6 +129,9 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     assert(SparkEntry.queries("q59_attributed_outer")(spark, dir)
+      .count() == 0L)
+    // no events at all → no hours to score, not a window error
+    assert(SparkEntry.queries("q68_ingest_anomaly")(spark, dir)
       .count() == 0L)
   }
 
