@@ -74,7 +74,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // difference between a single corpus pass and a corpus re-shuffle
     Seq("q19_text_quality", "q23_embed_norms", "q28_multimodal_meta",
       "q30_oncology_flags", "q36_winnow_fingerprints", "q46_token_chunks",
-      "q48_embed_quantize", "q53_repetition").foreach { name =>
+      "q48_embed_quantize", "q53_repetition", "q69_text_clean").foreach { name =>
       val p = finalPlan(name)
       assert(!p.contains("Exchange hashpartitioning") &&
         !p.contains("Exchange rangepartitioning") &&
@@ -216,6 +216,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val exchanges = "Exchange (hash|range|SinglePartition|RoundRobin)".r
       .findAllIn(p).size
     assert(exchanges == 1, s"q61 expected 1 exchange, found $exchanges:\n$p")
+  }
+
+  test("q67 quality gate reads the corpus exactly once") {
+    // the whole expectation suite is ONE aggregate over documents —
+    // adding a check must add a column, not a scan; a second scan
+    // appearing means a check escaped the shared aggregate (at 100 TB,
+    // each extra scan is a full corpus read per gate run)
+    val p = finalPlan("q67_quality_gate").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"q67 expected 1 corpus scan, found $scans:\n$p")
+  }
+
+  test("q68 anomaly screen: rollup shuffle + one single-partition window only") {
+    // exchange 1: hash on hour_idx for the per-hour rollup (map-side
+    // partial aggregation carries the volume); exchange 2: the global
+    // RANGE window over ≤ ~1e5 hour rows — single-partition BY
+    // CONSTRUCTION. A third exchange means the rollup or the window
+    // stopped riding the intended layout.
+    val p = finalPlan("q68_ingest_anomaly").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange (hash|range|SinglePartition|RoundRobin)".r
+      .findAllIn(p).size
+    assert(exchanges == 2, s"q68 expected 2 exchanges, found $exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"q68 rollup lost map-side partial aggregation:\n$p")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
