@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextOps._
-import graft.operators.{Dedup, Validate}
+import graft.operators.{Dedup, SnapshotDiff, Validate}
 
 /** Text-analysis + deduplication surface over the `documents` table
   * (the LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -801,6 +801,32 @@ object DocumentQueries {
         md5(clean).as("clean_hash"))
   }
 
+  // ---------------------------------------------------------------- q70
+  /** Corpus snapshot diff ([[graft.operators.SnapshotDiff]]) — the
+    * version-audit report between two dump generations (the reference
+    * replaces its warehouse wholesale each month; this is the "what
+    * changed?" those reloads never answer). The fixture has one
+    * snapshot, so v2 is derived deterministically in BOTH engines:
+    * drop `doc_id % 7 = 0` (removed), rewrite text for `% 7 = 1`
+    * (changed), add re-keyed copies of `% 7 = 2` (added) — then the
+    * per-(source, status) rollup is oracle-checkable. One full-outer
+    * equi-join on the id (bucketed layout ⇒ shuffle-free at scale). */
+  def q70SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v1 = docs(spark, dir)
+    val v2 = v1.filter($"doc_id" % 7 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 7 === 1, concat($"text", lit(" v2")))
+          .otherwise($"text"))
+      .unionByName(
+        v1.filter($"doc_id" % 7 === 2)
+          .withColumn("doc_id", $"doc_id" + 1000000L)
+          .withColumn("text", concat($"text", lit(" new"))))
+    SnapshotDiff.snapshotDiff(v1, v2, carry = Seq("source"))
+      .groupBy($"source", $"status")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---------------------------------------------------------------- q42
   /** Dedup clustering: q20's near-dup pairs resolved into connected
     * components with keep/drop flags ([[Dedup.dedupClusters]] —
@@ -839,7 +865,8 @@ object DocumentQueries {
     "q65_bigram_surprise" -> (q65BigramSurprise _),
     "q66_eval_sample" -> (q66EvalSample _),
     "q67_quality_gate" -> (q67QualityGate _),
-    "q69_text_clean" -> (q69TextClean _))
+    "q69_text_clean" -> (q69TextClean _),
+    "q70_snapshot_diff" -> (q70SnapshotDiff _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -941,6 +968,27 @@ object DocumentQueries {
            CAST(length(clean) AS BIGINT) AS clean_len,
            md5(clean) AS clean_hash
          FROM c""",
+    // same deterministic v2 derivation, same full-outer diff semantics
+    "q70_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, source FROM documents),
+         v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END AS text,
+             source
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text || ' new', source
+           FROM documents WHERE doc_id % 7 = 2),
+         d AS (
+           SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(n.source, o.source) AS source
+           FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+         SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+         FROM d GROUP BY source, status""",
     "q17_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies,
          min(doc_id) AS keep_id

@@ -145,6 +145,40 @@ class SnapshotIngestSpec extends AnyFunSuite with SparkSpec {
       Seq((1, "alpha", true), (2, "beta", true)))
   }
 
+  test("snapshot diff: each status assigned exactly, carry cols from the right side") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, "a", "s0"), (2L, "b", "s0"), (3L, "c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((2L, "b", "s0"), (3L, "c-edited", "s1"), (4L, "d", "s9"))
+      .toDF("doc_id", "text", "source")
+    val got = SnapshotDiff.snapshotDiff(v1, v2, carry = Seq("source"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(got == Map(
+      1L -> (("removed", "s0")),   // old side supplies carry for removed
+      2L -> (("unchanged", "s0")),
+      3L -> (("changed", "s1")),
+      4L -> (("added", "s9"))))    // new side supplies carry for added
+  }
+
+  test("snapshot diff: empty sides and precomputed-hash reuse") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SnapshotDiff
+    val docs = Seq((1L, "a", "s0"), (2L, "b", "s0")).toDF("doc_id", "text", "source")
+    val none = docs.limit(0)
+    assert(SnapshotDiff.snapshotDiff(none, docs).collect()
+      .forall(_.getString(1) == "added"))
+    assert(SnapshotDiff.snapshotDiff(docs, none).collect()
+      .forall(_.getString(1) == "removed"))
+    // a snapshot that already carries a content hash (the exactHashIndex
+    // artifact shape) diffs without re-hashing text
+    val hashed = docs.withColumn("h", xxhash64($"text"))
+    val viaStored = SnapshotDiff
+      .snapshotDiff(hashed, hashed, contentHash = $"h").collect()
+    assert(viaStored.length == 2 && viaStored.forall(_.getString(1) == "unchanged"))
+  }
+
   test("reordered-only drift is flagged, and byName restores the clean relation") {
     val dumpDir = Files.createTempDirectory("graft_dump_reorder")
     Files.write(dumpDir.resolve("t.csv"),
