@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorOps._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Validate}
 
 /** Similarity-search surface over the `embeddings` table (the
   * LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -146,6 +146,30 @@ object EmbeddingQueries {
       clusterCap = q55ClusterCap)
   }
 
+  // ---------------------------------------------------------------- q71
+  /** Referential-coverage audit
+    * ([[graft.operators.Validate.referentialCoverage]]) between
+    * `documents` and `embeddings` — the FK gate every training join of
+    * text onto vectors depends on (a missing embedding silently drops
+    * the document from training; an orphan vector is wasted index
+    * space). The fixture aligns 1:1 by construction, so the embeddings
+    * side is degraded deterministically in BOTH engines to make every
+    * report field non-trivial: drop `vec_id % 9 = 0` (missing
+    * embeddings) and add re-keyed copies of `vec_id % 11 = 0` (orphan
+    * vectors, ids offset by 1e6). Per source: facts/covered/missing +
+    * coverage ratio; orphans carry no fact-side source, so they ride
+    * the null-source row. */
+  def q71RefCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+    val e = emb(spark, dir)
+    val degraded = e.filter($"vec_id" % 9 =!= 0)
+      .unionByName(e.filter($"vec_id" % 11 === 0)
+        .withColumn("vec_id", $"vec_id" + 1000000L))
+    Validate.referentialCoverage(d, degraded, "doc_id", "vec_id",
+      groupCols = Seq("source"))
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_embed_norms" -> (q23EmbedNorms _),
@@ -154,9 +178,38 @@ object EmbeddingQueries {
     "q33_embed_neardup" -> (q33EmbedNearDup _),
     "q34_ann_ivf" -> (q34AnnIvf _),
     "q48_embed_quantize" -> (q48EmbedQuantize _),
-    "q55_semantic_dedup" -> (q55SemanticDedup _))
+    "q55_semantic_dedup" -> (q55SemanticDedup _),
+    "q71_ref_coverage" -> (q71RefCoverage _))
 
   val oracle: Map[String, String] = Map(
+    // same deterministic degradation of the embeddings side, same
+    // distinct-ref + full-outer-join + per-source rollup semantics
+    "q71_ref_coverage" ->
+      """WITH e2 AS (
+           SELECT vec_id FROM embeddings WHERE vec_id % 9 <> 0
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id
+           FROM embeddings WHERE vec_id % 11 = 0),
+         r AS (SELECT DISTINCT vec_id FROM e2),
+         j AS (
+           SELECT d.doc_id AS fid, d.source AS source, r.vec_id AS rid
+           FROM documents d FULL OUTER JOIN r ON d.doc_id = r.vec_id)
+         SELECT source,
+           CAST(sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_facts,
+           CAST(sum(CASE WHEN fid IS NOT NULL AND rid IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN fid IS NOT NULL AND rid IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           CAST(sum(CASE WHEN fid IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_orphans,
+           CASE WHEN sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN fid IS NOT NULL AND rid IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN fid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+           END AS coverage
+         FROM j GROUP BY source""",
     "q23_embed_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
          round(sqrt(list_sum(list_transform(embedding,

@@ -47,6 +47,45 @@ object Validate {
   def fraction(num: Column, den: Column): Column =
     when(den > 0, num.cast("double") / den.cast("double"))
 
+  /** Referential-coverage audit between a fact table and the reference
+    * table a downstream join depends on (documents ←→ embeddings, fact
+    * ←→ dimension): per fact-side group, `n_facts` rows, `n_covered`
+    * with a matching reference key, `n_missing` without one, and
+    * `coverage` = covered/facts. Distinct reference keys matching no
+    * fact are tallied as `n_orphans` — those rows carry no fact-side
+    * attributes, so they land on the null-group row (or the single
+    * global row when `groupCols` is empty).
+    *
+    * Reference keys are de-duplicated before the join, so a
+    * double-loaded reference row can neither double-count coverage nor
+    * fan facts out; orphan count is therefore DISTINCT orphan keys.
+    *
+    * Scale shape: the ref-side `distinct` aggregates map-side first,
+    * then ONE full-outer equi-join on the key (shuffle-free when both
+    * sides ride the bucketed S10 layout) feeds a low-cardinality
+    * rollup whose shuffle carries one row per (partition, group). The
+    * `coverage` division happens once per group, after aggregation —
+    * integer counts in, one IEEE double out, so the value is identical
+    * across engines and partitionings. */
+  def referentialCoverage(facts: DataFrame, refs: DataFrame,
+      factKey: String, refKey: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val f = facts.select(col(factKey).as("_f_id") +: groupCols.map(col): _*)
+    val r = refs.select(col(refKey).as("_r_id")).distinct()
+    f.join(r, col("_f_id") === col("_r_id"), "full_outer")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(col("_f_id").isNotNull, 1L).otherwise(0L)).as("n_facts"),
+        sum(when(col("_f_id").isNotNull && col("_r_id").isNotNull, 1L)
+          .otherwise(0L)).as("n_covered"),
+        sum(when(col("_f_id").isNotNull && col("_r_id").isNull, 1L)
+          .otherwise(0L)).as("n_missing"),
+        sum(when(col("_f_id").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .withColumn("coverage",
+        when(col("n_facts") > 0,
+          col("n_covered").cast("double") / col("n_facts").cast("double")))
+  }
+
   /** Run the expectation suite in one aggregate pass; returns the
     * `(check_name, value double, passed boolean)` report, one row per
     * check. */

@@ -242,6 +242,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q68 rollup lost map-side partial aggregation:\n$p")
   }
 
+  test("q70/q71 full-outer audits: sort-merge join, no extra corpus scan") {
+    // both lifecycle audits are ONE full-outer equi-join on the id —
+    // Spark cannot broadcast a full-outer side, so the intended 100 TB
+    // plan is the sort-merge join the bucketed layout makes shuffle-free.
+    // Each snapshot side must be scanned exactly as often as the query
+    // derivation requires (q70 derives v2 from the same fixture: 3 scans;
+    // q71 degrades embeddings from two filters: 3 scans) — an extra scan
+    // means a side stopped being single-pass.
+    Seq("q70_snapshot_diff" -> 3, "q71_ref_coverage" -> 3).foreach {
+      case (name, maxScans) =>
+        val p = finalPlan(name).split("== Initial Plan ==")(0)
+        assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+          s"$name lost its sort-merge full-outer join:\n$p")
+        val scans = "Scan parquet".r.findAllIn(p).size
+        assert(scans <= maxScans,
+          s"$name expected <= $maxScans parquet scans, found $scans:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("q01_pricing_summary", "q05_dashboard_extract", "q19_text_quality")
       .foreach { name =>

@@ -78,6 +78,63 @@ class ValidateSpec extends AnyFunSuite with SparkSpec {
       s"fixture corpus should satisfy the gate: ${rows.mkString("; ")}")
   }
 
+  // ------------------------------------------- referentialCoverage (q71)
+
+  test("referential coverage: covered/missing/orphan tallied exactly") {
+    val facts = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (4L, "s1"))
+      .toDF("doc_id", "source")
+    // 1,3 covered; 2,4 missing; 9 orphan — and ref key 1 is DOUBLE-loaded,
+    // which must neither fan doc 1 out nor count coverage twice
+    val refs = Seq(1L, 1L, 3L, 9L).toDF("vec_id")
+    val got = Validate
+      .referentialCoverage(facts, refs, "doc_id", "vec_id", Seq("source"))
+      .collect()
+      .map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    assert(got == Map(
+      Some("s0") -> ((2L, 1L, 1L, 0L, Some(0.5))),
+      Some("s1") -> ((2L, 1L, 1L, 0L, Some(0.5))),
+      // orphans carry no fact-side source → the null-group row
+      None -> ((0L, 0L, 0L, 1L, None))))
+  }
+
+  test("referential coverage: empty sides and the global (ungrouped) form") {
+    val facts = Seq((1L, "s0"), (2L, "s0")).toDF("doc_id", "source")
+    val refs = Seq(1L).toDF("vec_id")
+    // no groupCols → one global row
+    val global = Validate
+      .referentialCoverage(facts, refs, "doc_id", "vec_id").collect()
+    assert(global.length == 1)
+    assert((global(0).getLong(0), global(0).getLong(1), global(0).getLong(2),
+      global(0).getLong(3)) == ((2L, 1L, 1L, 0L)))
+    // empty ref side: everything missing, coverage 0, no orphans
+    val noRefs = Validate.referentialCoverage(
+      facts, refs.limit(0), "doc_id", "vec_id").collect()(0)
+    assert((noRefs.getLong(1), noRefs.getLong(2), noRefs.getDouble(4)) ==
+      ((0L, 2L, 0.0)))
+    // empty fact side: only orphans, coverage null (nothing to measure)
+    val noFacts = Validate.referentialCoverage(
+      facts.limit(0), refs, "doc_id", "vec_id").collect()(0)
+    assert((noFacts.getLong(0), noFacts.getLong(3)) == ((0L, 1L)))
+    assert(noFacts.isNullAt(4), "coverage of zero facts must be null")
+  }
+
+  test("referential coverage is invariant to input partitioning") {
+    val facts = (0L until 100L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "source")
+    val refs = (0L until 120L by 2L).toDF("vec_id")
+    def run(fp: Int, rp: Int) = Validate
+      .referentialCoverage(facts.repartition(fp), refs.repartition(rp),
+        "doc_id", "vec_id", Seq("source"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(run(1, 1).sameElements(run(7, 5)))
+  }
+
   // ------------------------------------------------------- hourlyAnomaly
 
   /** Events at `perHour(h)` events in hour h since the base instant. */
