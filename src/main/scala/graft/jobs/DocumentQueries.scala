@@ -836,6 +836,26 @@ object DocumentQueries {
     Dedup.dedupClusters(
       q20NgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
+  // ---------------------------------------------------------------- q72
+  /** Train/eval split-leakage audit ([[Dedup.splitLeakage]]): q20's
+    * near-dup pairs clustered (q42's components) and joined against
+    * q49's deterministic hash split — any component straddling more
+    * than one split leaks eval signal into training. The membrane
+    * between splits must be the cluster, not the document; this is the
+    * gate that proves it. Non-trivial on the raw fixture: the split is
+    * hash-uniform, so ~1 - (0.8² + 0.1² + 0.1²) of 2-doc clusters
+    * straddle by construction. */
+  def q72SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = md5Hash60($"doc_id".cast("string")) % 100
+    val splits = docs(spark, dir).select($"doc_id",
+      when(bucket < 80, "train")
+        .when(bucket < 90, "validate")
+        .otherwise("test").as("split"))
+    Dedup.splitLeakage(
+      q20NgramJaccard(spark, dir).select("doc_a", "doc_b"), splits)
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17DedupExact _),
@@ -866,7 +886,8 @@ object DocumentQueries {
     "q66_eval_sample" -> (q66EvalSample _),
     "q67_quality_gate" -> (q67QualityGate _),
     "q69_text_clean" -> (q69TextClean _),
-    "q70_snapshot_diff" -> (q70SnapshotDiff _))
+    "q70_snapshot_diff" -> (q70SnapshotDiff _),
+    "q72_split_leakage" -> (q72SplitLeakage _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -1226,6 +1247,33 @@ object DocumentQueries {
          round(quantile_cont(len(string_split(text,' ')), 0.99), 4) AS p99_tokens,
          max(len(string_split(text,' '))) AS max_tokens
          FROM documents GROUP BY lang""",
+    // q42's recursive-CTE components joined to q49's hash split; a
+    // component with >1 distinct split is a leak
+    "q72_split_leakage" ->
+      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM np
+           UNION SELECT doc_b, doc_a FROM np),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS component
+           FROM reach GROUP BY src),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'validate'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+             ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT % 100
+               AS b
+             FROM documents) z),
+         j AS (SELECT c.component, s.split FROM comp c JOIN sp s USING (doc_id))
+         SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+         FROM j GROUP BY component HAVING count(DISTINCT split) > 1""",
     "q42_dedup_clusters" ->
       s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (

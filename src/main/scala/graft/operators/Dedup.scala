@@ -729,6 +729,35 @@ object Dedup {
     out
   }
 
+  /** Train/eval split-leakage audit — the hygiene gate a near-dup-aware
+    * training pipeline runs AFTER splitting: a near-duplicate cluster
+    * whose members straddle split boundaries leaks evaluation signal
+    * into training (the eval doc's near-copy is trained on), so the
+    * membrane between splits must be the CLUSTER, not the document.
+    * `pairs` is any near-dup pair list (q20/q21/q22 shapes), `splits`
+    * maps `doc_id → split` (the deterministic hash split, q49 shape).
+    * Returns only the offending components: `(component, n_docs,
+    * n_splits, splits)` with the straddled split names sorted csv.
+    *
+    * Scale shape: clusters come from [[dedupClusters]] (cost ∝ pairs,
+    * not corpus); the split join is a doc_id equi-join of the cluster
+    * membership (pair-proportional, NOT the corpus — singleton docs
+    * cannot leak by near-dup and never enter), and the rollup keys on
+    * component with map-side partial aggregation. The csv of split
+    * names is bounded by the split-scheme arity, not data. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    dedupClusters(pairs)
+      .join(splits.select($"doc_id", $"split"), "doc_id")
+      .groupBy($"component")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"split").as("n_splits"),
+        array_join(array_sort(collect_set($"split")), ",").as("splits"))
+      .filter($"n_splits" > 1)
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction — the adversarial-graph fallback to [[dedupClusters]].
     *

@@ -618,6 +618,24 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("split leakage: only straddling components reported, splits sorted csv") {
+    // component {1,2,3} straddles test/train; component {10,11} is
+    // clean and must NOT appear; singleton docs never enter at all
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val splits = Seq(1L -> "train", 2L -> "test", 3L -> "train",
+      10L -> "train", 11L -> "train", 99L -> "test").toDF("doc_id", "split")
+    val got = Dedup.splitLeakage(pairs, splits).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getString(3)) == ((1L, 3L, 2L, "test,train")))
+  }
+
+  test("split leakage on an empty pair list is an empty report") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val splits = Seq(1L -> "train").toDF("doc_id", "split")
+    assert(Dedup.splitLeakage(pairs, splits).collect().isEmpty)
+  }
+
   test("simhash fingerprints of near-identical docs are close") {
     val nearDup = Dedup.ngramJaccard(docs, k = 5, threshold = 0.9)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
