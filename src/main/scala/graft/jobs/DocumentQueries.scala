@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextOps._
-import graft.operators.{Dedup, SnapshotDiff, Validate}
+import graft.operators.{Curation, Dedup, SnapshotDiff, Validate}
 
 /** Text-analysis + deduplication surface over the `documents` table
   * (the LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -836,6 +836,65 @@ object DocumentQueries {
     Dedup.dedupClusters(
       q20NgramJaccard(spark, dir).select("doc_a", "doc_b"))
 
+  // ---------------------------------------------------------------- q73
+  /** Token-budget corpus selection
+    * ([[graft.operators.Curation.selectUnderTokenBudget]]): keep the
+    * best-quality documents (q19's rounded score, doc_id tiebreak)
+    * until HALF the corpus' tokens are spent — the "which documents
+    * make the training cut" station every budgeted pretraining mix
+    * runs. The budget enters as a scalar subquery (`.scalar()`), not a
+    * driver collect or a constant-folded cross join; the kept set is
+    * then rolled up per source (docs, tokens, the lowest admitted
+    * score). The operator's only global ordering is over the bounded
+    * per-score rollup; the oracle runs the naive one-global-window
+    * form, so the hash match IS the equivalence proof. */
+  def q73TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") > 0)
+    val scored = d.select(
+      $"doc_id",
+      $"source",
+      size($"toks").cast("long").as("token_count"),
+      round(
+        ((lit(1.0) - stopwordCount($"toks", stopwords).cast("double") / size($"toks"))
+          + uniqueRatio($"toks")
+          + least(size($"toks").cast("double") / 50.0, lit(1.0))) / 3.0, 4)
+        .as("quality_score"))
+    val budget = scored.agg(expr("sum(token_count) DIV 2")).scalar()
+    Curation.selectUnderTokenBudget(scored, budget)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"token_count").as("kept_tokens"),
+        min($"quality_score").as("min_quality"))
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Quality-aware canonical keep per near-dup cluster
+    * ([[Dedup.keepByPriority]]): q42's components re-resolved so the
+    * kept member is the highest-quality copy (q19's rounded score,
+    * doc_id tiebreak) instead of the arbitrary min-id one — the keep
+    * policy a corpus builder actually wants. Same output shape as q42,
+    * so downstream drop-list consumers swap policies without schema
+    * changes. */
+  def q74QualityKeep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") > 0)
+    val priority = d.select(
+      $"doc_id",
+      round(
+        ((lit(1.0) - stopwordCount($"toks", stopwords).cast("double") / size($"toks"))
+          + uniqueRatio($"toks")
+          + least(size($"toks").cast("double") / 50.0, lit(1.0))) / 3.0, 4)
+        .as("priority"))
+    Dedup.keepByPriority(
+      q20NgramJaccard(spark, dir).select("doc_a", "doc_b"), priority)
+  }
+
   // ---------------------------------------------------------------- q72
   /** Train/eval split-leakage audit ([[Dedup.splitLeakage]]): q20's
     * near-dup pairs clustered (q42's components) and joined against
@@ -887,7 +946,9 @@ object DocumentQueries {
     "q67_quality_gate" -> (q67QualityGate _),
     "q69_text_clean" -> (q69TextClean _),
     "q70_snapshot_diff" -> (q70SnapshotDiff _),
-    "q72_split_leakage" -> (q72SplitLeakage _))
+    "q72_split_leakage" -> (q72SplitLeakage _),
+    "q73_token_budget" -> (q73TokenBudget _),
+    "q74_quality_keep" -> (q74QualityKeep _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-

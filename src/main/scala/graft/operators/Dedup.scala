@@ -758,6 +758,31 @@ object Dedup {
       .filter($"n_splits" > 1)
   }
 
+  /** Priority-aware keep resolution over near-dup clusters:
+    * [[dedupClusters]] keeps the min-id member (deterministic but
+    * arbitrary); this variant keeps the member a scoring pass ranked
+    * highest — a corpus builder wants the BEST copy of a duplicated
+    * document, not the first-crawled one. `priority` maps `doc_id →
+    * priority` (e.g. q19's quality score, PRE-ROUNDED so cross-engine
+    * float ulps cannot flip ranks); ties break to the lower doc_id, so
+    * the result is total and rebuild-stable. Returns the q42 shape
+    * `(doc_id, component, is_keep)`.
+    *
+    * Scale shape: the component labels cost what [[dedupClusters]]
+    * costs (∝ pairs); the priority join is doc_id-equi over cluster
+    * MEMBERS only, and the rank is a window partitioned by component —
+    * per-cluster work, no global ordering anywhere. */
+  def keepByPriority(pairs: DataFrame, priority: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"component").orderBy($"priority".desc, $"doc_id".asc)
+    dedupClusters(pairs)
+      .join(priority.select($"doc_id", $"priority"), "doc_id")
+      .withColumn("_rn", row_number().over(w))
+      .select($"doc_id", $"component", ($"_rn" === 1).as("is_keep"))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction — the adversarial-graph fallback to [[dedupClusters]].
     *
