@@ -1348,6 +1348,63 @@ object DocumentQueries {
            least(src, min(dst)) AS component,
            least(src, min(dst)) = src AS is_keep
          FROM reach GROUP BY src""",
+    // the naive one-global-window form Curation.selectUnderTokenBudget's
+    // scaladoc promises equivalence to: every doc in (quality desc,
+    // doc_id) order keeps while the INCLUSIVE running token total stays
+    // <= half the corpus' tokens. The operator's bounded-rollup shape
+    // hashing equal to this window IS the equivalence proof.
+    "q73_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split(text,' ') AS w
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS token_count,
+             round(((1.0 - CAST(len(list_filter(w, x -> x IN ('the','a'))) AS DOUBLE)/len(w))
+               + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)
+               + least(CAST(len(w) AS DOUBLE)/50.0, 1.0))/3.0, 4) AS quality_score
+           FROM t WHERE len(w) > 0),
+         b AS (SELECT CAST(sum(token_count) // 2 AS BIGINT) AS budget FROM m),
+         r AS (
+           SELECT m.*, sum(token_count) OVER (
+             ORDER BY quality_score DESC, doc_id ASC
+             ROWS UNBOUNDED PRECEDING) AS cum
+           FROM m),
+         kept AS (SELECT r.* FROM r, b WHERE r.cum <= b.budget)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(token_count) AS BIGINT) AS kept_tokens,
+           min(quality_score) AS min_quality
+         FROM kept GROUP BY source""",
+    // q42's recursive-CTE components re-ranked by q19's rounded quality
+    // score (doc_id tiebreak) — the keep flips from min-id to best-copy
+    "q74_quality_keep" ->
+      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM np
+           UNION SELECT doc_b, doc_a FROM np),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (
+           SELECT src AS doc_id, least(src, min(dst)) AS component
+           FROM reach GROUP BY src),
+         t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         pr AS (
+           SELECT doc_id,
+             round(((1.0 - CAST(len(list_filter(w, x -> x IN ('the','a'))) AS DOUBLE)/len(w))
+               + CAST(len(list_distinct(w)) AS DOUBLE)/len(w)
+               + least(CAST(len(w) AS DOUBLE)/50.0, 1.0))/3.0, 4) AS priority
+           FROM t WHERE len(w) > 0),
+         j AS (
+           SELECT c.doc_id, c.component, p.priority
+           FROM comp c JOIN pr p USING (doc_id)),
+         r AS (
+           SELECT doc_id, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY priority DESC, doc_id ASC) AS rn
+           FROM j)
+         SELECT doc_id, component, rn = 1 AS is_keep FROM r""",
     "q56_tfidf_topk" ->
       """WITH t AS (
            SELECT doc_id,

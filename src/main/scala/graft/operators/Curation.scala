@@ -34,8 +34,11 @@ object Curation {
     * per-row with no further shuffle, and only the single boundary
     * score's documents pay a (partitioned, per-score) running-sum
     * window. The naive form — one global window over every document —
-    * is what the DuckDB oracle runs; this shape is spec-pinned equal
-    * to it. */
+    * is what the DuckDB oracle runs; CurationSpec pins this shape equal
+    * to it (boundary-splitting, exact-fit, and zero/NULL-budget edges
+    * included). An empty or all-filtered corpus yields a NULL budget,
+    * and the contract is empty-out (three-valued `<=` keeps nothing) —
+    * also spec-pinned. */
   def selectUnderTokenBudget(scored: DataFrame, budget: Column): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._

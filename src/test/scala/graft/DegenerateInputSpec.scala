@@ -41,7 +41,8 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       "q46_token_chunks", "q49_hash_split", "q53_repetition",
       "q54_source_mix", "q56_tfidf_topk", "q57_source_overlap",
       "q63_exact_index_screen", "q64_epoch_shuffle",
-      "q65_bigram_surprise", "q66_eval_sample", "q69_text_clean")) {
+      "q65_bigram_surprise", "q66_eval_sample", "q69_text_clean",
+      "q73_token_budget", "q74_quality_keep")) {
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n == 0L, s"$name returned $n rows on an empty corpus")
     }
