@@ -36,6 +36,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // Dedup.dedupAgainstIndexScreened pushes its maybe-set into the
+      // index's parquet scan as an IN list of up to inListLimit (default
+      // 1000) hashes; above this threshold Spark degrades the push to a
+      // min/max RANGE — useless over uniform hashes. Like NanosKey, the
+      // conf is consulted when the (lazy) scan executes, so the screen
+      // cannot scope-and-restore it; it lives here as explicit session
+      // configuration instead of a hidden runtime mutation.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
       .config(NanosKey, "true")
 
   /** Loader-side guard: events reads require [[NanosKey]] at execution

@@ -44,6 +44,22 @@ object IndexBench {
     def speedup: Double = fullSec / screenSec
   }
 
+  /** Scratch dir for a comparison's persisted artifact, deleted when
+    * the comparison finishes — Bench runs every round, and leaked
+    * multi-GB synthetic indexes would accrete in the temp filesystem. */
+  private def withTempDir[T](prefix: String)(body: String => T): T = {
+    val dir = Files.createTempDirectory(prefix)
+    try body(dir.toString)
+    finally deleteRecursively(dir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(Files.deleteIfExists(_))
+  }
+
   private def timeMedian(spark: SparkSession, iters: Int)
       (f: => DataFrame): Double = {
     def once(): Double = {
@@ -65,12 +81,11 @@ object IndexBench {
     * dump against a standing corpus; at 100 TB the ratio is harsher
     * still, which widens the gap further). */
   def nearDup(spark: SparkSession, sfDir: String,
-      iters: Int = 3): Comparison = {
+      iters: Int = 3): Comparison = withTempDir("graft_nd_idx") { idxPath =>
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter($"doc_id" % 100 =!= 0)
     val batch = docs.filter($"doc_id" % 100 === 0)
-    val idxPath = Files.createTempDirectory("graft_nd_idx").toString
     Dedup.minhashBandIndex(corpus, k = 5, numHashes = 32, bands = 8,
       hashedShingles = true)
       .write.mode("overwrite").parquet(idxPath)
@@ -95,11 +110,10 @@ object IndexBench {
     * ~0.9× there. The asymmetric split is the honest benchmark, and
     * the 100 TB ratio is harsher than 99:1. */
   def contamination(spark: SparkSession, sfDir: String,
-      iters: Int = 3): Comparison = {
+      iters: Int = 3): Comparison = withTempDir("graft_wf_idx") { idxPath =>
     import spark.implicits._
     val docs = Tables.load(spark, sfDir, "documents")
     val isEval = col("doc_id") % 100 === 1
-    val idxPath = Files.createTempDirectory("graft_wf_idx").toString
     Dedup.winnowIndex(docs.filter(!isEval), k = 3, w = 4)
       .write.mode("overwrite").parquet(idxPath)
     val screen = timeMedian(spark, iters)(
@@ -141,12 +155,12 @@ object IndexBench {
     * ingest; [[Dedup.appendToExactBloom]] keeps it rolling at cost
     * ∝ batch). */
   def exactDedup(spark: SparkSession, sfDir: String,
-      iters: Int = 3): Comparison = {
+      iters: Int = 3): Comparison = withTempDir("graft_ex_idx") { idxPath =>
+    withTempDir("graft_ex_bloom") { bloomPath =>
     import spark.implicits._
     val batch = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
     val n = 4000000L
-    val idxPath = Files.createTempDirectory("graft_ex_idx").toString
     spark.range(n)
       .select(md5(concat(lit("corpus-"), col("id"))).as("text_hash"))
       .repartitionByRange(32, col("text_hash"))
@@ -154,9 +168,7 @@ object IndexBench {
       .write.mode("overwrite").parquet(idxPath)
     val index = spark.read.parquet(idxPath)
     // the artifact flow: build once, persist, screen from the LOADED
-    // frame (screening from the builder's lazy frame would re-aggregate
-    // the whole index per call — see exactIndexBloom's scaladoc)
-    val bloomPath = Files.createTempDirectory("graft_ex_bloom").toString
+    // frame (parquet round-trip, like every other graft index artifact)
     Dedup.exactIndexBloom(index, expectedItems = n)
       .write.mode("overwrite").parquet(bloomPath)
     val bloom = spark.read.parquet(bloomPath)
@@ -165,7 +177,7 @@ object IndexBench {
     val full = timeMedian(spark, iters)(
       Dedup.dedupAgainstIndex(batch, index))
     Comparison(screen, full)
-  }
+  }}
 
   /** IVF serving side: a 100-query top-k served from the PERSISTED
     * cell-partitioned postings ([[graft.operators.Similarity
@@ -177,13 +189,12 @@ object IndexBench {
     * ratio (100 queries : 20k vectors) understates production, where
     * the corpus side is 10⁶× the query batch. */
   def ivfServe(spark: SparkSession, sfDir: String,
-      iters: Int = 3): Comparison = {
+      iters: Int = 3): Comparison = withTempDir("graft_ivf_serve") { path =>
     import spark.implicits._
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.orderBy($"vec_id").limit(100)
     val model = graft.operators.Similarity.fitIvfIndex(emb, numCells = 32,
       seed = 42L, trainFraction = 0.25)
-    val path = Files.createTempDirectory("graft_ivf_serve").toString
     graft.operators.Similarity.saveIvfPostings(
       graft.operators.Similarity.ivfPostings(emb, model, cellCap = 4096),
       path)

@@ -110,12 +110,12 @@ object Dedup {
     * An EMPTY index yields a null filter, which probes as null →
     * every batch row is definitely-new (correct for an empty index).
     *
-    * The returned frame is LAZY — the aggregate runs when consumed.
-    * Persist it (parquet, like the index) and screen from the loaded
-    * artifact; handing the builder's own frame to
-    * [[dedupAgainstIndexScreened]] would re-aggregate the whole index
-    * on every screen call, which is precisely the cost the artifact
-    * exists to amortize. */
+    * The aggregate runs HERE, eagerly: BloomFilterAggregate silently
+    * clamps to the session's runtime-bloom-filter conf floors, which
+    * must therefore be raised while the job runs and RESTORED after
+    * (a lazy frame would either leak the raised confs session-wide or
+    * lose them before execution). Persist the one-row result (parquet,
+    * like the index) and screen from the loaded artifact. */
   def exactIndexBloom(index: DataFrame, expectedItems: Long,
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
@@ -124,26 +124,44 @@ object Dedup {
     import spark.implicits._
     val numBits = math.max(64L,
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp))
-    raiseConfFloor(spark,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raiseConfFloor(spark,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    val agg = GraftColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64($"text_hash")),
-        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
-        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
-        .toAggregateExpression())
-    index
-      .agg(agg.as("bf_bloom"))
-      .select($"bf_bloom", lit(expectedItems).as("bf_items"),
-        lit(fpp).as("bf_fpp"), lit(numBits).as("bf_bits"))
+    val bytes = withRaisedConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits) {
+      val agg = GraftColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64($"text_hash")),
+          org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+          org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+          .toAggregateExpression())
+      index.agg(agg.as("bf_bloom")).take(1)(0).getAs[Array[Byte]](0)
+    }
+    spark.range(1).select(
+      GraftColumnBridge.column(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bytes, org.apache.spark.sql.types.BinaryType)).as("bf_bloom"),
+      lit(expectedItems).as("bf_items"),
+      lit(fpp).as("bf_fpp"), lit(numBits).as("bf_bits"))
   }
 
   private def raiseConfFloor(spark: org.apache.spark.sql.SparkSession,
       key: String, atLeast: Long): Unit =
     if (spark.conf.getOption(key).map(_.toLong).forall(_ < atLeast))
       spark.conf.set(key, atLeast)
+
+  /** Raise conf floors for the duration of `body` (an EAGER job) and
+    * restore the prior values — set or unset — after, so the session's
+    * plan behavior outside the guarded job is untouched. Only usable
+    * around eager work: a conf consulted by a returned LAZY frame must
+    * live in session defaults instead (see GraftSession). */
+  private def withRaisedConfs[T](spark: org.apache.spark.sql.SparkSession,
+      kvs: (String, Long)*)(body: => T): T = {
+    val prior = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => raiseConfFloor(spark, k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   /** Roll an [[exactIndexBloom]] forward for the rows appended to its
     * index this ingest round — build a filter of the SAME geometry over
@@ -161,17 +179,17 @@ object Dedup {
       "empty bloom artifact — build it with exactIndexBloom over the index")
     val (bytes, items, fpp, bits) = (head(0).getAs[Array[Byte]](0),
       head(0).getLong(1), head(0).getDouble(2), head(0).getLong(3))
-    raiseConfFloor(spark,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
-    raiseConfFloor(spark,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
-    val agg = GraftColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-        GraftColumnBridge.expression(xxhash64(md5($"text"))),
-        org.apache.spark.sql.catalyst.expressions.Literal(items),
-        org.apache.spark.sql.catalyst.expressions.Literal(bits))
-        .toAggregateExpression())
-    val batchBytes = newDocs.agg(agg.as("b")).take(1)(0).getAs[Array[Byte]](0)
+    val batchBytes = withRaisedConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> items,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> bits) {
+      val agg = GraftColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(md5($"text"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(items),
+          org.apache.spark.sql.catalyst.expressions.Literal(bits))
+          .toAggregateExpression())
+      newDocs.agg(agg.as("b")).take(1)(0).getAs[Array[Byte]](0)
+    }
     val merged = (Option(bytes), Option(batchBytes)) match {
       case (Some(a), Some(b)) =>
         val fa = org.apache.spark.util.sketch.BloomFilter.readFrom(a)
@@ -205,7 +223,8 @@ object Dedup {
     * min/max pushdown under a [[graft.sources.WarehouseWriter.saveSorted]]
     * layout).
     *
-    * When the maybe-set is small (≤ `inListLimit` distinct hashes —
+    * When the maybe-set is small (≤ `inListLimit` distinct hashes,
+    * further capped by the session's parquet IN-pushdown threshold —
     * the overwhelmingly common case: fpp·batch + true dups), it is
     * fetched to the driver and pushed into the index SCAN as an IN
     * predicate, the way any broadcast is driver-mediated. Under a
@@ -262,17 +281,24 @@ object Dedup {
     // the probe job it runs is ∝ batch.
     val maybeHashes = hashed.filter($"maybe_dup")
       .select($"text_hash").distinct().localCheckpoint(true)
-    val maybeList = maybeHashes.take(inListLimit + 1)
+    // point-lookup route only up to what the SESSION's parquet
+    // pushdown threshold will push as a real IN predicate — above it
+    // Spark degrades the push to a min/max range, useless over uniform
+    // hashes. The conf is read, never mutated (the returned frame is
+    // lazy, so a scoped raise would be lost — or leak — by execution
+    // time); GraftSession sets the 2048 default and documents why.
+    val pushLimit = spark.conf
+      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+      .map(_.toInt).getOrElse(10)
+    // the conf's contract: an IN of size ≤ threshold pushes as OR'd
+    // point predicates; larger degrades to a min/max range
+    val effectiveLimit = math.min(inListLimit, pushLimit)
+    val maybeList = maybeHashes.take(effectiveLimit + 1)
     val present =
-      if (maybeList.length <= inListLimit) {
-        // point-lookup route: IN pushed to the parquet scan (the
-        // threshold conf must cover the list, or Spark degrades the
-        // push to a min/max range — useless over uniform hashes)
-        raiseConfFloor(spark,
-          "spark.sql.parquet.pushdown.inFilterThreshold", inListLimit + 1L)
+      if (maybeList.length <= effectiveLimit)
         index.filter($"text_hash".isin(maybeList.map(_.getString(0)): _*))
           .select($"text_hash")
-      } else
+      else
         index.join(broadcast(maybeHashes), Seq("text_hash"), "left_semi")
     firstPerHash(
       hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
@@ -991,11 +1017,26 @@ object Dedup {
     * its contamination index from scratch: each month contributes only
     * its own documents' fingerprints. Winnowing parameters come FROM
     * the artifact, so appended rows are always fingerprinted
-    * consistently with the standing corpus. */
+    * consistently with the standing corpus.
+    *
+    * The fresh-doc contract is a CHECKED precondition (mirroring
+    * [[nearDupIngestRound]]): re-appending an already-indexed doc — a
+    * crash-replayed monthly append — would double-count its
+    * fingerprints' `df`, which can push them over
+    * [[contaminationAgainstIndex]]'s `maxDF` cap and silently drop
+    * real contamination matches. */
   def appendToWinnowIndex(index: DataFrame, newDocs: DataFrame): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val (k, w, algo) = winnowIndexParams(index)
+    val colliding = newDocs.select($"doc_id")
+      .join(index.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .take(3)
+    require(colliding.isEmpty,
+      s"batch doc_ids already exist in the winnow index (e.g. " +
+        s"${colliding.map(_.get(0)).mkString(", ")}) — a replayed append " +
+        "would double-count df; re-derive the delta (anti-join on doc_id) " +
+        "before appending")
     // df must be recomputed over the UNION (a fingerprint's frequency
     // changes when new docs carry it) — one shuffle per append, paid on
     // the rare side of the build-once/screen-often asymmetry

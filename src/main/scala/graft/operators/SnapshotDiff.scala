@@ -42,7 +42,9 @@ object SnapshotDiff {
         coalesce(col("_n_id"), col("_o_id")).as(idCol) +:
           when(col("_o_id").isNull, "added")
             .when(col("_n_id").isNull, "removed")
-            .when(col("_o_hash") =!= col("_n_hash"), "changed")
+            // null-SAFE inequality: a null hash (null content on one
+          // side) must read as changed, not fall through to unchanged
+          .when(!(col("_o_hash") <=> col("_n_hash")), "changed")
             .otherwise("unchanged").as("status") +:
           carry.map(c => coalesce(col(s"_n_$c"), col(s"_o_$c")).as(c)): _*)
   }

@@ -161,6 +161,44 @@ object WarehouseWriter {
     (files.length, nOut, bytes)
   }
 
+  /** Crash-safe directory overwrite for small per-round artifacts (the
+    * streaming bloom sidecar): `mode("overwrite")` DELETES the target
+    * before writing, so a crash mid-write strands the artifact as
+    * missing/partial and the restart's loader fails its non-empty
+    * check. Here the new contents are fully durable (committed, with
+    * `_SUCCESS`) at a sibling tmp path before the target is touched,
+    * and the delete→install window is covered by [[recoverSwap]] — a
+    * crash at any point leaves the old artifact, the new one, or a
+    * recoverable tmp, never a partial directory. */
+  def overwriteParquetAtomic(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = swapTmp(hPath)
+    fs.delete(tmp, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"atomic overwrite failed installing $tmp")
+  }
+
+  /** Heal a crash inside [[overwriteParquetAtomic]]'s delete→install
+    * window: if the target is missing but a fully-committed tmp (has
+    * `_SUCCESS`) is present, install it. Call before READING an
+    * artifact maintained by the atomic overwrite (the streaming
+    * provider does); a no-op in every healthy state. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = swapTmp(hPath)
+    if (!fs.exists(hPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      require(fs.rename(tmp, hPath), s"swap recovery failed installing $tmp")
+  }
+
+  private def swapTmp(hPath: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(hPath.getParent,
+      s".${hPath.getName}.swap-tmp")
+
   /** JSONL corpus sink — one JSON object per line, the interchange
     * format LLM training corpora actually move in (WebText/Pile/Dolma
     * lineage). Distributed write, one file per partition; `compression`

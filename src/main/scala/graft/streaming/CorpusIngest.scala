@@ -97,16 +97,33 @@ object CorpusIngest {
     * but never loses one, and a duplicate can never slip past a bloom
     * that lags its index. Bootstrap both artifacts before starting:
     * `exactHashIndex` + `exactIndexBloom` over the seed corpus (or an
-    * empty frame). */
+    * empty frame).
+    *
+    * The bloom rewrite itself is the one non-append write, and a plain
+    * `mode("overwrite")` deletes-then-writes — a crash inside that
+    * window would strand the artifact missing/partial and fail the
+    * restart's non-empty check BEFORE the ordering argument above even
+    * applies. It therefore rides
+    * [[graft.sources.WarehouseWriter.overwriteParquetAtomic]] (durable
+    * sibling tmp, then swap), and the bloom provider runs
+    * [[graft.sources.WarehouseWriter.recoverSwap]] first so a crash in
+    * the swap's own delete→install window self-heals on restart. (The
+    * manual fallback, should both copies ever be lost: rebuild with
+    * `exactIndexBloom` over the index — the bloom is always derivable
+    * from it.) */
   def parquetExactDedupIngest(docStream: DataFrame, indexPath: String,
       bloomPath: String, corpusPath: String): DataStreamWriter[Row] = {
     val spark = docStream.sparkSession
+    val readBloom = EventsStream.parquetDimProvider(spark, bloomPath)
     exactDedupIngestStream(docStream,
       EventsStream.parquetDimProvider(spark, indexPath),
-      EventsStream.parquetDimProvider(spark, bloomPath)) {
+      () => {
+        graft.sources.WarehouseWriter.recoverSwap(spark, bloomPath)
+        readBloom()
+      }) {
       (kept, delta, bloomNext, _) =>
         kept.write.mode("append").parquet(corpusPath)
-        bloomNext.write.mode("overwrite").parquet(bloomPath)
+        graft.sources.WarehouseWriter.overwriteParquetAtomic(bloomNext, bloomPath)
         delta.write.mode("append").parquet(indexPath)
     }
   }

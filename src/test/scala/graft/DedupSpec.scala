@@ -611,6 +611,44 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("appendToWinnowIndex rejects a replayed batch (already-indexed doc_ids)") {
+    // a crash-replayed monthly append would double-count df and push
+    // fingerprints over contaminationAgainstIndex's maxDF cap — the
+    // fresh-doc contract is a checked precondition, like nearDupIngestRound
+    val month1 = docs.filter($"doc_id" % 3 === 0)
+    val index = Dedup.winnowIndex(month1, k = 3, w = 4, algo = "md5_60")
+    val replay = docs.filter($"doc_id" % 3 === 0).limit(5)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToWinnowIndex(index, replay)
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    // the anti-joined delta of the same batch appends fine
+    val mixed = docs.filter($"doc_id" % 3 =!= 2)
+    val delta = mixed.join(index.select($"doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(Dedup.appendToWinnowIndex(index, delta).count() > index.count())
+  }
+
+  test("exactIndexBloom restores the session bloom-filter confs it raises") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    val index = Dedup.exactHashIndex(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"))
+    // above the defaults (4M items / 67M bits) — would be visible
+    // session-wide if leaked
+    val bloom = Dedup.exactIndexBloom(index, expectedItems = 8000000L)
+    assert(bloom.count() == 1)
+    assert(keys.map(k => k -> spark.conf.getOption(k)) == prior,
+      "exactIndexBloom must not leak raised conf floors into the session")
+    val grown = Dedup.appendToExactBloom(bloom,
+      Seq((3L, "c")).toDF("doc_id", "text"))
+    assert(grown.count() == 1)
+    assert(keys.map(k => k -> spark.conf.getOption(k)) == prior,
+      "appendToExactBloom must not leak raised conf floors into the session")
+  }
+
   test("nearDupAgainstIndex fails fast on an empty index") {
     val empty = Dedup.minhashBandIndex(docs.limit(0), 5, 32, 8)
     intercept[IllegalArgumentException] {

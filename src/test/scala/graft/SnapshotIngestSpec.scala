@@ -179,6 +179,19 @@ class SnapshotIngestSpec extends AnyFunSuite with SparkSpec {
     assert(viaStored.length == 2 && viaStored.forall(_.getString(1) == "unchanged"))
   }
 
+  test("snapshot diff: null content on one side reads as changed, not unchanged") {
+    import graft.operators.SnapshotDiff
+    // md5(null text) is a null hash; the status CASE must use null-SAFE
+    // inequality or these rows fall through to 'unchanged'
+    val v1 = Seq((1L, null: String), (2L, "b"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "now real"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val got = SnapshotDiff.snapshotDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
+
   test("reordered-only drift is flagged, and byName restores the clean relation") {
     val dumpDir = Files.createTempDirectory("graft_dump_reorder")
     Files.write(dumpDir.resolve("t.csv"),

@@ -198,6 +198,41 @@ class WarehouseWriterSpec extends AnyFunSuite with SparkSpec {
     assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == before)
   }
 
+  test("overwriteParquetAtomic installs new contents; recoverSwap heals a torn swap") {
+    val dir = tmp("graft_atomic") + "/artifact"
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readIds() = spark.read.parquet(dir).select($"id").as[Long].collect().toSet
+
+    WarehouseWriter.overwriteParquetAtomic(
+      spark.range(3).select($"id"), dir)          // target absent → plain install
+    assert(readIds() == Set(0L, 1L, 2L))
+    WarehouseWriter.overwriteParquetAtomic(
+      spark.range(10, 14).select($"id"), dir)     // target present → swap
+    assert(readIds() == Set(10L, 11L, 12L, 13L))
+    // no stranded tmp in the healthy path
+    val tmpPath = new org.apache.hadoop.fs.Path(hp.getParent, s".${hp.getName}.swap-tmp")
+    assert(!fs.exists(tmpPath))
+
+    // torn swap: new contents fully committed at the tmp path, target
+    // already deleted, crash before the install rename
+    spark.range(20, 22).select($"id")
+      .write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(hp, true)
+    WarehouseWriter.recoverSwap(spark, dir)
+    assert(readIds() == Set(20L, 21L))
+    assert(!fs.exists(tmpPath))
+    // healthy state → no-op (target intact, tmp absent)
+    WarehouseWriter.recoverSwap(spark, dir)
+    assert(readIds() == Set(20L, 21L))
+    // an UNcommitted tmp (no _SUCCESS) is never installed
+    fs.delete(tmpPath, true)
+    fs.mkdirs(tmpPath)
+    fs.delete(hp, true)
+    WarehouseWriter.recoverSwap(spark, dir)
+    assert(!fs.exists(hp), "recoverSwap must not install a partial tmp")
+  }
+
   test("properties config seam parses and renders k=v pairs (S2)") {
     val f = Files.createTempFile("graft", ".properties")
     Files.writeString(f, "host=localhost\nport=5432\ndbname=aact\n")
