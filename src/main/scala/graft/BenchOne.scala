@@ -20,9 +20,16 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // clearCache between iterations, same as Bench.run: a query's
+    // persisted intermediates are scoped to its own run. Without it,
+    // iteration 2+ re-persists the same canonicalized plan (CacheManager
+    // "already cached" warnings) and times measure cache-hit plans with
+    // accumulating block-eviction pressure — neither is the cold-query
+    // figure this harness exists to report.
     def run(): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      finally spark.catalog.clearCache()
 
     if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     run() // warm-up

@@ -8,14 +8,17 @@ import org.apache.spark.sql.SparkSession
   * application applies the same call to their builder.
   *
   * `spark.sql.legacy.parquet.nanosAsLong` lives HERE and nowhere else:
-  * the events table is parquet TIMESTAMP(NANOS), which Spark rejects
-  * unless this flag is on — and the flag is consulted at query
+  * legacy events snapshots carry parquet TIMESTAMP(NANOS), which Spark
+  * rejects unless this flag is on — and the flag is consulted at query
   * EXECUTION (the parquet scan re-converts the footer schema per file),
   * so a loader cannot scope-and-restore it around a lazy read. Earlier
   * revisions mutated it into the running session from `Tables.load`,
   * which a consumer sharing the session inherited silently; now loaders
   * fail fast with a pointer to this seam instead (ContractSpec pins
-  * both behaviors).
+  * both behaviors). Current driver snapshots carry timestamp[us] and
+  * never consult the flag — the loaders branch on the scanned type
+  * (see `Tables.loadEvents`) — but the default stays on so a session
+  * built here reads either generation.
   */
 object GraftSession {
 

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * `scaledata/sf1`, 10×sf0.1). Spark writes each table as a parquet
   * DIRECTORY; `tools/repack_scaledata.py` then repacks each into the
   * single-file `<table>.parquet` layout the fixtures use (and retypes
-  * `events.ts` to parquet TIMESTAMP(NANOS), matching the driver's
+  * `events.ts` to parquet timestamp[us], matching the driver's current
   * fixtures so Tables.load and the DuckDB oracle read both the same
   * way).
   */
@@ -110,7 +110,7 @@ object ScaleData {
   def events(spark: SparkSession, n: Long, users: Long): DataFrame = {
     import spark.implicits._
     // naive (NTZ) nanos since epoch across Jan 2024, µs granularity —
-    // repacked to parquet TIMESTAMP(NANOS) to match the fixtures
+    // repacked to parquet timestamp[us] to match the fixtures
     val baseNs = 1704067200000000000L // 2024-01-01T00:00:00
     spark.range(n).select($"id".as("event_id"))
       .withColumn("ts",

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated star-schema snapshot (TESTDATA.md).
   *
@@ -19,29 +20,142 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright — read it as raw nanos (legacy conf) and convert to
-    * a TIMESTAMP_NTZ of microseconds. The testdata carries no
-    * sub-microsecond components, so `div 1000` is lossless (cross-checked
-    * by the DuckDB oracle, which reads the nanos natively). Integer `div`
-    * keeps the arithmetic exact — a double division would lose precision
-    * above 2^53 ns.
+  /** Per-table scanned-schema expectations: column → the catalog type
+    * strings the loaders and declared queries are known to handle.
+    * Multi-entry sets mark columns whose encoding has drifted across
+    * snapshot generations (events.ts: nanos-as-long, UTC instants, or
+    * naive micros — all normalized by [[loadEvents]]). */
+  private val expectedColumns: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> Set("timestamp_ntz", "timestamp"),
+      "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> Set("timestamp_ntz", "timestamp")),
+    "events" -> Seq("event_id" -> Set("bigint"),
+      "ts" -> Set("timestamp_ntz", "bigint", "timestamp"),
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>"), "label" -> Set("int")))
+
+  /** Fail-fast schema gate over a snapshot directory: every table's
+    * SCANNED schema is diffed column-by-column against
+    * [[expectedColumns]], and all drift is reported in ONE exception —
+    * per-column, with scanned vs accepted types — before any query can
+    * error at analysis with a symptom far from the cause. The
+    * `SnapshotIngest.headerDrift` philosophy applied to the fixture
+    * seam: a snapshot writer changing an encoding (as the events table's
+    * ts has, twice) surfaces here as a named diff naming the table, the
+    * column, and both types. Footer-only reads — costs one file listing
+    * per table, no data scan. Extra columns are tolerated (queries
+    * select by name; a snapshot growing a column breaks nothing). */
+  def validate(spark: SparkSession, dir: String): Unit = {
+    val diffs = all.flatMap { t =>
+      try {
+        val scanned = spark.read.parquet(s"$dir/$t.parquet").schema
+        expectedColumns(t).flatMap { case (col, accepted) =>
+          scanned.fields.find(_.name == col) match {
+            case None =>
+              Some(s"$t.$col: MISSING (expected ${accepted.mkString("|")})")
+            case Some(f) if !accepted.contains(f.dataType.catalogString) =>
+              Some(s"$t.$col: scanned ${f.dataType.catalogString}, " +
+                s"expected ${accepted.mkString("|")}")
+            case _ => None
+          }
+        }
+      } catch {
+        case e: IllegalStateException => throw e // loader remedies pass through
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString
+          Seq(s"$t: unreadable ($msg)")
+      }
+    }
+    if (diffs.nonEmpty) throw new IllegalStateException(
+      s"snapshot schema drift in $dir — regenerate the snapshot or extend " +
+        s"the loaders:\n  ${diffs.mkString("\n  ")}")
+  }
+
+  /** Schema-adaptive events load, normalizing `ts` to TIMESTAMP_NTZ
+    * microseconds whatever the snapshot writer produced. Fixture
+    * generations have carried `ts` as parquet TIMESTAMP(NANOS) — which
+    * Spark scans as raw-nanos LONG under the legacy conf — and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which scans as
+    * TIMESTAMP_NTZ directly. The loader declares the TARGET type and
+    * branches on the SCANNED type, the same parse-don't-assume stance as
+    * the reference extract's declared `parse_dates`
+    * (reference src/main/py/ct_data.py:96): a snapshot format drift
+    * surfaces here as a named remedy, not as an analysis error eleven
+    * queries downstream.
     *
-    * The nanos flag must come from the session builder
-    * ([[GraftSession.defaults]]) — it is consulted again at execution
-    * time, so a loader can neither scope-and-restore it nor pass it as
-    * a per-read option (execution overwrites the option from session
-    * conf). This loader only VERIFIES it, failing fast with the remedy
-    * rather than mutating shared session state (ContractSpec pins
-    * both). */
+    * Every branch is timezone-invariant (ScaleOpsSpec pins q51 equal
+    * across UTC and a DST zone):
+    *  - TIMESTAMP_NTZ: already naive micros — pass through untouched.
+    *  - LONG (legacy nanos): integer `div 1000` (exact above 2^53 ns
+    *    where double division would round) then `timestampadd` against
+    *    an NTZ epoch, which keeps the micros naive — a
+    *    timestamp_micros→ntz cast would shift them by the session TZ.
+    *    This is the one branch that needs the nanosAsLong conf, and the
+    *    conf is consulted again when the (lazy) scan executes, so the
+    *    loader VERIFIES it comes from the session builder
+    *    ([[GraftSession.defaults]]) rather than mutating shared session
+    *    state (ContractSpec pins both).
+    *  - TIMESTAMP (UTC-adjusted instants): `unix_micros` reads the
+    *    instant's epoch micros independent of session TZ, then the same
+    *    NTZ-epoch `timestampadd` — i.e. the naive rendering of the
+    *    instant in UTC, matching what a DuckDB oracle reads natively. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    GraftSession.requireNanosConf(spark)
-    // timestampadd against an NTZ epoch keeps the naive micros naive —
-    // a timestamp_micros→ntz cast would shift them by the session TZ
-    // offset (ScaleOpsSpec pins q51 equal across UTC and a DST zone)
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts",
-        expr("""timestampadd(MICROSECOND, ts div 1000,
-                TIMESTAMP_NTZ '1970-01-01 00:00:00')"""))
+    // a nanos snapshot without the legacy conf fails Spark's (eager)
+    // footer-schema conversion before the type branch below can run —
+    // intercept that one failure so the remedy is named here, not in a
+    // PARQUET_TYPE_ILLEGAL wall of text
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          throw new IllegalStateException(
+            s"events.parquet is TIMESTAMP(NANOS): set " +
+              s"${GraftSession.NanosKey}=true when building the session " +
+              "(GraftSession.defaults does this). Loaders do not mutate " +
+              "a running session's conf.", e)
+      }
+    raw.schema("ts").dataType match {
+      case TimestampNTZType => raw
+      case LongType =>
+        GraftSession.requireNanosConf(spark)
+        raw.withColumn("ts",
+          expr("""timestampadd(MICROSECOND, ts div 1000,
+                  TIMESTAMP_NTZ '1970-01-01 00:00:00')"""))
+      case TimestampType =>
+        raw.withColumn("ts",
+          expr("""timestampadd(MICROSECOND, unix_micros(ts),
+                  TIMESTAMP_NTZ '1970-01-01 00:00:00')"""))
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as $other — expected TIMESTAMP_NTZ (micros " +
+          "snapshot), LONG (nanos snapshot under " +
+          s"${GraftSession.NanosKey}=true), or TIMESTAMP (UTC-adjusted " +
+          "micros). Regenerate the snapshot or extend Tables.loadEvents " +
+          "with the new encoding's normalization.")
+    }
   }
 }

@@ -13,6 +13,9 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema gate first: a drifted snapshot fails HERE with per-column
+    // diffs, not as per-query analysis errors scattered through stderr
+    Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

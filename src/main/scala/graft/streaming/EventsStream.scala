@@ -27,26 +27,63 @@ case class SessionRow(user_id: Long, session_start: Instant,
   */
 object EventsStream {
 
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** File-source schema with `ts` still in its scanned form — the second
+    * field is swapped per snapshot generation by [[readEvents]]. */
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Streaming read of an events parquet DIRECTORY (Spark's file source
     * requires a directory it can watch for new files; schema must be
-    * declared). ts arrives as nanos → converted exactly as the batch
-    * loader does, but to TimestampType for watermark support. The nanos
-    * conf must come from the session builder ([[graft.GraftSession]]);
-    * like the batch loader, this verifies rather than mutates. */
+    * declared). Schema-adaptive like the batch loader
+    * ([[graft.Tables]] `loadEvents`): a one-off batch peek of the
+    * directory's footer schema picks the generation, then the declared
+    * stream schema and the normalization match it. Downstream contract
+    * is unchanged either way: `ts` emerges as TimestampType (watermark
+    * column), micros precision, instant = the snapshot's naive micros
+    * read as UTC — timezone-invariant in every branch
+    * (`timestampdiff` against an NTZ epoch is pure naive arithmetic;
+    * `timestamp_micros` of the raw nanos never consults the session
+    * TZ). The nanos branch still requires the legacy conf from the
+    * session builder ([[graft.GraftSession]]); like the batch loader,
+    * this verifies rather than mutates. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
-    graft.GraftSession.requireNanosConf(spark)
-    spark.readStream
-      .schema(eventSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val scanned =
+      try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch {
+        case e: Exception
+            if Option(e.getMessage).exists(_.contains("NANOS")) =>
+          graft.GraftSession.requireNanosConf(spark) // throws the remedy
+          throw e                                    // conf on ⇒ unreachable
+        case e: Exception
+            if Option(e.getMessage)
+              .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          // watched directory exists but holds no files yet (a stream
+          // often starts before its first file lands): declare the
+          // current snapshot generation's encoding. A legacy-nanos
+          // producer must stage at least one file before start — the
+          // one case the peek cannot anticipate.
+          TimestampNTZType
+      }
+    val stream = spark.readStream.schema(eventSchema(scanned)).parquet(eventsDir)
+    scanned match {
+      case TimestampNTZType =>
+        stream.withColumn("ts",
+          expr("""timestamp_micros(timestampdiff(MICROSECOND,
+                  TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"""))
+      case LongType =>
+        graft.GraftSession.requireNanosConf(spark)
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts scanned as $other — see Tables.loadEvents for the " +
+          "supported snapshot encodings.")
+    }
   }
 
   /** The column set the Kafka v2 source emits (key/value payload bytes
@@ -72,15 +109,27 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Producer-side wire encoding: an events frame (raw-nanos `ts`, as
-    * read from parquet) → the JSON value bytes a Kafka producer would
-    * send. Declared next to the decoder so the round-trip contract is
-    * one file; the spec feeds these bytes through [[decodeKafkaEvents]]
+  /** Producer-side wire encoding: an events frame → the JSON value
+    * bytes a Kafka producer would send. Schema-adaptive on `ts` like
+    * the loaders (raw-nanos long, naive-micros NTZ, or UTC-instant
+    * timestamp — all reduce to the same epoch-micros `ts_us`).
+    * Declared next to the decoder so the round-trip contract is one
+    * file; the spec feeds these bytes through [[decodeKafkaEvents]]
     * via MemoryStream. */
-  def kafkaValueJson(eventsRawNanos: DataFrame): DataFrame =
-    eventsRawNanos.select(to_json(struct(
-      col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+  def kafkaValueJson(events: DataFrame): DataFrame = {
+    val tsUs = events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case TimestampType => expr("unix_micros(ts)")
+      case other => throw new IllegalStateException(
+        s"events.ts is $other — see Tables.loadEvents for the supported " +
+          "encodings.")
+    }
+    events.select(to_json(struct(
+      col("event_id"), tsUs.as("ts_us"), col("user_id"),
       col("event_type"), col("value"), col("props"))).as("json"))
+  }
 
   /** Decode a Kafka-wire frame into exactly the schema [[readEvents]]
     * produces: everything downstream (tumbling/sliding/session/custom

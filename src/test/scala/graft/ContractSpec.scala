@@ -216,23 +216,51 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("payload"), err.getMessage)
   }
 
-  test("events loaders verify the nanos conf instead of mutating it") {
+  test("events load adapts to the snapshot's ts encoding; nanos path still guards the conf") {
+    import java.nio.file.{Files, Path}
     val key = GraftSession.NanosKey
     val before = spark.conf.getOption(key)
+    // stage the legacy TIMESTAMP(NANOS) fixture (src/test/resources,
+    // pre-regeneration snapshot format) as an events snapshot dir
+    val nanosDir = Files.createTempDirectory("graft_nanos_events")
+    val res = getClass.getResourceAsStream("/events_nanos.parquet")
+    Files.copy(res, nanosDir.resolve("events.parquet"))
+    res.close()
     try {
-      // builder-provided conf: load works end-to-end and leaves the
-      // session exactly as it found it
       assert(before.contains("true"), "GraftSession.defaults must set the flag")
+      // driver snapshot (timestamp[us]): NTZ passthrough, conf untouched
       val events = Tables.load(spark, sf0001, "events")
       assert(events.count() > 0)
       assert(events.schema("ts").dataType.typeName == "timestamp_ntz")
       assert(spark.conf.getOption(key) == before)
-      // conf absent: fail fast at the loader with the remedy in the
-      // message — NOT a silent spark.conf.set, NOT a mid-job parquet
-      // error from a task
+      // legacy nanos snapshot under the conf: SAME downstream shape —
+      // NTZ micros — and the exact naive instant the nanos encode
+      val legacy = Tables.load(spark, nanosDir.toString, "events")
+      assert(legacy.schema("ts").dataType.typeName == "timestamp_ntz")
+      val first = legacy.orderBy($"event_id")
+        .select($"ts".cast("string")).first().getString(0)
+      assert(first == "2021-01-01 00:00:00", first)
+      // the streaming twin of the nanos branch agrees with the batch
+      // load micro-for-micro (ts emerges as TimestampType there — the
+      // watermark column — so compare on epoch micros)
+      val streamedUs = graft.streaming.EventsStream.runToBatch(
+        graft.streaming.EventsStream.readEvents(spark, nanosDir.toString)
+          .selectExpr("event_id", "unix_micros(ts) AS us"),
+        "contract_nanos_stream", "append")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchUs = legacy.selectExpr("event_id",
+        """timestampdiff(MICROSECOND,
+           TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamedUs == batchUs)
+      // conf absent: the micros snapshot still loads (no legacy read in
+      // play), but a nanos snapshot fails fast at the loader with the
+      // remedy — NOT a silent spark.conf.set, NOT the raw
+      // PARQUET_TYPE_ILLEGAL wall from schema inference
       spark.conf.unset(key)
+      assert(Tables.load(spark, sf0001, "events").count() > 0)
       val err = intercept[IllegalStateException] {
-        Tables.load(spark, sf0001, "events")
+        Tables.load(spark, nanosDir.toString, "events")
       }
       assert(err.getMessage.contains(key), err.getMessage)
       assert(err.getMessage.contains("GraftSession"), err.getMessage)
@@ -241,10 +269,46 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
       assert(!spark.conf.getOption(key).contains("true"),
         "the loader itself must not re-set the conf")
       val errStream = intercept[IllegalStateException] {
-        graft.streaming.EventsStream.readEvents(spark, "/tmp/nowhere")
+        graft.streaming.EventsStream.readEvents(spark, nanosDir.toString)
       }
       assert(errStream.getMessage.contains(key), errStream.getMessage)
-    } finally before.foreach(spark.conf.set(key, _))
+    } finally {
+      before.foreach(spark.conf.set(key, _))
+      Files.list(nanosDir).forEach((p: Path) => Files.delete(p))
+      Files.delete(nanosDir)
+    }
+  }
+
+  test("Tables.validate passes the driver snapshot and names every drifted column") {
+    import java.nio.file.{Files, Path, Paths}
+    Tables.validate(spark, sf0001) // the real snapshot must gate green
+    val dir = Files.createTempDirectory("graft_drift_snapshot")
+    try {
+      Tables.all.foreach { t =>
+        Files.createSymbolicLink(dir.resolve(s"$t.parquet"),
+          Paths.get(s"$sf0001/$t.parquet"))
+      }
+      // two deliberate drifts: a re-typed column and a dropped column —
+      // ONE validate call must name both (all diffs in one exception)
+      Files.delete(dir.resolve("documents.parquet"))
+      Files.delete(dir.resolve("supplier.parquet"))
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("n_chars", $"n_chars".cast("double"))
+        .write.parquet(dir.resolve("documents.parquet").toString)
+      spark.read.parquet(s"$sf0001/supplier.parquet").drop("s_acctbal")
+        .write.parquet(dir.resolve("supplier.parquet").toString)
+      val err = intercept[IllegalStateException] {
+        Tables.validate(spark, dir.toString)
+      }
+      assert(err.getMessage.contains("documents.n_chars"), err.getMessage)
+      assert(err.getMessage.contains("scanned double"), err.getMessage)
+      assert(err.getMessage.contains("supplier.s_acctbal"), err.getMessage)
+      assert(err.getMessage.contains("MISSING"), err.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach((p: Path) => Files.delete(p))
+    }
   }
 
   test("every declared query has an oracle and no name collides across job maps") {

@@ -23,6 +23,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private lazy val eventsDir = EventsStream.stageEventsDir(sf0001)
 
+  /** Epoch-micros axis over the normalized (TIMESTAMP_NTZ) `ts` — naive
+    * arithmetic, TZ-invariant. The staging harnesses split, bound, and
+    * sentinel on this numeric twin whatever the snapshot's encoding. */
+  private val tsUs = expr(
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+  private def ntzOfUs(usCol: String) = expr(
+    s"timestampadd(MICROSECOND, $usCol, TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+
+  /** Batch-normalized events plus the `us` micros column. */
+  private def eventsWithUs = Tables.load(spark, sf0001, "events")
+    .withColumn("us", tsUs)
+
   /** Batch twin of the 24 h view→click attribution interval join over
     * sf0001: (views frame, matched (view_id, click_id) pair relation).
     * ONE definition shared by the inner, left-outer, and restart
@@ -59,7 +71,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   private def runCustomSessions(chunks: Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = eventsWithUs
     val watched = Files.createTempDirectory(s"graft_fmgws_$chunks")
 
     def stage(df: org.apache.spark.sql.DataFrame, seq: Int): Unit = {
@@ -74,13 +86,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // time-ordered chunks so state carries sessions across batch seams
     val bounds =
       if (chunks <= 1) Array.empty[Double]
-      else raw.stat.approxQuantile("ts",
+      else raw.stat.approxQuantile("us",
         (1 until chunks).map(_.toDouble / chunks).toArray, 0)
-    val maxTs = raw.agg(max($"ts")).as[Long].head()
-    val dayNs = 24L * 3600 * 1000000000L
+    val maxUs = raw.agg(max($"us")).as[Long].head()
+    val dayUs = 24L * 3600 * 1000000L
     def sentinel(offset: Long) = Seq(
-      (-1L, maxTs + offset * dayNs, -1L, "sentinel", 0.0, null: String))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (-1L, maxUs + offset * dayUs, -1L, "sentinel", 0.0, null: String))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", ntzOfUs("us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
 
     val streamed = EventsStream.customSessions(
       EventsStream.readEvents(spark, watched.toString))
@@ -91,7 +105,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val lo = Long.MinValue +: bounds.map(_.toLong)
       val hi = bounds.map(_.toLong) :+ Long.MaxValue
       lo.zip(hi).zipWithIndex.foreach { case ((a, b), i) =>
-        stage(raw.filter($"ts" > a && $"ts" <= b), i)
+        stage(raw.filter($"us" > a && $"us" <= b).drop("us"), i)
         q.processAllAvailable()
       }
       stage(sentinel(10), chunks)
@@ -129,7 +143,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   test("flatMapGroupsWithState state survives a checkpointed stop/restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = eventsWithUs
     val watched = Files.createTempDirectory("graft_fmgws_restart")
     val outDir = Files.createTempDirectory("graft_fmgws_out").toString
     val cpDir = Files.createTempDirectory("graft_fmgws_cp").toString
@@ -151,23 +165,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .option("path", outDir).option("checkpointLocation", cpDir)
       .outputMode("append").start()
 
-    val mid = raw.stat.approxQuantile("ts", Array(0.5), 0)(0).toLong
-    val maxTs = raw.agg(max($"ts")).as[Long].head()
-    val dayNs = 24L * 3600 * 1000000000L
+    val mid = raw.stat.approxQuantile("us", Array(0.5), 0)(0).toLong
+    val maxUs = raw.agg(max($"us")).as[Long].head()
+    val dayUs = 24L * 3600 * 1000000L
     def sentinel(offset: Long) = Seq(
-      (-1L, maxTs + offset * dayNs, -1L, "sentinel", 0.0, null: String))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      (-1L, maxUs + offset * dayUs, -1L, "sentinel", 0.0, null: String))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", ntzOfUs("us").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
 
     // first half, then HARD STOP mid-stream
     val q1 = startQuery()
-    stage(raw.filter($"ts" <= mid), 0)
+    stage(raw.filter($"us" <= mid).drop("us"), 0)
     q1.processAllAvailable()
     q1.stop()
 
     // restart from the checkpoint: open sessions must resume from
     // recovered GroupState, not restart from empty
     val q2 = startQuery()
-    stage(raw.filter($"ts" > mid), 1)
+    stage(raw.filter($"us" > mid).drop("us"), 1)
     q2.processAllAvailable()
     stage(sentinel(10), 2)
     q2.processAllAvailable()
@@ -231,7 +247,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the seam Kafka can't exercise here: a file LANDING mid-query must
     // emit only the new rows, and a row older than the watermark horizon
     // must vanish instead of corrupting an already-emitted window
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = eventsWithUs
     val watched = Files.createTempDirectory("graft_incr")
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = Files.createTempDirectory("graft_incr_part")
@@ -241,17 +257,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Files.copy(Paths.get(part), watched.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    val maxTs = raw.agg(max($"ts")).as[Long].head()
-    val hourNs = 3600L * 1000000000L
+    val maxUs = raw.agg(max($"us")).as[Long].head()
+    val hourUs = 3600L * 1000000L
     // late: 4 h before the corpus max — its hour window finalized long
     // before, under the 2-hour watermark. fresh: 1 h after the max —
     // advances the watermark but its own window stays open.
-    val late = Seq((-10L, maxTs - 4 * hourNs, -1L, "late_type", 100.0,
-      null: String)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val fresh = Seq((-11L, maxTs + hourNs, -1L, "fresh_type", 1.0,
-      null: String)).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def sentinelRow(id: Long, us: Long, tpe: String, v: Double) =
+      Seq((id, us, -1L, tpe, v, null: String))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", ntzOfUs("us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+    val late = sentinelRow(-10L, maxUs - 4 * hourUs, "late_type", 100.0)
+    val fresh = sentinelRow(-11L, maxUs + hourUs, "fresh_type", 1.0)
 
-    stage(raw, "001.parquet")
+    stage(raw.drop("us"), "001.parquet")
     val agg = EventsStream.tumblingCounts(
       EventsStream.readEvents(spark, watched.toString))
     val q = agg.writeStream.format("memory").queryName("incr_test")
@@ -432,7 +451,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // watermarks, so a click alone would leave the view side behind —
     // both must advance for every real view's 24 h window to close and
     // the outer side to release its null rows
-    val maxNs = raw.agg(max($"ts")).as[Long].head()
+    // sentinel frames carry raw-nanos long ts — exercising
+    // kafkaValueJson's legacy branch while the corpus frames above took
+    // the NTZ branch (both reduce to the same ts_us wire field)
+    val maxNs = raw.agg(max(tsUs)).as[Long].head() * 1000L
     val dayNs = 24L * 3600 * 1000000000L
     def sentinelJson(offsetDays: Long): Seq[String] = EventsStream.kafkaValueJson(
       Seq((-1L, maxNs + offsetDays * dayNs, -1L, "click", 0.0, null: String),
@@ -558,7 +580,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
   test("stream-stream join state survives a checkpointed stop/restart") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = eventsWithUs
     val watched = Files.createTempDirectory("graft_ssj_restart")
     val outDir = Files.createTempDirectory("graft_ssj_out").toString
     val cpDir = Files.createTempDirectory("graft_ssj_cp").toString
@@ -579,13 +601,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // first half of the corpus, then HARD STOP: views buffered in join
     // state whose clicks arrive in the second half can only pair up if
     // the restarted query recovers that state from the checkpoint
-    val mid = raw.stat.approxQuantile("ts", Array(0.5), 0)(0).toLong
+    val mid = raw.stat.approxQuantile("us", Array(0.5), 0)(0).toLong
     val q1 = startQuery()
-    stage(raw.filter($"ts" <= mid), 0)
+    stage(raw.filter($"us" <= mid).drop("us"), 0)
     q1.processAllAvailable()
     q1.stop()
     val q2 = startQuery()
-    stage(raw.filter($"ts" > mid), 1)
+    stage(raw.filter($"us" > mid).drop("us"), 1)
     q2.processAllAvailable()
     q2.stop()
 

@@ -5,8 +5,12 @@ Spark writes each table as a parquet DIRECTORY of part files; the driver
 fixtures (and the DuckDB oracle's read_parquet calls) use one FILE per
 table. This tool rewrites each `<table>.parquet` directory into a single
 file of the same name, and retypes `events.ts` from raw int64 nanos to
-parquet TIMESTAMP(NANOS) so both engines read it exactly like the
-fixtures (Spark: nanos legacy conf -> long; DuckDB: timestamp[ns]).
+parquet timestamp[us] (isAdjustedToUTC=false) so both engines read it
+exactly like the current driver fixtures (Spark: TIMESTAMP_NTZ pass-
+through; DuckDB: timestamp[us]). The generator's nanos carry no sub-
+microsecond component, so the downcast is lossless. The legacy
+TIMESTAMP(NANOS) generation is pinned separately by the checked-in
+src/test/resources/events_nanos.parquet fixture.
 
 Dev tool only — not part of the shipped library.
 
@@ -35,8 +39,9 @@ def main() -> int:
         if t == "events":
             i = table.schema.get_field_index("ts")
             table = table.set_column(
-                i, pa.field("ts", pa.timestamp("ns")),
-                table.column("ts").cast(pa.timestamp("ns")))
+                i, pa.field("ts", pa.timestamp("us")),
+                table.column("ts").cast(pa.timestamp("ns"))
+                     .cast(pa.timestamp("us")))
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         shutil.rmtree(path)
