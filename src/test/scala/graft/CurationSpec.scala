@@ -138,4 +138,48 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter($"is_keep").select($"doc_id")
       .collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("composition: one pair relation feeds clusters, quality keep, and leakage audit") {
+    // The declared queries q42/q74/q72 are each self-contained (the
+    // oracle harness runs them independently), so each re-derives q20's
+    // Jaccard pair relation. A production composition computes the
+    // pairs ONCE inside a CacheScope and fans out — this is the adopter
+    // example SURVEY §2.12 documents, pinned equal to all three
+    // declared results.
+    import graft.functions.TextOps.{md5Hash60, stopwordCount, tokens, uniqueRatio}
+    import graft.jobs.DocumentQueries
+    import graft.operators.CacheScope
+
+    def rows(df: DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    val (gotClusters, gotKeep, gotLeak) = CacheScope.withCachesReleased {
+      // computed once, persisted for its three consumers; released the
+      // moment the scope closes
+      val pairs = CacheScope.persist(Dedup.ngramJaccard(
+        docs.select($"doc_id", $"text"), k = 5, threshold = 0.4,
+        maxDF = DocumentQueries.maxShingleDF).select($"doc_a", $"doc_b"))
+      val d = docs.withColumn("toks", tokens($"text"))
+        .filter(size($"toks") > 0)
+      val priority = d.select($"doc_id",
+        round(((lit(1.0) - stopwordCount($"toks", DocumentQueries.stopwords)
+          .cast("double") / size($"toks"))
+          + uniqueRatio($"toks")
+          + least(size($"toks").cast("double") / 50.0, lit(1.0))) / 3.0, 4)
+          .as("priority"))
+      val bucket = md5Hash60($"doc_id".cast("string")) % 100
+      val splits = docs.select($"doc_id",
+        when(bucket < 80, "train").when(bucket < 90, "validate")
+          .otherwise("test").as("split"))
+      (rows(Dedup.dedupClusters(pairs)),
+        rows(Dedup.keepByPriority(pairs, priority)),
+        rows(Dedup.splitLeakage(pairs, splits)))
+    }
+    assert(gotClusters ==
+      rows(DocumentQueries.queries("q42_dedup_clusters")(spark, sf0001)))
+    assert(gotKeep ==
+      rows(DocumentQueries.queries("q74_quality_keep")(spark, sf0001)))
+    assert(gotLeak ==
+      rows(DocumentQueries.queries("q72_split_leakage")(spark, sf0001)))
+  }
 }

@@ -847,4 +847,152 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       emb.limit(20), model, spark.read.parquet(path), probes = 4, k = 3)
     assert(served.count() > 0)
   }
+
+  /** Row groups in `dir` whose text_hash [min,max] could contain a
+    * probe, summed over probes — the footer-statistics census behind
+    * the point-lookup claim: under a range-sorted layout a pushed IN
+    * predicate prunes to ~1 row group per probe; after many appended
+    * delta files (each spanning the full hash range) every group is a
+    * candidate for every probe and pushdown prunes nothing. */
+  private def hashRowGroupCandidates(dir: String, probes: Seq[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getFooter.getBlocks.asScala.map { block =>
+          val st = block.getColumns.asScala
+            .find(_.getPath.toDotString == "text_hash").get.getStatistics
+          val mn = st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          val mx = st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          probes.count(p => p >= mn && p <= mx)
+        }.sum
+        finally r.close()
+      }.sum
+  }
+
+  test("compactParquet restores point-lookup row-group pruning after many ingest deltas") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" < 100)
+    val idxPath = Files.createTempDirectory("graft_compact_idx").toString
+    val bloomPath = Files.createTempDirectory("graft_compact_bloom").toString
+    val corpusPath = Files.createTempDirectory("graft_compact_corpus")
+      .resolve("kept").toString
+    val idx0 = Dedup.exactHashIndex(seed)
+    // the saveSorted zone-map layout, directly to the watched directory
+    idx0.repartitionByRange(2, $"text_hash").sortWithinPartitions("text_hash")
+      .write.mode("overwrite").parquet(idxPath)
+    Dedup.exactIndexBloom(idx0, expectedItems = 10000)
+      .write.mode("overwrite").parquet(bloomPath)
+
+    // six micro-batches of novel docs: each appends a hash delta whose
+    // files span the full md5 range — the small-file debt every
+    // append-mode sink accrues
+    val ms = MemoryStream[DocRow](spark)
+    val q = CorpusIngest.parquetExactDedupIngest(
+      ms.toDF(), idxPath, bloomPath, corpusPath).start()
+    try (0 until 6).foreach { i =>
+      ms.addData(all.filter($"doc_id" >= 100 + i * 50 &&
+        $"doc_id" < 150 + i * 50).as[DocRow].collect().toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // eight evenly-spaced index hashes as point probes (deterministic)
+    val allHashes = spark.read.parquet(idxPath)
+      .orderBy($"text_hash").as[String].collect()
+    val probes = (0 until 8).map(i => allHashes(i * allHashes.length / 8))
+    assert(probes.distinct.size == 8, "census needs distinct probes")
+    val before = hashRowGroupCandidates(idxPath, probes)
+    // every delta file spans ~the full range, so each probe is a
+    // candidate in (almost) every file — pushdown prunes nothing
+    assert(before >= probes.size * 3,
+      s"expected the blurred layout to multi-match, census=$before")
+
+    // the maintenance pass under test: fold + restore the sorted layout
+    val (nBefore, nAfter, _) = graft.sources.WarehouseWriter.compactParquet(
+      spark, idxPath, targetFileBytes = 8L << 10, sortCol = Some("text_hash"))
+    assert(nBefore > nAfter && nAfter >= 2,
+      s"compaction should fold $nBefore files into fewer ($nAfter)")
+    val after = hashRowGroupCandidates(idxPath, probes)
+    assert(after == probes.size,
+      s"sorted layout must match exactly one row group per probe, got $after")
+
+    // and the stream keeps going against the compacted artifacts: a
+    // seventh batch (one replayed text + one novel) screens identically
+    val keptTexts = spark.read.parquet(corpusPath).select($"text")
+      .as[String].take(1)
+    val b7 = IndexedSeq(DocRow(99001L, keptTexts(0)),
+      DocRow(99002L, "post-compaction novel doc"))
+    val q2 = CorpusIngest.parquetExactDedupIngest(
+      ms.toDF(), idxPath, bloomPath, corpusPath).start()
+    try { ms.addData(b7); q2.processAllAvailable() } finally q2.stop()
+    val late = spark.read.parquet(corpusPath)
+      .filter($"doc_id" >= 99000L).select($"doc_id").as[Long].collect().toSet
+    assert(late == Set(99002L),
+      s"post-compaction screen must drop the dup and keep the novel: $late")
+  }
+
+  test("ingest artifact growth is proportional to the batch, not the index") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+
+    def dirBytes(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    }
+
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val idxPath = Files.createTempDirectory("graft_growth_idx").toString
+    val corpusPath = Files.createTempDirectory("graft_growth_corpus")
+      .resolve("kept").toString
+    Dedup.minhashBandIndex(all.filter($"doc_id" < 50), k = 5,
+      numHashes = 32, bands = 8).write.mode("overwrite").parquet(idxPath)
+
+    // four equal-size batches: if each round APPENDED its delta, the
+    // per-round byte growth stays ~flat while the index grows 5× — a
+    // rewrite-per-round sink would instead add bytes ∝ the ever-larger
+    // index (round 4 would cost ~4× round 1)
+    val ms = MemoryStream[DocRow](spark)
+    val q = CorpusIngest.parquetDedupIngest(
+      ms.toDF(), idxPath, corpusPath, threshold = 0.6).start()
+    val grew = try (0 until 4).map { i =>
+      val b0 = dirBytes(idxPath)
+      ms.addData(all.filter($"doc_id" >= 50 + i * 100 &&
+        $"doc_id" < 150 + i * 100).as[DocRow].collect().toIndexedSeq)
+      q.processAllAvailable()
+      dirBytes(idxPath) - b0
+    } finally q.stop()
+
+    assert(grew.forall(_ > 0), s"every round must append its delta: $grew")
+    // flat within parquet-encoding noise: the last (biggest-index)
+    // round must not cost multiples of the first — the signature a
+    // rewrite-the-index sink cannot fake
+    assert(grew.max.toDouble / grew.min < 2.5,
+      s"per-round growth must track the batch, not the index: $grew")
+    // and the deltas are real: the rolled-forward artifact equals the
+    // band index built from scratch over everything kept so far
+    val fromScratch = Dedup.minhashBandIndex(
+      all.filter($"doc_id" < 50).unionByName(
+        spark.read.parquet(corpusPath).select($"doc_id", $"text")),
+      k = 5, numHashes = 32, bands = 8)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", explode($"bk").as("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyset(spark.read.parquet(idxPath)) == keyset(fromScratch))
+  }
 }
