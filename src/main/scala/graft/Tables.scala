@@ -143,6 +143,7 @@ object Tables {
       case TimestampNTZType => raw
       case LongType =>
         GraftSession.requireNanosConf(spark)
+        guardLegacyLongTs(spark, s"$dir/events.parquet")
         raw.withColumn("ts",
           expr("""timestampadd(MICROSECOND, ts div 1000,
                   TIMESTAMP_NTZ '1970-01-01 00:00:00')"""))
@@ -156,6 +157,62 @@ object Tables {
           s"${GraftSession.NanosKey}=true), or TIMESTAMP (UTC-adjusted " +
           "micros). Regenerate the snapshot or extend Tables.loadEvents " +
           "with the new encoding's normalization.")
+    }
+  }
+
+  /** The stale-footer-metadata trap, caught at plan time. Spark's
+    * parquet reader trusts its own `…sql.parquet.row.metadata` footer
+    * key over the file's parquet logical types — so a tool that reads
+    * Spark-written longs, casts them to timestamps, and writes with a
+    * library that PRESERVES source metadata (pyarrow does) produces a
+    * file whose logical type says TIMESTAMP(MICROS) while Spark scans
+    * the column as the stale JSON's `long`. The nanos branch would then
+    * divide actual-micros by 1000 — every timestamp lands in 1970 and
+    * nothing errors (the r11 sf1 oracle sweep caught exactly this in
+    * `tools/repack_scaledata.py`). One driver-side footer read of one
+    * file arbitrates: a column scanned as LONG whose footer annotation
+    * is a non-NANOS timestamp is a contradiction, and the remedy is
+    * named here instead of surfacing as silently-wrong results.
+    * Footer-only, first file only — no data scan. */
+  private[graft] def guardLegacyLongTs(spark: SparkSession, path: String,
+      column: String = "ts"): Unit = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hPath.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(hPath).isFile) Some(hPath)
+      else fs.listStatus(hPath)
+        .find(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .map(_.getPath)
+    file.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val ann =
+        try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          if (schema.containsField(column))
+            Option(schema.getType(Seq(column): _*)).filter(_.isPrimitive)
+              .flatMap(t => Option(t.asPrimitiveType().getLogicalTypeAnnotation))
+          else None
+        } finally reader.close()
+      ann.foreach {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS =>
+          throw new IllegalStateException(
+            s"$path: `$column` scanned as LONG but the parquet footer " +
+              s"declares TIMESTAMP(${t.getUnit}) — the file carries stale " +
+              "Spark row metadata (org.apache.spark.sql.parquet.row." +
+              "metadata) from before a retype, and Spark trusts that key " +
+              "over the logical type. Re-write the file without the " +
+              "carried-over metadata (pyarrow: replace_schema_metadata" +
+              "(None)) so the micros annotation wins. Refusing to apply " +
+              "the nanos→micros conversion to what the footer says are " +
+              "already micros.")
+        case _ => ()
+      }
     }
   }
 }

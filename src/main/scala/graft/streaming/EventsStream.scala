@@ -78,6 +78,10 @@ object EventsStream {
                   TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"""))
       case LongType =>
         graft.GraftSession.requireNanosConf(spark)
+        // same stale-footer-metadata arbitration as the batch loader:
+        // LONG-scanned ts whose footer says TIMESTAMP(MICROS) must not
+        // be divided again
+        graft.Tables.guardLegacyLongTs(spark, eventsDir)
         stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => stream
       case other => throw new IllegalStateException(

@@ -279,6 +279,37 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stale Spark footer metadata over a retyped ts fails with the named remedy") {
+    import java.nio.file.{Files, Path}
+    // the adversarial fixture: parquet logical type TIMESTAMP(MICROS),
+    // but a carried-over Spark row-metadata JSON claiming `ts` is long
+    // — Spark trusts its own key, scans ts as LONG, and without the
+    // guard the nanos branch would divide actual-micros by 1000 (every
+    // timestamp lands in 1970, nothing errors; the sf1 oracle sweep
+    // caught exactly this in the repack tool)
+    val dir = Files.createTempDirectory("graft_stale_meta_events")
+    val res = getClass.getResourceAsStream("/events_micros_stale_meta.parquet")
+    Files.copy(res, dir.resolve("events.parquet"))
+    res.close()
+    try {
+      // precondition: the trap is real — Spark scans the stale long
+      assert(spark.read.parquet(dir.resolve("events.parquet").toString)
+        .schema("ts").dataType.typeName == "long")
+      val err = intercept[IllegalStateException] {
+        Tables.load(spark, dir.toString, "events")
+      }
+      assert(err.getMessage.contains("MICROS"), err.getMessage)
+      assert(err.getMessage.contains("replace_schema_metadata"), err.getMessage)
+      val errStream = intercept[IllegalStateException] {
+        graft.streaming.EventsStream.readEvents(spark, dir.toString)
+      }
+      assert(errStream.getMessage.contains("MICROS"), errStream.getMessage)
+    } finally {
+      Files.list(dir).forEach((p: Path) => Files.delete(p))
+      Files.delete(dir)
+    }
+  }
+
   test("Tables.validate passes the driver snapshot and names every drifted column") {
     import java.nio.file.{Files, Path, Paths}
     Tables.validate(spark, sf0001) // the real snapshot must gate green

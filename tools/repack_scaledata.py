@@ -42,6 +42,16 @@ def main() -> int:
                 i, pa.field("ts", pa.timestamp("us")),
                 table.column("ts").cast(pa.timestamp("ns"))
                      .cast(pa.timestamp("us")))
+        # Drop the carried-over Spark footer metadata: pyarrow preserves
+        # the source files' key-value metadata, including Spark's
+        # org.apache.spark.sql.parquet.row.metadata schema JSON — and
+        # Spark TRUSTS that key over the parquet logical types on read.
+        # After the ts retype above, the stale JSON still says bigint,
+        # so Spark would scan ts as raw longs (and the loader's legacy
+        # nanos branch would div actual-micros by 1000 — the 1970s-
+        # timestamp bug the r11 sf1 oracle sweep caught). The driver
+        # fixtures carry no Spark metadata; match them exactly.
+        table = table.replace_schema_metadata(None)
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         shutil.rmtree(path)
