@@ -33,6 +33,11 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // schema gate first (same as Verify): a drifted snapshot fails
+    // HERE with per-column diffs instead of as N erroring queries
+    // whose timings silently vanish from the report — the r10 bench
+    // lost 11 queries to exactly that
+    Tables.validate(spark, sfDir)
 
     // The noop sink consumes every output row and column, so Catalyst
     // cannot prune projections/windows the way it can under count() —

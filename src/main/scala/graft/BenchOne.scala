@@ -19,6 +19,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.validate(spark, sfDir) // fail fast on snapshot drift, as Bench does
 
     // clearCache between iterations, same as Bench.run: a query's
     // persisted intermediates are scoped to its own run. Without it,
