@@ -94,7 +94,11 @@ object Bench {
       if (times.size < iters) { errors += name; name -> -1.0 }
       else name -> times.sorted.apply(times.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: the documented run-to-run noise floor is 1.5-3×,
+    // so sub-ms digits are pure line length — and the driver archives
+    // only a bounded tail of this line, so every wasted character
+    // pushes another query's timing out of the captured artifact
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -131,7 +135,7 @@ object Bench {
           s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
       }
       finally spark.catalog.clearCache()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
