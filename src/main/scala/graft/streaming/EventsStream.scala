@@ -51,7 +51,15 @@ object EventsStream {
     * `timestamp_micros` of the raw nanos never consults the session
     * TZ). The nanos branch still requires the legacy conf from the
     * session builder ([[graft.GraftSession]]); like the batch loader,
-    * this verifies rather than mutates. */
+    * this verifies rather than mutates.
+    *
+    * One-generation-per-directory contract: the peek samples the
+    * directory ONCE and declares that schema for the whole stream, so
+    * a watched directory must not mix snapshot generations (a legacy
+    * nanos file landing in a micros directory would be read with the
+    * wrong schema mid-stream). Migrating a live ingest directory means
+    * draining it — or rewriting the old files — first, the same rule
+    * any declared-schema file stream lives under. */
   def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
     val scanned =
       try spark.read.parquet(eventsDir).schema("ts").dataType

@@ -279,6 +279,49 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("UTC-instant events snapshot loads to the same naive micros as the nanos twin") {
+    import java.nio.file.{Files, Path}
+    // the third loader branch: ts as TIMESTAMP(MICROS, adjusted=true)
+    // instants. The fixture encodes the SAME instants as the legacy
+    // nanos fixture, so both loads must agree value-for-value, and the
+    // naive rendering must be the instant's UTC wall time whatever the
+    // session TZ (the loader's unix_micros path never consults it).
+    def stage(resource: String): Path = {
+      val d = Files.createTempDirectory("graft_utc_events")
+      val res = getClass.getResourceAsStream(resource)
+      Files.copy(res, d.resolve("events.parquet"))
+      res.close()
+      d
+    }
+    val utcDir = stage("/events_utc_instants.parquet")
+    val nanosDir = stage("/events_nanos.parquet")
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      def loadedUs(dir: Path): Map[Long, Long] =
+        Tables.load(spark, dir.toString, "events")
+          .selectExpr("event_id",
+            """timestampdiff(MICROSECOND,
+               TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us""")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val utc = Tables.load(spark, utcDir.toString, "events")
+      assert(utc.schema("ts").dataType.typeName == "timestamp_ntz")
+      assert(loadedUs(utcDir) == loadedUs(nanosDir),
+        "instant snapshot must load to the nanos twin's exact micros")
+      // TZ invariance of the instants branch specifically
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(loadedUs(utcDir) == loadedUs(nanosDir))
+      val first = Tables.load(spark, utcDir.toString, "events")
+        .orderBy($"event_id").select($"ts".cast("string")).first().getString(0)
+      assert(first == "2021-01-01 00:00:00", first)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", tzBefore)
+      Seq(utcDir, nanosDir).foreach { d =>
+        Files.list(d).forEach((p: Path) => Files.delete(p))
+        Files.delete(d)
+      }
+    }
+  }
+
   test("stale Spark footer metadata over a retyped ts fails with the named remedy") {
     import java.nio.file.{Files, Path}
     // the adversarial fixture: parquet logical type TIMESTAMP(MICROS),
