@@ -97,8 +97,13 @@ object Bench {
     // ms precision: the documented run-to-run noise floor is 1.5-3×,
     // so sub-ms digits are pure line length — and the driver archives
     // only a bounded tail of this line, so every wasted character
-    // pushes another query's timing out of the captured artifact
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // pushes another query's timing out of the captured artifact.
+    // Locale.ROOT, never the f interpolator: String.format under a
+    // comma-decimal default locale (de_DE, fr_FR) renders 0.33 as
+    // "0,330" and the single JSON output line stops parsing.
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${num(v, 3)}""" }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -121,7 +126,7 @@ object Bench {
         val ct = IndexBench.contamination(spark, sfDir, iters = 3)
         val ex = IndexBench.exactDedup(spark, sfDir, iters = 3)
         val iv = IndexBench.ivfServe(spark, sfDir, iters = 3)
-        f"""{"ivf_recall_at_10":$recall%.4f,"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f}"""
+        s"""{"ivf_recall_at_10":${num(recall, 4)},"neardup_screen_sec":${num(nd.screenSec, 3)},"neardup_full_sec":${num(nd.fullSec, 3)},"neardup_index_speedup":${num(nd.speedup, 2)},"contam_screen_sec":${num(ct.screenSec, 3)},"contam_full_sec":${num(ct.fullSec, 3)},"contam_index_speedup":${num(ct.speedup, 2)},"exact_screen_sec":${num(ex.screenSec, 3)},"exact_full_sec":${num(ex.fullSec, 3)},"exact_bloom_speedup":${num(ex.speedup, 2)},"ivf_serve_sec":${num(iv.screenSec, 3)},"ivf_serve_full_sec":${num(iv.fullSec, 3)},"ivf_postings_speedup":${num(iv.speedup, 2)}}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message
@@ -135,7 +140,7 @@ object Bench {
           s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
       }
       finally spark.catalog.clearCache()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

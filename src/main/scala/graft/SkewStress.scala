@@ -28,14 +28,18 @@ import org.apache.spark.sql.functions._
   * so the run also exercises the legacy LONG loader branch (and its
   * footer guard) end-to-end.
   *
-  * Usage: `runMain graft.SkewStress [nEvents] [hotPct]` — prints one
-  * line per query, exits nonzero on a digest mismatch.
+  * Usage: `runMain graft.SkewStress [nEvents] [hotPct] [explain]` —
+  * prints one line per query, exits nonzero on a digest mismatch;
+  * `explain` additionally dumps join/exchange plan lines for queries
+  * whose skew split did not engage.
   */
 object SkewStress {
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    val hotPct = args.lift(1).map(_.toInt).getOrElse(15)
+    // flags are words, sizes are digits — accept them in any order
+    val sizes = args.filter(_.forall(_.isDigit))
+    val n = sizes.headOption.map(_.toLong).getOrElse(1000000L)
+    val hotPct = sizes.lift(1).map(_.toInt).getOrElse(15)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,10 +117,19 @@ object SkewStress {
       val ok = dOn == dOff
       if (!ok) failures += 1
       println(s"[skew] ${if (ok) "OK  " else "MISMATCH"} $name " +
-        s"digest=${ok} skewSplitEngaged=$engaged rows=${dOn.rows}")
+        s"skewSplitEngaged=$engaged rows=${dOn.rows}" +
+        // a mismatch is the event this harness exists to catch — dump
+        // both digests so the diverging component (rows/xor/sum) and
+        // magnitude are in the output, not lost to a boolean
+        (if (ok) "" else s" skewOn=$dOn skewOff=$dOff"))
     }
     println(s"[skew] ${queries.size - failures}/${queries.size} digest-stable " +
       s"under AQE skew-splitting (n=$n, hot=$hotPct%)")
+    // the generated corpus is tens of MB per run — remove it rather
+    // than letting repeated invocations accumulate in the temp dir
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hDir, true)
     spark.stop()
     if (failures > 0) sys.exit(1)
   }

@@ -39,14 +39,18 @@ object Tables {
       "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
     "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
       "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
-      "o_orderdate" -> Set("timestamp_ntz", "timestamp"),
+      // NTZ only: unlike events.ts, these tables have no loader
+      // normalization branch, and a UTC-instant (TimestampType) column
+      // would silently shift every date_trunc boundary with the session
+      // TZ — fail the gate rather than accept semantics drift
+      "o_orderdate" -> Set("timestamp_ntz"),
       "o_orderpriority" -> Set("string")),
     "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
       "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
       "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
       "l_discount" -> Set("double"), "l_tax" -> Set("double"),
       "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
-      "l_shipdate" -> Set("timestamp_ntz", "timestamp")),
+      "l_shipdate" -> Set("timestamp_ntz")), // NTZ only — see o_orderdate
     "events" -> Seq("event_id" -> Set("bigint"),
       "ts" -> Set("timestamp_ntz", "bigint", "timestamp"),
       "user_id" -> Set("bigint"), "event_type" -> Set("string"),
@@ -72,6 +76,14 @@ object Tables {
     val diffs = all.flatMap { t =>
       try {
         val scanned = spark.read.parquet(s"$dir/$t.parquet").schema
+        // events.ts scanning as LONG is a legal legacy encoding ONLY
+        // when the footer agrees it is nanos — run the stale-metadata
+        // arbitration here too, or the gate would bless a snapshot
+        // whose every events query then fails (the exact r10 symptom
+        // this gate exists to pre-empt)
+        if (t == "events" &&
+            scanned.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+          guardLegacyLongTs(spark, s"$dir/$t.parquet")
         expectedColumns(t).flatMap { case (col, accepted) =>
           scanned.fields.find(_.name == col) match {
             case None =>
@@ -133,11 +145,8 @@ object Tables {
       catch {
         case e: Exception
             if Option(e.getMessage).exists(_.contains("NANOS")) =>
-          throw new IllegalStateException(
-            s"events.parquet is TIMESTAMP(NANOS): set " +
-              s"${GraftSession.NanosKey}=true when building the session " +
-              "(GraftSession.defaults does this). Loaders do not mutate " +
-              "a running session's conf.", e)
+          GraftSession.requireNanosConf(spark) // throws the canonical remedy
+          throw e // conf on yet NANOS still rejected — surface the original
       }
     raw.schema("ts").dataType match {
       case TimestampNTZType => raw

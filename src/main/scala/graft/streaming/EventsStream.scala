@@ -69,13 +69,16 @@ object EventsStream {
           graft.GraftSession.requireNanosConf(spark) // throws the remedy
           throw e                                    // conf on ⇒ unreachable
         case e: Exception
-            if Option(e.getMessage)
-              .exists(_.contains("UNABLE_TO_INFER_SCHEMA")) =>
-          // watched directory exists but holds no files yet (a stream
-          // often starts before its first file lands): declare the
-          // current snapshot generation's encoding. A legacy-nanos
-          // producer must stage at least one file before start — the
-          // one case the peek cannot anticipate.
+            if Option(e.getMessage).exists(m =>
+              m.contains("UNABLE_TO_INFER_SCHEMA") ||
+                m.contains("PATH_NOT_FOUND")) =>
+          // watched directory is empty — or not created yet (a stream
+          // often starts before its producer's first file lands; the
+          // pre-adaptive revision declared a static schema and never
+          // touched the filesystem, so both cases must keep working):
+          // declare the current snapshot generation's encoding. A
+          // legacy-nanos producer must stage at least one file before
+          // start — the one case the peek cannot anticipate.
           TimestampNTZType
       }
     val stream = spark.readStream.schema(eventSchema(scanned)).parquet(eventsDir)

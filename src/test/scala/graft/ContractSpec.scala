@@ -347,6 +347,14 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
         graft.streaming.EventsStream.readEvents(spark, dir.toString)
       }
       assert(errStream.getMessage.contains("MICROS"), errStream.getMessage)
+      // the fail-fast gate must arbitrate too — bigint is a LEGAL
+      // legacy encoding only when the footer agrees it is nanos, so
+      // validate over this snapshot fails with the same remedy instead
+      // of blessing a corpus whose every events query then errors
+      val errGate = intercept[IllegalStateException] {
+        Tables.validate(spark, dir.toString)
+      }
+      assert(errGate.getMessage.contains("MICROS"), errGate.getMessage)
     } finally {
       Files.list(dir).forEach((p: Path) => Files.delete(p))
       Files.delete(dir)
