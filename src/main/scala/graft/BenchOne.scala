@@ -21,23 +21,26 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     Tables.validate(spark, sfDir) // fail fast on snapshot drift, as Bench does
 
-    // clearCache between iterations, same as Bench.run: a query's
-    // persisted intermediates are scoped to its own run. Without it,
-    // iteration 2+ re-persists the same canonicalized plan (CacheManager
-    // "already cached" warnings) and times measure cache-hit plans with
+    // clearCache between iterations, same as Bench: a query's persisted
+    // intermediates are scoped to its own run. Without it, iteration 2+
+    // re-persists the same canonicalized plan (CacheManager "already
+    // cached" warnings) and times measure cache-hit plans with
     // accumulating block-eviction pressure — neither is the cold-query
-    // figure this harness exists to report.
+    // figure this harness exists to report. The clear runs OUTSIDE the
+    // nanoTime bracket (Bench aligned the same way): the driver-side
+    // unpersist is teardown, not query execution.
     def run(): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
+      SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      finally spark.catalog.clearCache()
 
     if (explain) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    run() // warm-up
+    try run() finally spark.catalog.clearCache() // warm-up
     (1 to iters).foreach { i =>
       val t0 = System.nanoTime()
-      run()
-      println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      try {
+        run()
+        println(f"[$name] iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      } finally spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -219,6 +219,10 @@ object IndexBench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // encoding-drift gate before any timing, scoped to the two tables
+    // the comparisons read (Bench's embedded use validates the full
+    // snapshot already; this covers the standalone runMain path)
+    Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
     val nd = nearDup(spark, sfDir)
     val ct = contamination(spark, sfDir)
     val ex = exactDedup(spark, sfDir)

@@ -26,6 +26,9 @@ object IvfSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // encoding-drift gate before any timing (scoped: this sweep reads
+    // only the embeddings table, and its input dir may hold just that)
+    Tables.validate(spark, sfDir, Seq("embeddings"))
 
     val k = 10
     val cellsGrid = sys.env.getOrElse("IVF_CELLS", "16,32,64")

@@ -58,6 +58,11 @@ object SkewStress {
         when(pmod(xxhash64(lit("hot"), $"event_id"), lit(100)) < hotPct, 0L)
           .otherwise($"user_id"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // gate the synthesized corpus before timing: the generator rides
+    // ScaleData/repack-adjacent paths that have drifted encodings once
+    // already (the r11 stale-footer bug) — a drifted ts here would make
+    // every digest below compare wrong-vs-wrong
+    Tables.validate(spark, dir, Seq("events"))
 
     val queries = Seq("q50_funnel", "q51_retention",
       "q58_attributed_clicks", "q59_attributed_outer")

@@ -65,15 +65,19 @@ object Tables {
     * SCANNED schema is diffed column-by-column against
     * [[expectedColumns]], and all drift is reported in ONE exception —
     * per-column, with scanned vs accepted types — before any query can
-    * error at analysis with a symptom far from the cause. The
+    * error at analysis with a symptom far from the cause. `tables`
+    * scopes the gate for harnesses whose input dir deliberately holds a
+    * subset (IvfSweep times embeddings only; SkewStress synthesizes an
+    * events-only corpus) — the default gates the full snapshot. The
     * `SnapshotIngest.headerDrift` philosophy applied to the fixture
     * seam: a snapshot writer changing an encoding (as the events table's
     * ts has, twice) surfaces here as a named diff naming the table, the
     * column, and both types. Footer-only reads — costs one file listing
     * per table, no data scan. Extra columns are tolerated (queries
     * select by name; a snapshot growing a column breaks nothing). */
-  def validate(spark: SparkSession, dir: String): Unit = {
-    val diffs = all.flatMap { t =>
+  def validate(spark: SparkSession, dir: String,
+      tables: Seq[String] = all): Unit = {
+    val diffs = tables.flatMap { t =>
       try {
         val scanned = spark.read.parquet(s"$dir/$t.parquet").schema
         // events.ts scanning as LONG is a legal legacy encoding ONLY
@@ -97,6 +101,12 @@ object Tables {
       } catch {
         case e: IllegalStateException => throw e // loader remedies pass through
         case e: Exception =>
+          // a nanos snapshot read without the legacy conf fails footer
+          // conversion before the per-column diff can run — route it to
+          // the same canonical requireNanosConf remedy the loaders give,
+          // not a generic "unreadable" line burying the fix
+          if (Option(e.getMessage).exists(_.contains("NANOS")))
+            GraftSession.requireNanosConf(spark) // throws the remedy if conf off
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
           Seq(s"$t: unreadable ($msg)")
@@ -182,7 +192,14 @@ object Tables {
     * file arbitrates: a column scanned as LONG whose footer annotation
     * is a non-NANOS timestamp is a contradiction, and the remedy is
     * named here instead of surfacing as silently-wrong results.
-    * Footer-only, first file only — no data scan. */
+    * Footer-only — no data scan — but EVERY data file of a directory is
+    * arbitrated, not just the first: mixed repack generations (one file
+    * rewritten with stale metadata landing next to clean ones) would
+    * pass a first-file sample and silently mis-divide only the stale
+    * files. One footer read per file is bounded driver-side cost even
+    * at the 32-file snapshot layouts the scale sweeps produce. A
+    * missing path arbitrates nothing (a stream may start before its
+    * producer's first file lands). */
   private[graft] def guardLegacyLongTs(spark: SparkSession, path: String,
       column: String = "ts"): Unit = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -191,13 +208,15 @@ object Tables {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hPath.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(hPath).isFile) Some(hPath)
-      else fs.listStatus(hPath)
-        .find(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-        .map(_.getPath)
-    file.foreach { f =>
+    val files: Seq[org.apache.hadoop.fs.Path] =
+      try {
+        if (fs.getFileStatus(hPath).isFile) Seq(hPath)
+        else fs.listStatus(hPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getPath).toSeq
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
+    files.foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       val ann =
         try {
@@ -211,7 +230,7 @@ object Tables {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
             if t.getUnit != LogicalTypeAnnotation.TimeUnit.NANOS =>
           throw new IllegalStateException(
-            s"$path: `$column` scanned as LONG but the parquet footer " +
+            s"$f: `$column` scanned as LONG but the parquet footer " +
               s"declares TIMESTAMP(${t.getUnit}) — the file carries stale " +
               "Spark row metadata (org.apache.spark.sql.parquet.row." +
               "metadata) from before a retype, and Spark trusts that key " +

@@ -59,8 +59,24 @@ object EventsStream {
     * nanos file landing in a micros directory would be read with the
     * wrong schema mid-stream). Migrating a live ingest directory means
     * draining it — or rewriting the old files — first, the same rule
-    * any declared-schema file stream lives under. */
-  def readEvents(spark: SparkSession, eventsDir: String): DataFrame = {
+    * any declared-schema file stream lives under.
+    *
+    * `emptyDirEncoding` covers the one case the peek cannot decide: a
+    * stream started against an EMPTY directory has no footer to
+    * sample, so the producer's encoding must be DECLARED. (Spark's
+    * file source itself rejects a not-yet-created path at query start —
+    * empty-but-existing is the earliest a stream can start; the peek's
+    * missing-path branch only defers to that canonical source error.)
+    * The default (TIMESTAMP_NTZ, the current snapshot generation) keeps
+    * zero-file starts working unchanged; a producer of UTC-instant
+    * (TimestampType) or legacy-nanos (LongType) files whose first file
+    * lands after stream start passes its encoding here — otherwise that
+    * first file would be read with the wrong declared schema
+    * mid-stream. Once at least one file exists the peek decides and the
+    * parameter is ignored. */
+  def readEvents(spark: SparkSession, eventsDir: String,
+      emptyDirEncoding: org.apache.spark.sql.types.DataType =
+        TimestampNTZType): DataFrame = {
     val scanned =
       try spark.read.parquet(eventsDir).schema("ts").dataType
       catch {
@@ -76,10 +92,8 @@ object EventsStream {
           // often starts before its producer's first file lands; the
           // pre-adaptive revision declared a static schema and never
           // touched the filesystem, so both cases must keep working):
-          // declare the current snapshot generation's encoding. A
-          // legacy-nanos producer must stage at least one file before
-          // start — the one case the peek cannot anticipate.
-          TimestampNTZType
+          // fall back to the caller-declared producer encoding.
+          emptyDirEncoding
       }
     val stream = spark.readStream.schema(eventSchema(scanned)).parquet(eventsDir)
     scanned match {

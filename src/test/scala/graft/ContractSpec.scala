@@ -361,6 +361,61 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mixed-generation events dir: stale metadata beyond the first file is still arbitrated") {
+    import java.nio.file.{Files, Path}
+    // a clean legacy-nanos file and a stale-row-metadata micros file in
+    // ONE directory: both scan `ts` as long, so the loader takes the
+    // nanos branch for the whole directory — and the stale file's
+    // actual-micros would be divided by 1000. The guard arbitrates
+    // EVERY file's footer, so whichever file the listing yields first,
+    // the contradiction is named (a first-file-only sample would bless
+    // the directory whenever the clean file sorts first).
+    val dir = Files.createTempDirectory("graft_mixed_events")
+    val table = dir.resolve("events.parquet")
+    Files.createDirectory(table)
+    def put(resource: String, name: String): Unit = {
+      val res = getClass.getResourceAsStream(resource)
+      Files.copy(res, table.resolve(name)); res.close()
+    }
+    put("/events_nanos.parquet", "a_clean_nanos.parquet")
+    put("/events_micros_stale_meta.parquet", "b_stale_micros.parquet")
+    try {
+      val err = intercept[IllegalStateException] {
+        Tables.load(spark, dir.toString, "events")
+      }
+      assert(err.getMessage.contains("MICROS"), err.getMessage)
+      assert(err.getMessage.contains("b_stale_micros"), err.getMessage)
+    } finally {
+      Files.list(table).forEach((p: Path) => Files.delete(p))
+      Files.delete(table); Files.delete(dir)
+    }
+  }
+
+  test("validate routes a nanos-without-conf failure to the canonical remedy") {
+    import java.nio.file.{Files, Path}
+    // without the legacy conf, a nanos snapshot fails Spark's footer
+    // conversion before validate's per-column diff can run — the gate
+    // must surface requireNanosConf's named remedy, not a generic
+    // "unreadable (Illegal Parquet type...)" line burying the fix
+    val key = GraftSession.NanosKey
+    val before = spark.conf.getOption(key)
+    val dir = Files.createTempDirectory("graft_nanos_gate")
+    val res = getClass.getResourceAsStream("/events_nanos.parquet")
+    Files.copy(res, dir.resolve("events.parquet")); res.close()
+    try {
+      spark.conf.unset(key)
+      val err = intercept[IllegalStateException] {
+        Tables.validate(spark, dir.toString, Seq("events"))
+      }
+      assert(err.getMessage.contains(key), err.getMessage)
+      assert(err.getMessage.contains("GraftSession"), err.getMessage)
+    } finally {
+      before.foreach(spark.conf.set(key, _))
+      Files.list(dir).forEach((p: Path) => Files.delete(p))
+      Files.delete(dir)
+    }
+  }
+
   test("Tables.validate passes the driver snapshot and names every drifted column") {
     import java.nio.file.{Files, Path, Paths}
     Tables.validate(spark, sf0001) // the real snapshot must gate green

@@ -995,4 +995,56 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keyset(spark.read.parquet(idxPath)) == keyset(fromScratch))
   }
+
+  test("explicit emptyDirEncoding lets an instants producer start before its first file") {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import spark.implicits._
+    // a stream started against an EMPTY directory has no footer to
+    // peek, so the producer's encoding must be declared: a UTC-instant
+    // (TimestampType) producer whose first file lands after stream
+    // start would otherwise be read with the default NTZ schema
+    // mid-stream. The fixture encodes the same instants as the legacy
+    // nanos twin, so the streamed micros must match the batch load of
+    // the same file exactly. (Spark's file source itself rejects a
+    // NOT-YET-CREATED path at query start, so empty-but-existing is
+    // the earliest a stream can start.)
+    val parent = Files.createTempDirectory("graft_declared_enc")
+    val watched = parent.resolve("incoming")
+    Files.createDirectory(watched) // empty at stream start
+    val stream = EventsStream.readEvents(spark, watched.toString,
+      emptyDirEncoding = org.apache.spark.sql.types.TimestampType)
+    val q = stream.selectExpr("event_id", "unix_micros(ts) AS us")
+      .writeStream.format("memory").queryName("declared_enc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("declared_enc_test").count() == 0)
+      // first file lands AFTER start
+      val res = getClass.getResourceAsStream("/events_utc_instants.parquet")
+      Files.copy(res, watched.resolve("000.parquet")); res.close()
+      q.processAllAvailable()
+      val streamed = spark.table("declared_enc_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch twin over the same file (staged in the <table>.parquet
+      // layout Tables.load expects)
+      val batchDir = Files.createTempDirectory("graft_declared_enc_batch")
+      Files.copy(watched.resolve("000.parquet"),
+        batchDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      val batch = Tables.load(spark, batchDir.toString, "events")
+        .selectExpr("event_id",
+          """timestampdiff(MICROSECOND,
+             TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed ${streamed.size} rows must equal the batch load")
+      Files.delete(batchDir.resolve("events.parquet")); Files.delete(batchDir)
+    } finally {
+      q.stop()
+      if (Files.exists(watched)) {
+        Files.list(watched).forEach((p: Path) => Files.delete(p))
+        Files.delete(watched)
+      }
+      Files.delete(parent)
+    }
+  }
 }
