@@ -771,10 +771,19 @@ object Dedup {
     * cannot leak by near-dup and never enter), and the rollup keys on
     * component with map-side partial aggregation. The csv of split
     * names is bounded by the split-scheme arity, not data. */
-  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
+    splitLeakageFromComponents(dedupClusters(pairs), splits)
+
+  /** [[splitLeakage]] over an already-resolved components frame (the
+    * [[dedupClusters]] output shape) — the composition seam: a pipeline
+    * that also runs [[keepByPriorityFromComponents]] resolves the
+    * components ONCE and fans out, instead of paying the propagation
+    * loop per consumer (the q75 deployment shape). */
+  def splitLeakageFromComponents(components: DataFrame,
+      splits: DataFrame): DataFrame = {
+    val spark = components.sparkSession
     import spark.implicits._
-    dedupClusters(pairs)
+    components
       .join(splits.select($"doc_id", $"split"), "doc_id")
       .groupBy($"component")
       .agg(
@@ -798,12 +807,18 @@ object Dedup {
     * costs (∝ pairs); the priority join is doc_id-equi over cluster
     * MEMBERS only, and the rank is a window partitioned by component —
     * per-cluster work, no global ordering anywhere. */
-  def keepByPriority(pairs: DataFrame, priority: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  def keepByPriority(pairs: DataFrame, priority: DataFrame): DataFrame =
+    keepByPriorityFromComponents(dedupClusters(pairs), priority)
+
+  /** [[keepByPriority]] over an already-resolved components frame — see
+    * [[splitLeakageFromComponents]] for the composition rationale. */
+  def keepByPriorityFromComponents(components: DataFrame,
+      priority: DataFrame): DataFrame = {
+    val spark = components.sparkSession
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"component").orderBy($"priority".desc, $"doc_id".asc)
-    dedupClusters(pairs)
+    components.select($"doc_id", $"component")
       .join(priority.select($"doc_id", $"priority"), "doc_id")
       .withColumn("_rn", row_number().over(w))
       .select($"doc_id", $"component", ($"_rn" === 1).as("is_keep"))

@@ -182,4 +182,38 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(gotLeak ==
       rows(DocumentQueries.queries("q72_split_leakage")(spark, sf0001)))
   }
+
+  test("declared q75 pipeline equals the q42/q74/q72 trio stage-for-stage") {
+    // the composition above, promoted to a DECLARED query (one pair
+    // relation, one components frame, three stacked reports): each
+    // stage slice must be row-identical to its self-contained declared
+    // twin, so the driver's oracle check on q75 transitively re-proves
+    // the trio — and its bench entry measures the compose-once cost
+    import graft.jobs.DocumentQueries
+    def rows(df: DataFrame): Set[Seq[Any]] = df.collect().map(_.toSeq).toSet
+    val q75 = DocumentQueries.queries("q75_curation_pipeline")(spark, sf0001)
+      .cache()
+    def stage(s: String, cols: String*): Set[Seq[Any]] =
+      rows(q75.filter($"stage" === s).select(cols.map(col): _*))
+    // is_keep rides as INT 0/1 in the stacked report (null-free object
+    // columns — see the query's padding discipline); decode for the
+    // row-identity check against the boolean-shaped twins
+    def keepDecoded(s: String): Set[Seq[Any]] =
+      rows(q75.filter($"stage" === s)
+        .select($"doc_id", $"component", ($"is_keep" === 1).as("is_keep")))
+    try {
+      assert(keepDecoded("clusters") ==
+        rows(DocumentQueries.queries("q42_dedup_clusters")(spark, sf0001)))
+      assert(keepDecoded("quality_keep") ==
+        rows(DocumentQueries.queries("q74_quality_keep")(spark, sf0001)))
+      assert(stage("leakage", "component", "n_docs", "n_splits", "splits") ==
+        rows(DocumentQueries.queries("q72_split_leakage")(spark, sf0001)))
+      // the padding columns are null (or '' for splits) outside their stage
+      assert(q75.filter($"stage" =!= "leakage" &&
+        ($"n_docs".isNotNull || $"n_splits".isNotNull || $"splits" =!= ""))
+        .count() == 0L)
+      assert(q75.filter($"stage" === "leakage" &&
+        ($"doc_id".isNotNull || $"is_keep".isNotNull)).count() == 0L)
+    } finally q75.unpersist()
+  }
 }

@@ -30,11 +30,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             # Normalize to us resolution: assert_frame_equal treats
             # datetime64[ns] (pandas' object-parse default) vs
             # datetime64[us] (duckdb fetchdf) as 100% different even
-            # when every value matches.
+            # when every value matches. Nulls in object columns get one
+            # canonical token: pandas surfaces a Spark-parquet null as
+            # None (str -> "None") but a duckdb fetchdf null as float
+            # NaN (str -> "nan"), and a representation-level compare
+            # must not read that engine difference as a value diff.
             try:
                 df[c] = pd.to_datetime(col).astype("datetime64[us]")
             except Exception:
-                df[c] = col.astype(str)
+                df[c] = col.apply(
+                    lambda v: "<null>" if pd.isna(v) else str(v))
         elif str(col.dtype).startswith("datetime64"):
             df[c] = (pd.to_datetime(col).dt.tz_localize(None)
                      if getattr(col.dt, "tz", None) else
