@@ -14,6 +14,13 @@ import graft.operators.Similarity
   * Usage: `runMain graft.IvfSweep [sfDir]`; env `IVF_CELLS` /
   * `IVF_PROBES` override the grid (comma-separated). Prints one JSON
   * line per configuration.
+  *
+  * `sfDir` may instead be `clustered:<n>[:<clusters>[:<spread>]]` —
+  * the corpus is then [[ScaleData.clusteredEmbeddings]] generated
+  * in-memory (deterministic, no disk), the mixture-of-clusters shape
+  * real embedding corpora have. The dir-based default measures the
+  * fixtures' near-uniform corpus (the lower-bound regime); the
+  * clustered mode is where the knee is meaningful (SURVEY §6.2).
   */
 object IvfSweep {
   def main(args: Array[String]): Unit = {
@@ -26,9 +33,20 @@ object IvfSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    // encoding-drift gate before any timing (scoped: this sweep reads
-    // only the embeddings table, and its input dir may hold just that)
-    Tables.validate(spark, sfDir, Seq("embeddings"))
+
+    def corpus(): org.apache.spark.sql.DataFrame =
+      if (sfDir.startsWith("clustered:")) {
+        val p = sfDir.stripPrefix("clustered:").split(":")
+        ScaleData.clusteredEmbeddings(spark, p(0).toLong,
+          clusters = p.lift(1).map(_.toInt).getOrElse(100),
+          spread = p.lift(2).map(_.toDouble).getOrElse(0.35))
+      } else {
+        // encoding-drift gate before any timing (scoped: this sweep
+        // reads only the embeddings table, and its input dir may hold
+        // just that)
+        Tables.validate(spark, sfDir, Seq("embeddings"))
+        Tables.load(spark, sfDir, "embeddings")
+      }
 
     val k = 10
     val cellsGrid = sys.env.getOrElse("IVF_CELLS", "16,32,64")
@@ -36,7 +54,7 @@ object IvfSweep {
     val probesGrid = sys.env.getOrElse("IVF_PROBES", "4,8,12,16")
       .split(",").map(_.trim.toInt).toSeq
 
-    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val emb = corpus().cache()
     val n = emb.count()
     // ONE truth table for the whole grid (the sweep's dominant cost)
     val truth = Similarity.bruteForceTopK(emb, lit(true), k)

@@ -107,6 +107,48 @@ object ScaleData {
       .select("vec_id", "embedding", "label")
   }
 
+  /** Mixture-of-clusters embedding corpus — the recall-measurement twin
+    * of [[embeddings]]. The fixture embeddings (and [[embeddings]]'s
+    * 10-label blend) carry so little — or such coarse — cluster
+    * structure that IVF recall ≈ scanned fraction there (SURVEY §6.2's
+    * own caveat), which makes the (cells, probes) knee and the
+    * SimilaritySpec floor numbers lower bounds with limited predictive
+    * value. Real embedding corpora are mixtures of MANY local clusters;
+    * this generator produces that shape with the same no-RNG
+    * discipline as every other ScaleData column (pure per-row xxhash64
+    * — bit-identical under any partitioning):
+    *
+    *  - `clusters` latent centroids, each coordinate uniform in [-1,1]
+    *    as a hash of (cluster, dim);
+    *  - per-row cluster assignment by hash of vec_id;
+    *  - per-row jitter uniform in ±`spread` per coordinate — `spread`
+    *    sets the intra/inter cluster distance ratio (at 64 dims,
+    *    inter-centroid distance ≈ 6.5; spread 0.35 gives intra ≈ 2.3,
+    *    separated but with boundary overlap, the regime where probing
+    *    order matters and a knee exists);
+    *  - the same ~2.5% planted near-identical copies as [[embeddings]]
+    *    so the SemDeDup/near-dup paths stay exercised.
+    *
+    * Schema and value domains match the fixture `embeddings` table
+    * exactly (`label` folds the latent cluster into 0..9). */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, clusters: Int = 100,
+      spread: Double = 0.35): DataFrame = {
+    import spark.implicits._
+    val dim = 64
+    spark.range(n).select($"id".as("vec_id"))
+      .withColumn("near", $"vec_id" > 0 && hmod("ndv", 40L, $"vec_id") === 0)
+      .withColumn("seed", when($"near", $"vec_id" - 1).otherwise($"vec_id"))
+      .withColumn("cluster", hmod("cl", clusters.toLong, $"seed").cast("int"))
+      .withColumn("label", pmod($"cluster", lit(10)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((hmod("cc", 2001L, $"cluster", j).cast("double") / 1000.0 - 1.0) +
+          (hmod("cj", 2001L, $"seed", j).cast("double") / 1000.0 - 1.0) * spread +
+          when($"near",
+            (hmod("jit", 2001L, $"vec_id", j).cast("double") / 1000.0 - 1.0) * 0.01)
+            .otherwise(0.0)).cast("float")))
+      .select("vec_id", "embedding", "label")
+  }
+
   def events(spark: SparkSession, n: Long, users: Long): DataFrame = {
     import spark.implicits._
     // naive (NTZ) nanos since epoch across Jan 2024, µs granularity —

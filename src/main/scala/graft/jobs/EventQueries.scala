@@ -25,18 +25,33 @@ object EventQueries {
   // ---------------------------------------------------------------- q14
   /** JSON property extraction + per-type rollup (SURVEY F-ext: the
     * `events.props` JSON column). get_json_object is a single-pass
-    * path evaluation — no UDF, pushed alongside the scan. */
+    * path evaluation — no UDF, pushed alongside the scan.
+    *
+    * `value` sums in exact integer CENTS (the column is 2-decimal
+    * fixed-point), not `round(sum(double), 4)`: this rollup's groups
+    * span the WHOLE table (n/5 rows each), so at scale a double sum's
+    * accumulated order-dependent error crosses the 4th decimal — the
+    * q01 sf3 failure mode. q15/q16/q43 keep the float form safely:
+    * their groups (sessions, hourly windows) stay bounded as the table
+    * grows, so the sum magnitude never outruns double precision.
+    * avg_value uses the q58 integer round-half-up identity. */
   def q14EventsJson(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     ev(spark, dir)
       .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
+      .withColumn("value_c", round($"value" * 100).cast("long"))
       .groupBy($"event_type")
       .agg(
-        count(lit(1)).as("n_events"),
-        round(avg($"value"), 4).as("avg_value"),
-        round(sum($"value"), 4).as("sum_value"),
+        count(lit(1)).as("n"),
+        sum($"value_c").as("svc"),
         max($"k_val").as("max_k"),
         sum($"k_val").cast("long").as("sum_k"))
+      .select(
+        $"event_type",
+        $"n".as("n_events"),
+        (expr("(200*svc + n) div (2*n)").cast("double") / 10000.0).as("avg_value"),
+        ($"svc".cast("double") / 100.0).as("sum_value"),
+        $"max_k", $"sum_k")
   }
 
   // ---------------------------------------------------------------- q15
@@ -380,11 +395,16 @@ object EventQueries {
     "q14_events_json" ->
       """SELECT event_type,
          count(*) AS n_events,
-         round(avg(value),4) AS avg_value,
-         round(sum(value),4) AS sum_value,
-         max(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS max_k,
-         CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k
-         FROM events GROUP BY event_type""",
+         CAST((200*sum(value_c) + count(*)) // (2*count(*)) AS DOUBLE)/10000.0 AS avg_value,
+         CAST(sum(value_c) AS DOUBLE)/100.0 AS sum_value,
+         max(k_val) AS max_k,
+         CAST(sum(k_val) AS BIGINT) AS sum_k
+         FROM (
+           SELECT event_type,
+             CAST(round(value*100) AS BIGINT) AS value_c,
+             CAST(json_extract_string(props,'$.k') AS INTEGER) AS k_val
+           FROM events)
+         GROUP BY event_type""",
     "q15_sessionize" ->
       """WITH marked AS (
            SELECT user_id, ts, event_id, value,

@@ -25,19 +25,45 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q01
   /** Scan → filter → hash-aggregate (SURVEY A1/A4, P5). Single shuffle on
-    * the 2-col group key; filter + 5-col projection pushed to parquet. */
+    * the 2-col group key; filter + 5-col projection pushed to parquet.
+    *
+    * Aggregation is EXACT FIXED-POINT, not `round(sum(double), 4)`: the
+    * money columns are 2-decimal fixed-point by construction, so each row
+    * converts to integer cents (a per-row, order-free operation) and the
+    * sums run in integer/decimal space where addition is associative. The
+    * float version died at sf3 in the partition-invariance sweep — a
+    * ~1e12-magnitude double sum has ULP ≈ 1e-4, so summation ORDER flips
+    * the 4th decimal and no post-hoc rounding can mask it; at 100 TB the
+    * sums are another 5 decades past that. Averages use the q58 integer
+    * round-half-up identity round(s/n·10⁴) = (2·s·10⁴+n) div (2n) so no
+    * engine's float tie-breaking is ever consulted; `div`/DuckDB `//`
+    * agree on positive operands. Sums accumulate as DECIMAL(38,0) (cents
+    * overflow a 64-bit long at ~10 TB of lineitem; DuckDB's BIGINT sum
+    * widens to INT128 the same way). */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "lineitem")
       .filter(to_date($"l_shipdate") <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .select(
+        $"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("qty"),
+        round($"l_extendedprice" * 100).cast("decimal(38,0)").as("price_c"),
+        round($"l_discount" * 100).cast("long").as("disc_c"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 4).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
-        count(lit(1)).as("count_order"))
+        sum($"qty").as("sq"),
+        sum($"price_c").as("spc"),
+        sum($"price_c" * (lit(100) - $"disc_c")).as("sdp4"),
+        sum($"disc_c").as("sdc"),
+        count(lit(1)).as("n"))
+      .select(
+        $"l_returnflag", $"l_linestatus",
+        $"sq".cast("double").as("sum_qty"),
+        ($"spc".cast("double") / 100.0).as("sum_base_price"),
+        ($"sdp4".cast("double") / 10000.0).as("sum_disc_price"),
+        (expr("(2*sq*10000 + n) div (2*n)").cast("double") / 10000.0).as("avg_qty"),
+        (expr("(200*sdc + n) div (2*n)").cast("double") / 10000.0).as("avg_disc"),
+        $"n".as("count_order"))
   }
 
   // ---------------------------------------------------------------- q02
@@ -406,14 +432,18 @@ object RelationalQueries {
   /** Rollup with grouping id: subtotals at (status, priority), (status),
     * and grand-total levels in ONE pass — Catalyst's Expand feeds all
     * grouping sets through a single aggregation shuffle instead of
-    * three scans. */
+    * three scans. The grand-total row sums the ENTIRE table, so `total`
+    * accumulates in exact integer cents (q01's fixed-point discipline —
+    * a whole-table double sum's order-dependent error crosses the 4th
+    * decimal as the table scales) and divides back only for display. */
   def q39Rollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     t(spark, dir, "orders")
+      .withColumn("price_c", round($"o_totalprice" * 100).cast("decimal(38,0)"))
       .rollup($"o_orderstatus", $"o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        round(sum($"o_totalprice"), 4).as("total"),
+        (sum($"price_c").cast("double") / 100.0).as("total"),
         grouping_id().as("gid"))
   }
 
@@ -440,14 +470,19 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),4) AS sum_qty,
-         round(sum(l_extendedprice),4) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
-         round(avg(l_quantity),4) AS avg_qty,
-         round(avg(l_discount),4) AS avg_disc,
+         CAST(sum(qty) AS DOUBLE) AS sum_qty,
+         CAST(sum(price_c) AS DOUBLE)/100.0 AS sum_base_price,
+         CAST(sum(price_c*(100-disc_c)) AS DOUBLE)/10000.0 AS sum_disc_price,
+         CAST((2*sum(qty)*10000 + count(*)) // (2*count(*)) AS DOUBLE)/10000.0 AS avg_qty,
+         CAST((200*sum(disc_c) + count(*)) // (2*count(*)) AS DOUBLE)/10000.0 AS avg_disc,
          count(*) AS count_order
-         FROM lineitem
-         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         FROM (
+           SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+             CAST(round(l_discount*100) AS BIGINT) AS disc_c
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
          GROUP BY l_returnflag, l_linestatus""",
     "q02_type_rollup" ->
       """SELECT lower(p_type) AS type_name,
@@ -594,7 +629,7 @@ object RelationalQueries {
     "q39_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(count(*) AS BIGINT) AS n,
-         round(sum(o_totalprice),4) AS total,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total,
          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          FROM orders
          GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")
