@@ -74,6 +74,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.75, f"recall@$k $recall%.4f collapsed below 0.75")
   }
 
+  test("trained-IVF recall@10 on a clustered corpus: high recall at a small scan fraction") {
+    // The sf0.1 fixture corpus is near-uniform, so there recall tracks
+    // the scanned fraction (probes/cells) and the floor above is a
+    // lower bound with little predictive value for production. Real
+    // embedding corpora are mixtures of many local clusters; this pins
+    // the behavior IVF is actually deployed for, on the deterministic
+    // mixture-of-clusters corpus (100 latent clusters, spread 1.2 —
+    // separated but overlapping; SURVEY §6.2's r12 regrid). At
+    // (cells=64, probes=4) only 6.25% of the corpus is scanned per
+    // query, yet measured recall@10 = 0.9245 — ~15× above the
+    // scan-fraction baseline a structureless corpus would give.
+    // Deterministic end to end (hash-built corpus, seeded sampled fit),
+    // so the floor guards the index path, not the data.
+    val emb = ScaleData.clusteredEmbeddings(spark, 5000, clusters = 100,
+      spread = 1.2)
+    val recall = Similarity.ivfRecallAtK(emb, numCells = 64, probes = 4,
+      k = 10, trainFraction = 0.25)
+    info(f"clustered-corpus trained-IVF recall@10 = $recall%.4f (cells=64, probes=4)")
+    assert(recall >= 0.90, f"clustered-corpus recall@10 $recall%.4f below 0.90")
+  }
+
   test("IVF trained on a half sample still indexes and answers every vector") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val ivf = Similarity.ivfTopK(emb, numCells = 8, probes = 4, k = 1,
