@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.jobs.DocumentQueries
+
+/** Measures the hashed-shuffle-key twins against their string-keyed
+  * declared queries at a caller-chosen scale — the number behind the
+  * "promote hashed keys to the operator default" decision (SURVEY
+  * §6.1.4). The two candidates are the only remaining declared queries
+  * whose largest exchanges carry raw gram STRINGS (~40 bytes/key):
+  * q52's novelty postings and q65's bigram LM; the pair-relation family
+  * already ships 8-byte `xxhash64` posting keys inside
+  * [[graft.operators.Dedup.ngramJaccard]].
+  *
+  * Protocol = Bench's: noop sink, one warm-up, median-of-3, cache
+  * cleared OUTSIDE the timed bracket.
+  *
+  * Usage: `tools/run_main.sh graft.HashedKeyBench [sfDir]`.
+  */
+object HashedKeyBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("scaledata/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.validate(spark, sfDir, Seq("documents"))
+
+    def time(df: => DataFrame): Double = {
+      def run(): Unit = df.write.format("noop").mode("overwrite").save()
+      try run() finally spark.catalog.clearCache() // warm-up
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        finally spark.catalog.clearCache()
+      }
+      times.sorted.apply(1) // median
+    }
+
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q52_novelty",
+        () => DocumentQueries.q52Novelty(spark, sfDir),
+        () => DocumentQueries.q52NoveltyHashed(spark, sfDir)),
+      ("q65_bigram_surprise",
+        () => DocumentQueries.q65BigramSurprise(spark, sfDir),
+        () => DocumentQueries.bigramSurpriseHashed(spark, sfDir)))
+    pairs.foreach { case (name, strKeyed, hashKeyed) =>
+      val s = time(strKeyed())
+      val h = time(hashKeyed())
+      println(f"""{"query":"$name","string_sec":$s%.3f,"hashed_sec":$h%.3f,"speedup":${s / h}%.2f}""")
+    }
+    spark.stop()
+  }
+}

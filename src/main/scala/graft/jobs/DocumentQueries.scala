@@ -1372,7 +1372,7 @@ object DocumentQueries {
     // q42's recursive-CTE components joined to q49's hash split; a
     // component with >1 distinct split is a leak
     "q72_split_leakage" ->
-      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+      s"""WITH RECURSIVE np AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (
            SELECT doc_a AS src, doc_b AS dst FROM np
            UNION SELECT doc_b, doc_a FROM np),
@@ -1380,7 +1380,7 @@ object DocumentQueries {
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS doc_id, least(src, min(dst)) AS component
            FROM reach GROUP BY src),
          sp AS (
@@ -1397,7 +1397,7 @@ object DocumentQueries {
            string_agg(DISTINCT split, ',' ORDER BY split) AS splits
          FROM j GROUP BY component HAVING count(DISTINCT split) > 1""",
     "q42_dedup_clusters" ->
-      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+      s"""WITH RECURSIVE np AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (
            SELECT doc_a AS src, doc_b AS dst FROM np
            UNION SELECT doc_b, doc_a FROM np),
@@ -1439,7 +1439,7 @@ object DocumentQueries {
     // q42's recursive-CTE components re-ranked by q19's rounded quality
     // score (doc_id tiebreak) — the keep flips from min-id to best-copy
     "q74_quality_keep" ->
-      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+      s"""WITH RECURSIVE np AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (
            SELECT doc_a AS src, doc_b AS dst FROM np
            UNION SELECT doc_b, doc_a FROM np),
@@ -1447,7 +1447,7 @@ object DocumentQueries {
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS doc_id, least(src, min(dst)) AS component
            FROM reach GROUP BY src),
          t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -1471,7 +1471,7 @@ object DocumentQueries {
     // CTEs natively) — the oracle twin of the Spark side's
     // persist-once-fan-out deployment shape
     "q75_curation_pipeline" ->
-      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
+      s"""WITH RECURSIVE np AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramJaccardSql) q),
          edges AS (
            SELECT doc_a AS src, doc_b AS dst FROM np
            UNION SELECT doc_b, doc_a FROM np),
@@ -1479,7 +1479,7 @@ object DocumentQueries {
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS doc_id, least(src, min(dst)) AS component
            FROM reach GROUP BY src),
          t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
