@@ -91,15 +91,20 @@ object DocumentQueries {
 
   // ---------------------------------------------------------------- q22
   /** SimHash near-dup pairs, engine-portable variant: 60-bit md5-prefix
-    * token hashes (recomputable in DuckDB), 4×15-bit bands, Hamming ≤ 3.
-    * The oracle brute-forces all fingerprint pairs in SQL; banding
-    * equals brute force exactly for maxHamming ≤ bands-1 (pigeonhole),
-    * so the comparison checks the whole pipeline: tokenize → hash →
-    * votes → pack → band → verify. The xxhash64/64-bit production
-    * default is contract-tested in DedupSpec. */
+    * token hashes (recomputable in DuckDB), 4×15-bit bands, Hamming ≤ 3,
+    * band-buckets capped at 500 docs (the hot-bucket guard — see
+    * [[Dedup.simhashDup]]'s maxBucket note; the sf10 sweep caught the
+    * uncapped self-join serializing ~4e8 candidate pairs onto one
+    * shuffle key). The cap sits above every driver-fixture bucket
+    * (max 269 at sf0.1), so at fixture scales the result — and the
+    * oracle comparison — still equals uncapped brute force by
+    * pigeonhole; at sf1+ it binds and bounds the candidate mass. The
+    * oracle reproduces banding + cap in SQL, which also frees IT from
+    * the all-pairs join. The xxhash64/64-bit production default is
+    * contract-tested in DedupSpec. */
   def q22Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashDup(docs(spark, dir), maxHamming = 3, bands = 4,
-      bits = 60, algo = "md5_60")
+      bits = 60, algo = "md5_60", maxBucket = 500)
 
   // ---------------------------------------------------------------- q36
   /** Winnowing (rolling-hash) fingerprints, engine-portable variant:
@@ -1207,8 +1212,10 @@ object DocumentQueries {
            regexp_replace(no_email, '$ipv4Re', '<IP>', 'g') AS redacted
          FROM r2""",
     "q22_simhash" ->
-      // brute-force reproduction of the md5-60-bit simhash pipeline;
-      // equals the banded Spark plan exactly for hamming <= bands-1
+      // banded + bucket-capped reproduction of the md5-60-bit simhash
+      // pipeline — same candidate generation as the Spark plan (4×15-bit
+      // bands, buckets > 500 excluded), so it matches wherever the cap
+      // binds AND stays sub-quadratic like the engine
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text,' ')) AS w
            FROM documents),
@@ -1226,10 +1233,21 @@ object DocumentQueries {
              CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0 END)
                AS BIGINT) AS simhash
            FROM votes GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, simhash, g.b AS band,
+             (simhash::UBIGINT >> (g.b*15)) & 32767 AS bh
+           FROM fp, (SELECT unnest(generate_series(0,3)) AS b) g),
+         ok AS (
+           SELECT band, bh FROM bands
+           GROUP BY band, bh HAVING count(*) <= 500),
+         bands_ok AS (
+           SELECT x.doc_id, x.simhash, x.band, x.bh
+           FROM bands x JOIN ok USING (band, bh)),
          pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) AS hamming
-           FROM fp a JOIN fp b ON a.doc_id < b.doc_id)
+           FROM bands_ok a JOIN bands_ok b
+             ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
          FROM pairs WHERE hamming <= 3""",
     "q36_winnow_fingerprints" -> winnowSql,

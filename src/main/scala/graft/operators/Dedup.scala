@@ -605,9 +605,24 @@ object Dedup {
     * Pigeonhole guarantee: every pair with Hamming ≤ bands-1 has at
     * least one untouched band, so recall is exact for
     * maxHamming ≤ bands-1 (enforced). Wider bands = exponentially more
-    * buckets = smaller per-bucket self-joins at corpus scale. */
+    * buckets = smaller per-bucket self-joins at corpus scale.
+    *
+    * `maxBucket` is the hot-bucket guard (the q20 `maxDF` move for the
+    * band index): band-buckets holding more than `maxBucket` docs are
+    * excluded from CANDIDATE GENERATION. Without it the per-bucket
+    * self-join is quadratic in bucket size — the sf10 sweep measured
+    * the candidate mass Σc² growing from 6.6e7 (sf1) to 5.9e8 (sf3)
+    * with single buckets reaching 9k docs (≈4e7 pairs landing on ONE
+    * shuffle key = one task), because near-identical boilerplate
+    * concentrates simhash values; real corpora do the same with
+    * templates and empty docs. The trade, exactly like maxDF: a
+    * true near-dup pair is missed only if EVERY band it shares is
+    * hotter than the cap; emitted pairs' Hamming distances stay exact.
+    * The pigeonhole equality with brute force holds wherever the cap
+    * does not bind (DedupSpec pins both sides of that boundary). */
   def simhashDup(docs: DataFrame, maxHamming: Int, bands: Int = 4,
-      bits: Int = 64, algo: String = "xx64"): DataFrame = {
+      bits: Int = 64, algo: String = "xx64",
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(bits % bands == 0, "bands must divide bits")
@@ -626,8 +641,16 @@ object Dedup {
             .as("bh"))): _*))
         .as("bk"))
       .select($"doc_id", $"simhash", $"bk.band".as("band"), $"bk.bh".as("band_hash"))
-    bandRows.as("a")
-      .join(bandRows.as("b"),
+    val candRows =
+      if (maxBucket == Int.MaxValue) bandRows
+      else {
+        val ok = bandRows.groupBy($"band", $"band_hash")
+          .agg(count(lit(1)).as("bc")).filter($"bc" <= maxBucket)
+          .select($"band", $"band_hash")
+        bandRows.join(ok, Seq("band", "band_hash"), "left_semi")
+      }
+    candRows.as("a")
+      .join(candRows.as("b"),
         $"a.band" === $"b.band" && $"a.band_hash" === $"b.band_hash" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),

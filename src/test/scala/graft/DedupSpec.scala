@@ -70,6 +70,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       s"missed: ${truth.diff(banded)}; extra: ${banded.diff(truth)}")
   }
 
+  test("simhash maxBucket: non-binding cap equals brute force; binding cap drops only all-bands-hot pairs") {
+    // a non-binding cap changes nothing (the declared q22 posture at
+    // fixture scales)
+    val truth = simhashTruth(3)
+    val capped = Dedup.simhashDup(docs, maxHamming = 3, maxBucket = 100000)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == truth, "a cap larger than every bucket must not bind")
+
+    // planted hot bucket: 40 identical docs share ALL FOUR band values
+    // (identical simhash), so at cap 30 every bucket any hot pair
+    // shares is over the cap → all hot-hot pairs drop; a distinct
+    // near-dup pair living in small buckets survives untouched
+    val hot = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon"))
+    // identical text → hamming 0, and a band-bucket of exactly 2
+    val rare = Seq(
+      (100L, "one two three four five six seven"),
+      (101L, "one two three four five six seven"))
+    val planted = (hot ++ rare).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashDup(planted, maxHamming = 3)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.count { case (a, b) => a < 40 && b < 40 } == 40 * 39 / 2,
+      "identical docs are pairwise hamming-0")
+    val hotCapped = Dedup.simhashDup(planted, maxHamming = 3, maxBucket = 30)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!hotCapped.exists { case (a, b) => a < 40 && b < 40 },
+      "every band the hot pairs share is over the cap → dropped")
+    assert(hotCapped.contains((100L, 101L)),
+      "pairs with any under-cap shared band survive")
+  }
+
   test("simhash rejects a hamming cap the banding cannot guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.simhashDup(docs, maxHamming = 7, bands = 4)
