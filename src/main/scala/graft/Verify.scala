@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional: args 3+ restrict the dump to named queries — the scale
+    // sweeps' oracle leg re-checks only the heavy families at sf3/sf10
+    // without paying for the other ~60 dumps (the driver passes none)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +22,9 @@ object Verify {
     // diffs, not as per-query analysis errors scattered through stderr
     Tables.validate(spark, sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
