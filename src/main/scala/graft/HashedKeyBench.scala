@@ -16,11 +16,14 @@ import graft.jobs.DocumentQueries
   * Protocol = Bench's: noop sink, one warm-up, median-of-3, cache
   * cleared OUTSIDE the timed bracket.
   *
-  * Usage: `tools/run_main.sh graft.HashedKeyBench [sfDir]`.
+  * Usage: `tools/run_main.sh graft.HashedKeyBench [sfDir] [queryName]`.
+  * An optional second argument restricts the run to one pair — lets an
+  * interrupted sweep resume without re-paying the completed pair.
   */
 object HashedKeyBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf10")
+    val only = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,7 +51,7 @@ object HashedKeyBench {
       ("q65_bigram_surprise",
         () => DocumentQueries.q65BigramSurprise(spark, sfDir),
         () => DocumentQueries.bigramSurpriseHashed(spark, sfDir)))
-    pairs.foreach { case (name, strKeyed, hashKeyed) =>
+    pairs.filter(p => only.forall(_ == p._1)).foreach { case (name, strKeyed, hashKeyed) =>
       val s = time(strKeyed())
       val h = time(hashKeyed())
       println(f"""{"query":"$name","string_sec":$s%.3f,"hashed_sec":$h%.3f,"speedup":${s / h}%.2f}""")

@@ -326,7 +326,15 @@ object DocumentQueries {
     * novel-shingle count — and therefore its novelty — is biased low,
     * never high (spec-locked against the string-key query: hashed
     * novelty ≤ exact novelty per doc, equal in the collision-free
-    * common case). Not oracle-declared: DuckDB has no xxhash64. */
+    * common case). Not oracle-declared: DuckDB has no xxhash64.
+    * Measured at sf10 (SURVEY §6.1.5): the 5-gram key space is 63%
+    * unique per instance (17.4 M distinct / 27.8 M instances), so
+    * partial aggregation cannot collapse the exchanges, both big
+    * shuffles genuinely carry the keys, and the 8-byte form wins
+    * wall-clock even on a single-JVM "shuffle" that never touches a
+    * wire — a floor for the network-shuffle cluster case (contrast
+    * [[bigramSurpriseHashed]]'s bounded-vocabulary regime and the
+    * cardinality-probe routing rule documented there). */
   def q52NoveltyHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // same double-consumption as q52Novelty — same persist contract
@@ -694,13 +702,29 @@ object DocumentQueries {
         round(log(total) - $"alc", 4).as("surprise"))
   }
 
-  /** [[q65BigramSurprise]] with 8-byte xxhash64 shuffle keys — the
-    * 100 TB form (the q52 move): both bigram-stream shuffles (LM
-    * aggregation + LM join) carry longs instead of ~40-byte gram
-    * strings. A 64-bit collision MERGES two bigrams' counts, nudging
-    * `ln c` for those grams only — ScaleOpsSpec pins it value-equal to
-    * the string-keyed query at test scale (no collisions) and the
-    * birthday bound keeps them astronomically rare at corpus scale. */
+  /** [[q65BigramSurprise]] with 8-byte xxhash64 shuffle keys on the
+    * bigram-stream exchanges (LM aggregation + LM join). A 64-bit
+    * collision MERGES two bigrams' counts, nudging `ln c` for those
+    * grams only — ScaleOpsSpec pins it value-equal to the string-keyed
+    * query at test scale (no collisions) and the birthday bound keeps
+    * them astronomically rare at corpus scale.
+    *
+    * How much this pays is a CARDINALITY question, not a blanket rule
+    * (SURVEY §6.1.5 measured both regimes at sf10): hashing shrinks
+    * only the bytes of keys that actually cross the wire. q52's
+    * 5-gram space is 63% unique per instance, so partial aggregation
+    * cannot collapse its exchanges and the 8-byte keys thin real
+    * shuffle volume. THIS query's bigram space is bounded by the
+    * generator's 31-word vocab — 961 distinct keys over 29 M
+    * instances — so the LM aggregation collapses map-side, the LM
+    * broadcast-joins, and no gram string ever crosses the wire: the
+    * measured 1.13× at sf10 is only the cheaper long-key hash
+    * aggregation, not a shuffle story. The regime that decides the
+    * default at 100 TB is the one the synthetic corpus cannot express:
+    * an open vocabulary makes the LM too large to broadcast, the join
+    * back then exchanges EVERY instance keyed by gram, and 8-byte keys
+    * pay on the wire — route by a cheap
+    * `approx_count_distinct(gram)` probe of the corpus when in doubt. */
   def bigramSurpriseHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bi = graft.operators.CacheScope.persist(
