@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+import graft.streaming.CorpusIngest
+
+/** Streaming-ingest economics at scale: per-MICRO-BATCH wall time of
+  * the two dedup-ingest seams ([[CorpusIngest.parquetDedupIngest]] and
+  * [[CorpusIngest.parquetExactDedupIngest]]) as the standing index
+  * grows across the run. StreamingSpec pins the artifact-BYTE growth
+  * ∝ batch; this measures the wall-time side of the same claim — each
+  * batch screens against an ever-larger index, so a seam whose cost
+  * rode the index would show monotonically growing batch times, while
+  * the designed cost (∝ batch + candidates) shows a flat profile.
+  * SURVEY §6.1.6 records the sf1 run.
+  *
+  * Protocol: the corpus is split into `nBatches` contiguous doc_id
+  * ranges (earlier docs arrive first — the direction the generator
+  * plants its duplicates); the first range seeds the standing
+  * artifacts via the batch API, the rest arrive as one parquet file
+  * per micro-batch (`maxFilesPerTrigger=1`, `Trigger.AvailableNow`).
+  * Per-batch time is Structured Streaming's own
+  * `triggerExecution` duration; the flatness ratio excludes the first
+  * streamed batch (JVM/codegen warm-up lands there).
+  *
+  * Usage: `tools/run_main.sh graft.IngestBench [sfDir] [nBatches]`.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("scaledata/sf1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    Tables.validate(spark, sfDir, Seq("documents"))
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val n = docs.count()
+    val sz = (n + nBatches - 1) / nBatches
+    def slice(i: Int): DataFrame =
+      docs.filter($"doc_id" >= i * sz && $"doc_id" < (i + 1) * sz)
+
+    // one parquet FILE per micro-batch, written in arrival order so the
+    // file source's mtime ordering replays the same sequence
+    val staging = Files.createTempDirectory("graft_ingestbench_stage").toString
+    (1 until nBatches).foreach { i =>
+      slice(i).coalesce(1).write.mode("append").parquet(staging)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+
+    def streamedBatches(corpusPath: String)(
+        start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
+        : Seq[(Long, Double)] = {
+      val src = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staging)
+      val q = start(src)
+      q.awaitTermination()
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      prog.map(p => (p.numInputRows,
+        p.durationMs.get("triggerExecution").toDouble / 1000.0))
+    }
+    def flatness(secs: Seq[Double]): Double = {
+      val steady = secs.drop(1) // warm-up batch out
+      steady.max / steady.min
+    }
+
+    // ---- near-dup seam: MinHash band index rolls forward per batch
+    val ndIdx = Files.createTempDirectory("graft_ingestbench_ndidx").toString
+    val ndCorpus = Files.createTempDirectory("graft_ingestbench_ndcorp").toString
+    Dedup.minhashBandIndex(slice(0), k = 5, numHashes = 32, bands = 8,
+      hashedShingles = true).write.mode("overwrite").parquet(ndIdx)
+    val nd = streamedBatches(ndCorpus) { src =>
+      CorpusIngest.parquetDedupIngest(src, ndIdx, ndCorpus, threshold = 0.6)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    nd.zipWithIndex.foreach { case ((rows, sec), i) =>
+      println(f"""{"seam":"neardup","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    // ---- exact seam: hash index + bloom roll forward per batch
+    val exIdx = Files.createTempDirectory("graft_ingestbench_exidx").toString
+    val exBloom = Files.createTempDirectory("graft_ingestbench_exbloom").toString
+    val exCorpus = Files.createTempDirectory("graft_ingestbench_excorp").toString
+    val seedIdx = Dedup.exactHashIndex(slice(0))
+    seedIdx.write.mode("overwrite").parquet(exIdx)
+    Dedup.exactIndexBloom(seedIdx, expectedItems = 2L * n)
+      .write.mode("overwrite").parquet(exBloom)
+    val ex = streamedBatches(exCorpus) { src =>
+      CorpusIngest.parquetExactDedupIngest(src, exIdx, exBloom, exCorpus)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    ex.zipWithIndex.foreach { case ((rows, sec), i) =>
+      println(f"""{"seam":"exact","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
+    val ndKept = spark.read.parquet(ndCorpus).count()
+    val exKept = spark.read.parquet(exCorpus).count()
+    println(f"""{"metric":"ingest_bench","sf_dir":"$sfDir","docs":$n,""" +
+      f""""batches":${nBatches - 1},"neardup_flatness":${flatness(nd.map(_._2))}%.2f,""" +
+      f""""exact_flatness":${flatness(ex.map(_._2))}%.2f,""" +
+      f""""neardup_kept":$ndKept,"exact_kept":$exKept}""")
+    spark.stop()
+  }
+}

@@ -46,15 +46,22 @@ object CorpusIngest {
   def dedupIngestStream(docStream: DataFrame, indexProvider: () => DataFrame,
       threshold: Double)(
       sink: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val index = indexProvider()
-      val seen = index.select(col("doc_id"))
-        .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      val fresh = batch.join(broadcast(seen), Seq("doc_id"), "left_anti")
-      val (kept0, _) = Dedup.nearDupIngestRound(fresh, index, threshold)
-      val kept = kept0.localCheckpoint(true)
-      try sink(kept, Dedup.minhashIndexDelta(index, kept), id)
-      finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+    docStream.writeStream.foreachBatch { (batch0: DataFrame, id: Long) =>
+      // a foreachBatch frame re-reads its source files on EVERY action;
+      // the replay guard + screen + verify + delta consume it several
+      // times over (IngestBench measured 6 source scans per trigger
+      // unpersisted), so pin the batch once for the round
+      val batch = batch0.persist()
+      try {
+        val index = indexProvider()
+        val seen = index.select(col("doc_id"))
+          .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        val fresh = batch.join(broadcast(seen), Seq("doc_id"), "left_anti")
+        val (kept0, _) = Dedup.nearDupIngestRound(fresh, index, threshold)
+        val kept = kept0.localCheckpoint(true)
+        try sink(kept, Dedup.minhashIndexDelta(index, kept), id)
+        finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+      } finally batch.unpersist()
     }
 
   /** Streaming EXACT dedup ingest — [[dedupIngestStream]]'s sibling for
@@ -74,14 +81,17 @@ object CorpusIngest {
   def exactDedupIngestStream(docStream: DataFrame,
       indexProvider: () => DataFrame, bloomProvider: () => DataFrame)(
       sink: (DataFrame, DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val index = indexProvider()
-      val bloom = bloomProvider()
-      val kept = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
-        .localCheckpoint(true)
-      try sink(kept, Dedup.exactHashIndex(kept),
-        Dedup.appendToExactBloom(bloom, kept), id)
-      finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+    docStream.writeStream.foreachBatch { (batch0: DataFrame, id: Long) =>
+      val batch = batch0.persist() // same re-read pin as dedupIngestStream
+      try {
+        val index = indexProvider()
+        val bloom = bloomProvider()
+        val kept = Dedup.dedupAgainstIndexScreened(batch, index, bloom)
+          .localCheckpoint(true)
+        try sink(kept, Dedup.exactHashIndex(kept),
+          Dedup.appendToExactBloom(bloom, kept), id)
+        finally GraftColumnBridge.unpersistLocalCheckpoint(kept)
+      } finally batch.unpersist()
     }
 
   /** Parquet convenience sink for the exact family: kept docs append to
