@@ -104,12 +104,53 @@ object IngestBench {
       println(f"""{"seam":"exact","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
     }
 
+    // ---- embedding seam: cell-partitioned IVF postings roll forward
+    // in place (touched-cell overwrite) per batch
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val nEmb = emb.count()
+    val szE = (nEmb + nBatches - 1) / nBatches
+    def embSlice(i: Int): DataFrame =
+      emb.filter($"vec_id" >= i * szE && $"vec_id" < (i + 1) * szE)
+    val embStaging =
+      Files.createTempDirectory("graft_ingestbench_embstage").toString
+    (1 until nBatches).foreach { i =>
+      embSlice(i).coalesce(1).write.mode("append").parquet(embStaging)
+      Thread.sleep(1100)
+    }
+    val postingsPath =
+      Files.createTempDirectory("graft_ingestbench_postings").toString
+    // clamp the cell count and sample to the seed slice so the
+    // fixture-scale smoke (hundreds of vectors) fits the same code
+    // path the sf1+ runs measure
+    val seedCount = embSlice(0).count()
+    val cells = math.min(32L, math.max(4L, seedCount / 16)).toInt
+    val model = graft.operators.Similarity.fitIvfIndex(embSlice(0),
+      numCells = cells,
+      trainFraction = if (seedCount < 2000) 1.0 else 0.25)
+    graft.operators.Similarity.saveIvfPostings(
+      graft.operators.Similarity.ivfPostings(embSlice(0), model), postingsPath)
+    val iv = {
+      val src = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(embStaging)
+      val q = CorpusIngest.embeddingIngest(src, model, postingsPath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.filter(_.numInputRows > 0).map(p =>
+        (p.numInputRows, p.durationMs.get("triggerExecution").toDouble / 1000.0))
+    }
+    iv.zipWithIndex.foreach { case ((rows, sec), i) =>
+      println(f"""{"seam":"ivf","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+    }
+
     val ndKept = spark.read.parquet(ndCorpus).count()
     val exKept = spark.read.parquet(exCorpus).count()
+    val ivRows = spark.read.parquet(postingsPath).count()
     println(f"""{"metric":"ingest_bench","sf_dir":"$sfDir","docs":$n,""" +
       f""""batches":${nBatches - 1},"neardup_flatness":${flatness(nd.map(_._2))}%.2f,""" +
       f""""exact_flatness":${flatness(ex.map(_._2))}%.2f,""" +
-      f""""neardup_kept":$ndKept,"exact_kept":$exKept}""")
+      f""""ivf_flatness":${flatness(iv.map(_._2))}%.2f,""" +
+      f""""neardup_kept":$ndKept,"exact_kept":$exKept,"ivf_postings":$ivRows}""")
     spark.stop()
   }
 }

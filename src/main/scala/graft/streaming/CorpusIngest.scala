@@ -152,9 +152,11 @@ object CorpusIngest {
     * the signal), exactly as a batch deployment would. */
   def embeddingIngest(embStream: DataFrame, model: KMeansModel,
       postingsPath: String): DataStreamWriter[Row] =
-    embStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      Similarity.appendIvfPostingsInPlace(batch.sparkSession, postingsPath,
-        model, batch)
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist() // same re-read pin as the dedup seams
+      try Similarity.appendIvfPostingsInPlace(batch.sparkSession,
+        postingsPath, model, batch)
+      finally batch.unpersist()
     }
 
   /** Parquet-directory convenience sink: kept docs append to
