@@ -71,7 +71,7 @@ object IngestBench {
         p.durationMs.get("triggerExecution").toDouble / 1000.0))
     }
     def flatness(secs: Seq[Double]): Double = {
-      val steady = secs.drop(1) // warm-up batch out
+      val steady = if (secs.size > 1) secs.drop(1) else secs // warm-up out
       steady.max / steady.min
     }
 
