@@ -51,6 +51,10 @@ object HashedKeyBench {
       ("q65_bigram_surprise",
         () => DocumentQueries.q65BigramSurprise(spark, sfDir),
         () => DocumentQueries.bigramSurpriseHashed(spark, sfDir)))
+    // a mistyped name would otherwise filter out every pair and the
+    // bench would silently run nothing
+    only.foreach(q => require(pairs.exists(_._1 == q),
+      s"unknown query: $q (have ${pairs.map(_._1).mkString(", ")})"))
     pairs.filter(p => only.forall(_ == p._1)).foreach { case (name, strKeyed, hashKeyed) =>
       val s = time(strKeyed())
       val h = time(hashKeyed())

@@ -34,15 +34,25 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    // flatness is a steady-state ratio: one streamed batch has no
+    // steady state to compare (and warm-up exclusion would empty it)
+    require(nBatches >= 3, s"nBatches=$nBatches — need >= 3 (seed + 2 streamed)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
+      // recentProgress is a ring buffer capped by this conf (default
+      // 100): a deeper run would silently drop its EARLIEST batches —
+      // exactly the ones the flatness baseline needs
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, nBatches + 8).toString)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    Tables.validate(spark, sfDir, Seq("documents"))
+    // both corpora are loaded below — gate both before either seam
+    // spends wall time
+    Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
@@ -59,7 +69,7 @@ object IngestBench {
       Thread.sleep(1100) // distinct mtimes -> deterministic file order
     }
 
-    def streamedBatches(corpusPath: String)(
+    def streamedBatches(
         start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)
         : Seq[(Long, Double)] = {
       val src = spark.readStream.schema(docs.schema)
@@ -72,7 +82,9 @@ object IngestBench {
     }
     def flatness(secs: Seq[Double]): Double = {
       val steady = if (secs.size > 1) secs.drop(1) else secs // warm-up out
-      steady.max / steady.min
+      // a seam that admitted no rows (all-duplicate batches) has no
+      // profile to ratio — report NaN rather than throw on empty .max
+      if (steady.isEmpty) Double.NaN else steady.max / steady.min
     }
 
     // ---- near-dup seam: MinHash band index rolls forward per batch
@@ -80,7 +92,7 @@ object IngestBench {
     val ndCorpus = Files.createTempDirectory("graft_ingestbench_ndcorp").toString
     Dedup.minhashBandIndex(slice(0), k = 5, numHashes = 32, bands = 8,
       hashedShingles = true).write.mode("overwrite").parquet(ndIdx)
-    val nd = streamedBatches(ndCorpus) { src =>
+    val nd = streamedBatches { src =>
       CorpusIngest.parquetDedupIngest(src, ndIdx, ndCorpus, threshold = 0.6)
         .trigger(Trigger.AvailableNow()).start()
     }
@@ -96,7 +108,7 @@ object IngestBench {
     seedIdx.write.mode("overwrite").parquet(exIdx)
     Dedup.exactIndexBloom(seedIdx, expectedItems = 2L * n)
       .write.mode("overwrite").parquet(exBloom)
-    val ex = streamedBatches(exCorpus) { src =>
+    val ex = streamedBatches { src =>
       CorpusIngest.parquetExactDedupIngest(src, exIdx, exBloom, exCorpus)
         .trigger(Trigger.AvailableNow()).start()
     }
