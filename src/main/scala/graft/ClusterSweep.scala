@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Dedup
+import graft.streaming.CorpusIngest
+
+/** Shared session shape for the process-boundary legs: every harness
+  * that runs a `local-cluster[n,cores,mem]` master routes through
+  * [[builder]] so the executor JVMs get the same JDK-17 module opens,
+  * classpath shipping, and serializer as ClusterSweep's audited leg.
+  *
+  * What makes this leg different from twelve rounds of `local[n]`:
+  *  - the app classes reach executors via `spark.jars` — the driver's
+  *    file server actually serves the jar and each executor's
+  *    `MutableURLClassLoader` loads graft classes from the fetched
+  *    copy, the same path a real `--jars` submit takes (NOT
+  *    `extraClassPath`, which would quietly fall back to the shared
+  *    filesystem and test nothing);
+  *  - `KryoSerializer` carries the data/broadcast path, so the
+  *    `Broadcast[BloomFilter]` handle in
+  *    [[graft.expressions.BloomProbe]] is torrent-delivered and
+  *    deserialized in a JVM that never saw the driver-side object;
+  *  - shuffles cross real sockets between two 2-core / 2 GiB executor
+  *    processes, so a digest mismatch from map-iteration or
+  *    serialization nondeterminism has somewhere to come from.
+  */
+object ClusterHarness {
+
+  /** Mirrors build.sbt's jdk17AddOpens — a forked executor JVM is not
+    * launched by sbt, so it must carry its own module opens. */
+  val executorJavaOptions: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  val defaultJar = "target/scala-2.13/clinicalbispark_2.13-0.1.0.jar"
+
+  /** A builder for `master`, shipping `jar` to executors. Worker
+    * processes resolve their launch scripts through SPARK_HOME — fail
+    * fast with the remedy rather than let the worker die opaquely. */
+  def builder(master: String, jar: String = defaultJar): SparkSession.Builder = {
+    require(!master.startsWith("local-cluster") || sys.env.contains("SPARK_HOME"),
+      "local-cluster mode forks executor JVMs through the Spark distro: " +
+        "run with SPARK_HOME=/opt/spark")
+    val jarAbs = new java.io.File(jar).getAbsoluteFile
+    require(jarAbs.isFile,
+      s"$jarAbs missing — run `sbt package` first (executors fetch app " +
+        "classes from this jar via the driver's file server)")
+    GraftSession.defaults(SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.jars", jarAbs.toString)
+      .config("spark.executor.memory", "2g")
+      // the executor command builder resolves the distro layout through
+      // SPARK_SCALA_VERSION, normally exported by load-spark-env.sh —
+      // a raw-java launch never ran it, and Command.environment is the
+      // seam that reaches the in-process Worker's builder
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      .config("spark.executor.extraJavaOptions", executorJavaOptions)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer"))
+  }
+
+  /** Run `body` in a fresh session and tear the context down fully —
+    * two legs with different masters cannot share a JVM-wide context. */
+  def withSession[A](b: SparkSession.Builder)(body: SparkSession => A): A = {
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try body(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
+
+/** The process-boundary invariance sweep (SURVEY §6.1.7): every prior
+  * green result ran inside ONE JVM, where "broadcast" is a pointer
+  * copy and "shuffle" never touches a socket. This harness runs the
+  * heavy subset — q63 (broadcast-handle bloom screen), q21 (LSH band
+  * join), q42 (checkpointed component propagation), q34 (IVF
+  * postings) — plus the exact-dedup STREAMING seam once under plain
+  * `local[4]` and once under `local-cluster[2,2,2048]` (two separate
+  * executor processes, 2 cores / 2 GiB each), and requires
+  * digest-equality (same order-free digest as [[ScaleSweep]]).
+  *
+  * Usage:
+  *   sbt package
+  *   SPARK_HOME=/opt/spark tools/run_main.sh graft.ClusterSweep \
+  *     [sfDir] [query...]
+  */
+object ClusterSweep {
+
+  val defaultQueries: Seq[String] = Seq(
+    "q63_exact_index_screen", "q21_minhash_lsh",
+    "q42_dedup_clusters", "q34_ann_ivf")
+
+  /** The exact-dedup ingest seam, batch-sliced as IngestBench does it:
+    * seed the hash index + bloom from the first slice, stream the rest
+    * one file per micro-batch, and digest the kept corpus. Exercises
+    * `localCheckpoint` on executor block managers and the per-batch
+    * bloom broadcast across the process boundary. */
+  private def exactSeamDigest(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): ScaleSweep.Digest = {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents").select($"doc_id", $"text")
+    val n = docs.count()
+    val sz = (n + nBatches - 1) / nBatches
+    def slice(i: Int): DataFrame =
+      docs.filter($"doc_id" >= i * sz && $"doc_id" < (i + 1) * sz)
+
+    val staging = Files.createTempDirectory("graft_clustersweep_stage").toString
+    (1 until nBatches).foreach { i =>
+      slice(i).coalesce(1).write.mode("append").parquet(staging)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+    val idx = Files.createTempDirectory("graft_clustersweep_idx").toString
+    val bloom = Files.createTempDirectory("graft_clustersweep_bloom").toString
+    val corpus = Files.createTempDirectory("graft_clustersweep_corp").toString
+    val seed = Dedup.exactHashIndex(slice(0))
+    seed.write.mode("overwrite").parquet(idx)
+    Dedup.exactIndexBloom(seed, expectedItems = 2L * n)
+      .write.mode("overwrite").parquet(bloom)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val q = CorpusIngest.parquetExactDedupIngest(src, idx, bloom, corpus)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    ScaleSweep.digest(spark.read.parquet(corpus))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("scaledata/sf1")
+    val queries = if (args.length > 1) args.drop(1).toSeq else defaultQueries
+    val unknown = queries.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
+    def leg(master: String): (Map[String, ScaleSweep.Digest], ScaleSweep.Digest) =
+      ClusterHarness.withSession(ClusterHarness.builder(master)) { spark =>
+        Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
+        val ds = queries.map { name =>
+          val t0 = System.nanoTime()
+          val d =
+            try ScaleSweep.digest(SparkEntry.queries(name)(spark, sfDir))
+            finally spark.catalog.clearCache()
+          println(f"[$master] $name rows=${d.rows} " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+          name -> d
+        }.toMap
+        val t0 = System.nanoTime()
+        val seam = exactSeamDigest(spark, sfDir)
+        println(f"[$master] exact_ingest_seam kept=${seam.rows} " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+        (ds, seam)
+      }
+
+    // local leg at the cluster's core count so any divergence is the
+    // process boundary, not parallelism (digests are shape-free anyway)
+    val (localD, localSeam) = leg("local[4]")
+    val (clusterD, clusterSeam) = leg("local-cluster[2,2,2048]")
+
+    var failures = List.empty[String]
+    queries.foreach { name =>
+      val (a, b) = (localD(name), clusterD(name))
+      if (a == b) println(s"[cluster-sweep] OK   $name rows=${a.rows}")
+      else {
+        failures ::= name
+        println(s"[cluster-sweep] FAIL $name\n  local:   $a\n  cluster: $b")
+      }
+    }
+    if (localSeam == clusterSeam)
+      println(s"[cluster-sweep] OK   exact_ingest_seam kept=${localSeam.rows}")
+    else {
+      failures ::= "exact_ingest_seam"
+      println(s"[cluster-sweep] FAIL exact_ingest_seam\n  local:   " +
+        s"$localSeam\n  cluster: $clusterSeam")
+    }
+    println(s"[cluster-sweep] ${queries.size + 1 - failures.size}/" +
+      s"${queries.size + 1} process-boundary invariant; failures: " +
+      failures.reverse.mkString(", "))
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
