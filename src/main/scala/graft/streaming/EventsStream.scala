@@ -165,15 +165,89 @@ object EventsStream {
     * state) is source-agnostic past this projection. Broker metadata
     * (topic/partition/offset/broker timestamp) is dropped — event time
     * comes from the payload, so watermarks are immune to broker-side
-    * reordering. */
+    * reordering.
+    *
+    * Corrupt-record policy: DROP. A hostile payload — null value bytes,
+    * non-UTF8 bytes, truncated/invalid JSON, or a wrong-schema document
+    * whose identity/time fields don't parse — is excluded here rather
+    * than flowing downstream as an all-null row (an all-null `ts` row
+    * would silently vanish in the watermark while an all-null group key
+    * pollutes aggregates; neither is a decode contract). Pipelines that
+    * must account for every broker offset compose
+    * [[decodeKafkaEventsAudited]] and route the `_corrupt_record` rows
+    * to a quarantine sink instead. */
   def decodeKafkaEvents(wire: DataFrame): DataFrame =
-    wire.select(from_json(col("value").cast("string"), kafkaPayloadSchema).as("e"))
-      .select(col("e.event_id").as("event_id"),
-        expr("timestamp_micros(e.ts_us)").as("ts"),
-        col("e.user_id").as("user_id"),
-        col("e.event_type").as("event_type"),
-        col("e.value").as("value"),
-        col("e.props").as("props"))
+    decodeKafkaEventsAudited(wire)
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+
+  /** The fields a payload must carry to be an event at all: identity,
+    * event time, and the two grouping keys every downstream plan uses.
+    * `value`/`props` stay nullable — a metric-less event is legal. */
+  private val requiredPayloadFields = Seq("event_id", "ts_us", "user_id",
+    "event_type")
+
+  /** QUARANTINE-policy decode: same projection as [[decodeKafkaEvents]]
+    * plus a `_corrupt_record` column (nomenclature mirrors Spark's JSON
+    * source) that is NULL for clean records and carries the base64 of
+    * the original value bytes otherwise — base64 because the offending
+    * payload may be exactly the thing a UTF-8 string column cannot
+    * represent. Corruption classes, each spec-pinned in StreamingSpec:
+    *  - null value bytes (tombstone on a non-compacted topic);
+    *  - non-UTF8 bytes (`cast(string)` mangles, `from_json` nulls out);
+    *  - truncated or syntactically invalid JSON (null struct);
+    *  - schema drift where a [[requiredPayloadFields]] member is
+    *    missing or fails its type coercion (PERMISSIVE from_json nulls
+    *    the field, so `e.ts_us = "noon"` is corrupt, not silently-null
+    *    event time).
+    * Typed columns are nulled on corrupt rows — the quarantine column
+    * is the single source of truth for "bad", so a consumer filter on
+    * it can never disagree with a consumer filter on field nullness. */
+  def decodeKafkaEventsAudited(wire: DataFrame): DataFrame = {
+    val parsed = wire.select(col("value"),
+      from_json(col("value").cast("string"), kafkaPayloadSchema).as("e"))
+    // isNull is never itself null, so `corrupt` is two-valued
+    val corrupt = col("value").isNull || col("e").isNull ||
+      requiredPayloadFields.map(f => col(s"e.$f").isNull).reduce(_ || _)
+    val clean = !corrupt
+    parsed.select(
+      when(clean, col("e.event_id")).as("event_id"),
+      when(clean, expr("timestamp_micros(e.ts_us)")).as("ts"),
+      when(clean, col("e.user_id")).as("user_id"),
+      when(clean, col("e.event_type")).as("event_type"),
+      when(clean, col("e.value")).as("value"),
+      when(clean, col("e.props")).as("props"),
+      when(!clean, coalesce(base64(col("value")), lit(""))).as("_corrupt_record"))
+  }
+
+  /** FAIL-policy decode: `from_json` in FAILFAST mode, so the first
+    * malformed payload kills the micro-batch (and the stream restarts
+    * into the same record — a poison-pill loop by design: this policy
+    * is for topics where corruption means a producer bug that must
+    * page, not data to route around). Null value bytes and
+    * missing-required-field documents are NOT json parse failures, so
+    * they are guarded with `assert_true` woven INTO the `event_id`
+    * projection — a guard in a column that is then dropped would be
+    * pruned by the optimizer, side effect and all. */
+  def decodeKafkaEventsStrict(wire: DataFrame): DataFrame = {
+    val parsed = wire.select(col("value"),
+      from_json(col("value").cast("string"), kafkaPayloadSchema,
+        Map("mode" -> "FAILFAST")).as("e"))
+    val required = requiredPayloadFields.map(f => col(s"e.$f").isNull)
+      .reduce(_ || _)
+    val guard = assert_true(!(col("value").isNull || required),
+      lit("corrupt kafka payload: null value bytes or missing required " +
+        "field (event_id/ts_us/user_id/event_type)"))
+    parsed.select(
+      // guard.isNull is TRUE whenever the assert passes (assert_true
+      // returns null) — the when() keeps the assert load-bearing
+      when(guard.isNull, col("e.event_id")).as("event_id"),
+      expr("timestamp_micros(e.ts_us)").as("ts"),
+      col("e.user_id").as("user_id"),
+      col("e.event_type").as("event_type"),
+      col("e.value").as("value"),
+      col("e.props").as("props"))
+  }
 
   /** Kafka-source twin of [[readEvents]]: identical downstream schema,
     * only the `readStream` options change (brokers, topic, offsets).

@@ -1047,4 +1047,116 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Files.delete(parent)
     }
   }
+
+  /** The hostile-payload fixture: two clean records and five corruption
+    * classes a real broker can deliver. Shared by the three policy
+    * tests so a class can't be pinned under one policy and forgotten
+    * under another. */
+  private def hostileWire: (Seq[KafkaWire], Seq[KafkaWire]) = {
+    val brokerTs = new java.sql.Timestamp(0L)
+    def rec(value: Array[Byte], off: Long) =
+      KafkaWire(null, value, "events", 0, off, brokerTs, 0)
+    val clean = Seq(
+      rec(("""{"event_id":1,"ts_us":3600000000,"user_id":7,""" +
+        """"event_type":"view","value":1.5,"props":"{}"}""").getBytes("UTF-8"), 0),
+      // optional fields absent is LEGAL — a metric-less event
+      rec("""{"event_id":2,"ts_us":7200000000,"user_id":8,"event_type":"click"}"""
+        .getBytes("UTF-8"), 1))
+    val corrupt = Seq(
+      // tombstone: null value bytes
+      rec(null, 2),
+      // non-UTF8 bytes: cast(string) mangles, from_json cannot parse
+      rec(Array(0xC3.toByte, 0x28.toByte, 0xFF.toByte, 0xFE.toByte), 3),
+      // truncated JSON (producer crash mid-write / max.message length)
+      rec("""{"event_id":5,"ts_us":36000""".getBytes("UTF-8"), 4),
+      // schema drift: required field fails type coercion
+      rec("""{"event_id":6,"ts_us":"noon","user_id":9,"event_type":"view"}"""
+        .getBytes("UTF-8"), 5),
+      // schema drift: required field missing entirely
+      rec("""{"event_id":7,"user_id":10,"event_type":"view","value":2.0}"""
+        .getBytes("UTF-8"), 6))
+    (clean, corrupt)
+  }
+
+  test("hostile kafka payloads: quarantine policy audits every corruption class") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val (clean, corrupt) = hostileWire
+    val ms = MemoryStream[KafkaWire](spark)
+    ms.addData((clean ++ corrupt).toIndexedSeq)
+    val out = EventsStream.runToBatch(
+      EventsStream.decodeKafkaEventsAudited(ms.toDF()), "kafka_audited",
+      "append")
+
+    // schema contract: file-source schema plus the quarantine column
+    assert(out.drop("_corrupt_record").schema ==
+      EventsStream.readEvents(spark, eventsDir).schema)
+
+    assert(out.count() == (clean ++ corrupt).size,
+      "quarantine accounts for every broker record")
+    val good = out.filter($"_corrupt_record".isNull)
+    assert(good.select($"event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(good.filter($"event_id" === 1L)
+      .select($"value").as[Double].head() == 1.5)
+    // optional-absent record decodes with null metric, not quarantined
+    assert(good.filter($"event_id" === 2L)
+      .select($"value").isEmpty || good.filter($"event_id" === 2L)
+      .select($"value").head().isNullAt(0))
+
+    val bad = out.filter($"_corrupt_record".isNotNull)
+    assert(bad.count() == corrupt.size,
+      s"every corruption class quarantined: got ${bad.count()}")
+    // corrupt rows carry NO typed values — the quarantine column is the
+    // single source of truth for "bad"
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      .foreach { c =>
+        assert(bad.filter(col(c).isNotNull).count() == 0,
+          s"corrupt rows must null out $c")
+      }
+    // the payload survives byte-exact through base64 — the non-UTF8
+    // record is exactly what a string column could NOT have carried
+    val b64 = bad.select($"_corrupt_record").as[String].collect().toSet
+    val nonUtf8 = java.util.Base64.getEncoder.encodeToString(
+      Array(0xC3.toByte, 0x28.toByte, 0xFF.toByte, 0xFE.toByte))
+    assert(b64.contains(nonUtf8), "non-UTF8 payload must round-trip")
+    assert(b64.contains(""), "null value bytes audit as the empty record")
+  }
+
+  test("hostile kafka payloads: drop policy forwards only clean records") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val (clean, corrupt) = hostileWire
+    val ms = MemoryStream[KafkaWire](spark)
+    ms.addData((clean ++ corrupt).toIndexedSeq)
+    val out = EventsStream.runToBatch(
+      EventsStream.decodeKafkaEvents(ms.toDF()), "kafka_dropped", "append")
+    assert(out.schema == EventsStream.readEvents(spark, eventsDir).schema)
+    assert(out.select($"event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L),
+      "drop policy: clean records pass, no all-null rows leak downstream")
+  }
+
+  test("hostile kafka payloads: strict policy fails the batch on the first bad record") {
+    import spark.implicits._
+    val (clean, corrupt) = hostileWire
+    // clean-only wire decodes identically to the drop policy
+    val cleanDf = spark.createDataset(clean).toDF()
+    val strictClean = EventsStream.decodeKafkaEventsStrict(cleanDf)
+    assert(strictClean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // each corruption class individually kills the job — poison-pill by
+    // design: FAILFAST for parse failures, the woven assert for the
+    // classes that parse "successfully" to null
+    corrupt.foreach { w =>
+      val df = spark.createDataset(Seq(w)).toDF()
+      val e = intercept[Exception] {
+        EventsStream.decodeKafkaEventsStrict(df).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("Malformed") || msgs.contains("corrupt kafka"),
+        s"offset ${w.offset}: unexpected failure $msgs")
+    }
+  }
 }
