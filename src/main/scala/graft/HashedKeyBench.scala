@@ -19,17 +19,27 @@ import graft.jobs.DocumentQueries
   * Usage: `tools/run_main.sh graft.HashedKeyBench [sfDir] [queryName]`.
   * An optional second argument restricts the run to one pair — lets an
   * interrupted sweep resume without re-paying the completed pair.
+  *
+  * `SPARK_GRAFT_MASTER=local-cluster[2,2,2048]` (with SPARK_HOME set
+  * and the package jar built) reruns the same protocol across the
+  * process boundary — §6.1.5's local ratios price hash-vs-string keys
+  * with an in-memory exchange, which UNDERSTATES the hashed form's
+  * edge: the wire run adds real serialize/socket/deserialize bytes per
+  * key, the term that dominates at cluster scale.
   */
 object HashedKeyBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf10")
     val only = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.defaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder =
+      if (master.startsWith("local-cluster")) ClusterHarness.builder(master)
+      else GraftSession.defaults(SparkSession.builder()
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.validate(spark, sfDir, Seq("documents"))
 

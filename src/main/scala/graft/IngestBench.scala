@@ -11,48 +11,56 @@ import graft.streaming.CorpusIngest
 
 /** Streaming-ingest economics at scale: per-MICRO-BATCH wall time of
   * the two dedup-ingest seams ([[CorpusIngest.parquetDedupIngest]] and
-  * [[CorpusIngest.parquetExactDedupIngest]]) as the standing index
-  * grows across the run. StreamingSpec pins the artifact-BYTE growth
-  * ∝ batch; this measures the wall-time side of the same claim — each
-  * batch screens against an ever-larger index, so a seam whose cost
-  * rode the index would show monotonically growing batch times, while
-  * the designed cost (∝ batch + candidates) shows a flat profile.
-  * SURVEY §6.1.6 records the sf1 run.
+  * [[CorpusIngest.parquetExactDedupIngest]]) plus the IVF embedding
+  * seam as the standing index grows across the run. StreamingSpec pins
+  * the artifact-BYTE growth ∝ batch; this measures the wall-time side
+  * of the same claim — each batch screens against an ever-larger
+  * index, so a seam whose cost rode the index would show monotonically
+  * growing batch times, while the designed cost (∝ batch + candidates)
+  * shows a flat profile. SURVEY §6.1.6 records the sf1–sf10 runs;
+  * [[Bench]] rides [[run]] at sf0.1 so a regression in the seam shapes
+  * (or the foreachBatch persist pin) surfaces in the per-round metrics
+  * block automatically.
   *
   * Protocol: the corpus is split into `nBatches` contiguous doc_id
   * ranges (earlier docs arrive first — the direction the generator
   * plants its duplicates); the first range seeds the standing
   * artifacts via the batch API, the rest arrive as one parquet file
   * per micro-batch (`maxFilesPerTrigger=1`, `Trigger.AvailableNow`).
-  * Per-batch time is Structured Streaming's own
-  * `triggerExecution` duration; the flatness ratio excludes the first
-  * streamed batch (JVM/codegen warm-up lands there).
+  * Per-batch time is Structured Streaming's own `triggerExecution`
+  * duration; the flatness ratio excludes the first streamed batch
+  * (JVM/codegen warm-up lands there).
   *
   * Usage: `tools/run_main.sh graft.IngestBench [sfDir] [nBatches]`.
   */
 object IngestBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("scaledata/sf1")
-    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
-    // flatness is a steady-state ratio: one streamed batch has no
-    // steady state to compare (and warm-up exclusion would empty it)
+
+  /** Per-seam (rows, seconds) per streamed micro-batch, plus the
+    * artifact row counts the byte-growth claims are checked against. */
+  final case class Result(
+      neardup: Seq[(Long, Double)], exact: Seq[(Long, Double)],
+      ivf: Seq[(Long, Double)],
+      ndKept: Long, exKept: Long, ivPostings: Long, docs: Long)
+
+  /** max/min over steady-state batch times (warm-up batch excluded).
+    * NaN when a seam admitted no rows — nothing to ratio. */
+  def flatness(secs: Seq[Double]): Double = {
+    val steady = if (secs.size > 1) secs.drop(1) else secs
+    if (steady.isEmpty) Double.NaN else steady.max / steady.min
+  }
+
+  /** Run all three ingest seams for `nBatches` slices of `sfDir`'s
+    * corpus. Session must have `numRecentProgressUpdates >= nBatches`
+    * (the ring buffer drops the EARLIEST updates — exactly the
+    * flatness baseline) — set by [[main]]'s builder, asserted here for
+    * embedding callers like [[Bench]]. */
+  def run(spark: SparkSession, sfDir: String, nBatches: Int): Result = {
     require(nBatches >= 3, s"nBatches=$nBatches — need >= 3 (seed + 2 streamed)")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.defaults(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "32")
-      // recentProgress is a ring buffer capped by this conf (default
-      // 100): a deeper run would silently drop its EARLIEST batches —
-      // exactly the ones the flatness baseline needs
-      .config("spark.sql.streaming.numRecentProgressUpdates",
-        math.max(100, nBatches + 8).toString)
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    require(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
+      .toInt >= nBatches,
+      "numRecentProgressUpdates below nBatches would silently drop the " +
+        "earliest batches from the flatness profile")
     import spark.implicits._
-    // both corpora are loaded below — gate both before either seam
-    // spends wall time
-    Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
 
     val docs = Tables.load(spark, sfDir, "documents")
       .select($"doc_id", $"text")
@@ -80,12 +88,6 @@ object IngestBench {
       prog.map(p => (p.numInputRows,
         p.durationMs.get("triggerExecution").toDouble / 1000.0))
     }
-    def flatness(secs: Seq[Double]): Double = {
-      val steady = if (secs.size > 1) secs.drop(1) else secs // warm-up out
-      // a seam that admitted no rows (all-duplicate batches) has no
-      // profile to ratio — report NaN rather than throw on empty .max
-      if (steady.isEmpty) Double.NaN else steady.max / steady.min
-    }
 
     // ---- near-dup seam: MinHash band index rolls forward per batch
     val ndIdx = Files.createTempDirectory("graft_ingestbench_ndidx").toString
@@ -95,9 +97,6 @@ object IngestBench {
     val nd = streamedBatches { src =>
       CorpusIngest.parquetDedupIngest(src, ndIdx, ndCorpus, threshold = 0.6)
         .trigger(Trigger.AvailableNow()).start()
-    }
-    nd.zipWithIndex.foreach { case ((rows, sec), i) =>
-      println(f"""{"seam":"neardup","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
     }
 
     // ---- exact seam: hash index + bloom roll forward per batch
@@ -111,9 +110,6 @@ object IngestBench {
     val ex = streamedBatches { src =>
       CorpusIngest.parquetExactDedupIngest(src, exIdx, exBloom, exCorpus)
         .trigger(Trigger.AvailableNow()).start()
-    }
-    ex.zipWithIndex.foreach { case ((rows, sec), i) =>
-      println(f"""{"seam":"exact","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
     }
 
     // ---- embedding seam: cell-partitioned IVF postings roll forward
@@ -151,18 +147,47 @@ object IngestBench {
       q.recentProgress.toSeq.filter(_.numInputRows > 0).map(p =>
         (p.numInputRows, p.durationMs.get("triggerExecution").toDouble / 1000.0))
     }
-    iv.zipWithIndex.foreach { case ((rows, sec), i) =>
-      println(f"""{"seam":"ivf","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
-    }
 
-    val ndKept = spark.read.parquet(ndCorpus).count()
-    val exKept = spark.read.parquet(exCorpus).count()
-    val ivRows = spark.read.parquet(postingsPath).count()
-    println(f"""{"metric":"ingest_bench","sf_dir":"$sfDir","docs":$n,""" +
-      f""""batches":${nBatches - 1},"neardup_flatness":${flatness(nd.map(_._2))}%.2f,""" +
-      f""""exact_flatness":${flatness(ex.map(_._2))}%.2f,""" +
-      f""""ivf_flatness":${flatness(iv.map(_._2))}%.2f,""" +
-      f""""neardup_kept":$ndKept,"exact_kept":$exKept,"ivf_postings":$ivRows}""")
+    Result(nd, ex, iv,
+      ndKept = spark.read.parquet(ndCorpus).count(),
+      exKept = spark.read.parquet(exCorpus).count(),
+      ivPostings = spark.read.parquet(postingsPath).count(),
+      docs = n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("scaledata/sf1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
+    require(nBatches >= 3, s"nBatches=$nBatches — need >= 3 (seed + 2 streamed)")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      // recentProgress is a ring buffer capped by this conf (default
+      // 100): a deeper run would silently drop its EARLIEST batches —
+      // exactly the ones the flatness baseline needs
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, nBatches + 8).toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // both corpora are loaded by run() — gate both before either seam
+    // spends wall time
+    Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
+
+    val r = run(spark, sfDir, nBatches)
+    def report(seam: String, prog: Seq[(Long, Double)]): Unit =
+      prog.zipWithIndex.foreach { case ((rows, sec), i) =>
+        println(f"""{"seam":"$seam","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+      }
+    report("neardup", r.neardup)
+    report("exact", r.exact)
+    report("ivf", r.ivf)
+    println(f"""{"metric":"ingest_bench","sf_dir":"$sfDir","docs":${r.docs},""" +
+      f""""batches":${nBatches - 1},"neardup_flatness":${flatness(r.neardup.map(_._2))}%.2f,""" +
+      f""""exact_flatness":${flatness(r.exact.map(_._2))}%.2f,""" +
+      f""""ivf_flatness":${flatness(r.ivf.map(_._2))}%.2f,""" +
+      f""""neardup_kept":${r.ndKept},"exact_kept":${r.exKept},"ivf_postings":${r.ivPostings}}""")
     spark.stop()
   }
 }
