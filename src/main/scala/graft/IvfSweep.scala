@@ -21,6 +21,17 @@ import graft.operators.Similarity
   * real embedding corpora have. The dir-based default measures the
   * fixtures' near-uniform corpus (the lower-bound regime); the
   * clustered mode is where the knee is meaningful (SURVEY §6.2).
+  *
+  * Large-N knobs (the §6.2 production-cardinality grid):
+  *  - `IVF_ROUTE=large` serves through [[Similarity.ivfTopKLarge]]
+  *    (kernel assignment, no N×cells expansion) — REQUIRED above a few
+  *    hundred cells, where the window-ranked route's shuffle explodes;
+  *  - `IVF_QUERY_STEP=s` computes the truth table (the sweep's O(n²)
+  *    term) over the deterministic query sample `vec_id % s == 0`
+  *    instead of every vector; recall@k is then estimated on the
+  *    sample (serving still runs EVERY query — the timed number stays
+  *    the full production load);
+  *  - `IVF_TRAIN_FRACTION` overrides the k-means sample (default 0.25).
   */
 object IvfSweep {
   def main(args: Array[String]): Unit = {
@@ -53,28 +64,42 @@ object IvfSweep {
       .split(",").map(_.trim.toInt).toSeq
     val probesGrid = sys.env.getOrElse("IVF_PROBES", "4,8,12,16")
       .split(",").map(_.trim.toInt).toSeq
+    val route = sys.env.getOrElse("IVF_ROUTE", "exact")
+    require(route == "exact" || route == "large", s"IVF_ROUTE=$route")
+    val queryStep = sys.env.get("IVF_QUERY_STEP").map(_.toLong)
+    val trainFraction =
+      sys.env.get("IVF_TRAIN_FRACTION").map(_.toDouble).getOrElse(0.25)
 
     val emb = corpus().cache()
     val n = emb.count()
-    // ONE truth table for the whole grid (the sweep's dominant cost)
-    val truth = Similarity.bruteForceTopK(emb, lit(true), k)
+    // ONE truth table for the whole grid (the sweep's dominant cost) —
+    // over the query sample when IVF_QUERY_STEP bounds the n² term
+    val queryPred = queryStep
+      .map(s => pmod($"vec_id", lit(s)) === 0).getOrElse(lit(true))
+    val nQueries = queryStep.map(_ => emb.filter(queryPred).count()).getOrElse(n)
+    val truth = Similarity.bruteForceTopK(emb, queryPred, k)
       .select($"query_id", $"neighbor_id").cache()
     truth.count()
 
     // the model depends only on cells (fit is seeded-deterministic), so
     // fit once per cells value rather than once per grid point
     for (cells <- cellsGrid) {
-      val model = Similarity.fitIvfIndex(emb, cells, trainFraction = 0.25)
+      val tFit0 = System.nanoTime()
+      val model = Similarity.fitIvfIndex(emb, cells, trainFraction = trainFraction)
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
       for (probes <- probesGrid if probes <= cells) {
-        def serve() = Similarity.ivfTopKWithModel(emb, model, probes, k)
+        def serve() =
+          if (route == "large") Similarity.ivfTopKLarge(emb, model, probes, k)
+          else Similarity.ivfTopKWithModel(emb, model, probes, k)
         serve().write.format("noop").mode("overwrite").save() // warm-up
         val t0 = System.nanoTime()
         serve().write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        val approx = serve().select($"vec_id".as("query_id"), $"neighbor_id")
+        val approx = serve().filter(queryPred)
+          .select($"vec_id".as("query_id"), $"neighbor_id")
         val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
-        val recall = hits.toDouble / (n * k)
-        println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f}""")
+        val recall = hits.toDouble / (nQueries * k)
+        println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,"route":"$route","queries":$nQueries}""")
       }
     }
     spark.stop()

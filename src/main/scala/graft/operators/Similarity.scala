@@ -205,6 +205,63 @@ object Similarity {
     ivfTopKWithCentroids(emb,
       centroidTable(emb.sparkSession, model), probes, k, cellCap)
 
+  /** IVF top-k for LARGE cell counts — identical results to
+    * [[ivfTopKWithModel]] (SimilaritySpec pins the equality), different
+    * physical shape. The window-ranked assignment inside
+    * [[ivfTopKWithCentroids]] materializes N×cells rows — each carrying
+    * the full vector — through the `row_number` exchange: transparent
+    * to the oracle and fine at the ≤64-cell grid it serves, but at the
+    * 2¹⁰–2¹⁴ cells production runs (SURVEY §6.2) that is 10⁸⁺
+    * vector-bearing rows through one shuffle for what is per-row
+    * arithmetic. Here assignment is one codegen'd
+    * [[graft.expressions.IvfNearestCells]] scan per vector against the
+    * cluster-broadcast centroid matrix: O(cells × dim) per row, no row
+    * expansion, and — when `cellCap` is unbounded — NO shuffle on the
+    * index side at all (the only exchanges left are the candidate join
+    * and the final top-k window, both ∝ candidates, not ∝ N×cells).
+    *
+    * The probed-cell list is computed ONCE per vector and serves both
+    * sides: element 0 is the home cell (index side), the full list is
+    * the probe set (query side). */
+  def ivfTopKLarge(emb: DataFrame, model: KMeansModel, probes: Int,
+      k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val cs = graft.expressions.IvfAssignKernel.centroidSet(
+      model.clusterCenters.map(_.toArray))
+    require(probes <= cs.numCells,
+      s"probes=$probes exceeds the model's ${cs.numCells} cells")
+    val bc = spark.sparkContext.broadcast(cs)
+    val assigned = prepared(emb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes)))
+    val home = assigned.select(
+      element_at($"nc", 1).getField("cell").as("cell"),
+      element_at($"nc", 1).getField("d2").as("d2"),
+      $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val indexed =
+      if (cellCap == Int.MaxValue) home.drop("d2")
+      else {
+        val byCell =
+          Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+        home.withColumn("cellRank", row_number().over(byCell))
+          .filter($"cellRank" <= cellCap).drop("cellRank", "d2")
+      }
+    val queries = assigned
+      .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
+    queries
+      .join(indexed, Seq("cell"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+      .select($"vec_id", $"cand_id", $"sim")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+  }
+
   /** Order-insensitive checksum of a model's centroids — embedded in
     * the postings artifact so an append or serve with the WRONG model
     * fails fast instead of silently assigning against different cells

@@ -103,6 +103,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "sampled training must not drop corpus coverage")
   }
 
+  test("ivfTopKLarge equals the window-ranked route exactly, capped and not") {
+    // the large-cell-count route (kernel assignment against the
+    // broadcast centroid matrix, no N×cells row expansion) must be a
+    // pure physical rewrite: identical d2 arithmetic → identical home
+    // cells, probe sets, candidate joins, and tie-breaks. Clustered
+    // corpus so cells are meaningfully populated; both the unbounded
+    // and the hot-cell-capped forms must agree (the cap re-ranks
+    // within cells by the d2 the two routes compute independently).
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, trainFraction = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    for (cap <- Seq(Int.MaxValue, 40)) {
+      val exact = rows(Similarity.ivfTopKWithModel(emb, model, probes = 4,
+        k = 5, cellCap = cap))
+      val large = rows(Similarity.ivfTopKLarge(emb, model, probes = 4,
+        k = 5, cellCap = cap))
+      assert(large == exact,
+        s"cap=$cap: large route diverged (${large.size} vs ${exact.size} rows)")
+    }
+  }
+
   test("IVF index artifact: fit → save → load serves identical top-k") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
