@@ -89,6 +89,19 @@ object DocumentQueries {
     Dedup.minhashLsh(docs(spark, dir), k = 5, numHashes = 32, bands = 8,
       threshold = 0.4)
 
+  // ---------------------------------------------------------------- q76
+  /** The exact↔LSH near-dup ROUTER as a declared query: probes the
+    * DF-capped candidate mass and picks q20's exact route below the
+    * 5×10⁶-pair budget, q21's LSH above ([[Dedup.nearDupAuto]]). The
+    * oracle is q20's exact-Jaccard SQL on BOTH routes: below the knee
+    * that is the chosen route itself; above it the LSH route's
+    * verified pair set measured identical to exact at every decade
+    * (SURVEY §6.1.4 — rows 1980/6095/20185 at sf1/sf3/sf10, 100% of
+    * q20's), same argument the declared q21 already stands on. */
+  def q76NearDupAuto(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupAuto(docs(spark, dir), k = 5, threshold = 0.4,
+      maxDF = maxShingleDF).pairs
+
   // ---------------------------------------------------------------- q22
   /** SimHash near-dup pairs, engine-portable variant: 60-bit md5-prefix
     * token hashes (recomputable in DuckDB), 4×15-bit bands, Hamming ≤ 3,
@@ -1038,7 +1051,8 @@ object DocumentQueries {
     "q72_split_leakage" -> (q72SplitLeakage _),
     "q73_token_budget" -> (q73TokenBudget _),
     "q74_quality_keep" -> (q74QualityKeep _),
-    "q75_curation_pipeline" -> (q75CurationPipeline _))
+    "q75_curation_pipeline" -> (q75CurationPipeline _),
+    "q76_neardup_auto" -> (q76NearDupAuto _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -1194,6 +1208,7 @@ object DocumentQueries {
          FROM m""",
     "q20_ngram_jaccard" -> ngramJaccardSql,
     "q21_minhash_lsh" -> ngramJaccardSql,
+    "q76_neardup_auto" -> ngramJaccardSql,
     "q60_neardup_index_screen" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
          WHERE doc_a % 3 = 0 OR doc_b % 3 = 0""",

@@ -316,6 +316,78 @@ object Dedup {
       .distinct()
   }
 
+  /** The exact route's candidate pair fan, measured BEFORE paying it:
+    * Σ df·(df−1)/2 over shingle hashes with document frequency ≤ maxDF
+    * — exactly the pair mass [[ngramJaccard]]'s candidate self-join
+    * will materialize. One linear pass (tokenize → shingle → explode →
+    * df aggregate), no joins: the probe costs a fraction of EITHER
+    * route and is the honest cost driver ([[nearDupAuto]] routes on
+    * it), where a doc count would mis-price corpora of long documents
+    * whose posting lists fan quadratically. */
+  def exactCandidateMass(docs: DataFrame, k: Int, maxDF: Int): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id",
+        explode(transform(array_distinct(shingles($"toks", k)),
+          s => xxhash64(s))).as("shash"))
+      .groupBy($"shash").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDF)
+      // sum df·(df−1) in integer space (`/` would promote to double)
+      // and halve driver-side — the product is always even
+      .agg(coalesce(sum($"df" * ($"df" - 1)), lit(0L)))
+      .as[Long].head() / 2
+  }
+
+  /** The routed result: the pair relation plus WHY it took that route
+    * (the probed candidate mass) — callers log the decision, specs pin
+    * it. */
+  final case class NearDupRouted(pairs: DataFrame, route: String,
+      candidateMass: Long)
+
+  /** Route near-dup pair discovery between the exact DF-capped route
+    * ([[ngramJaccard]]) and the MinHash-LSH route ([[minhashLsh]]) on
+    * a measured probe — the API form of SURVEY §6.1.4's route
+    * economics. The exact route's wall time rides its candidate pair
+    * fan, which grew superlinearly decade over decade (growth exponent
+    * 1.73 from sf3→sf10; 1055 s vs the LSH twin's 247 s at sf10 —
+    * 4.3×), while LSH stayed near-linear WITH the identical verified
+    * pair set at every scale measured. Below the knee the exact route
+    * buys certainty (no banding-miss probability) for seconds, so it
+    * wins; above it, LSH is the only shape that survives — §2.12's
+    * prose rule, now a probe instead of a judgement call.
+    *
+    * The probe is [[exactCandidateMass]] — the pair fan itself, not a
+    * doc count, so long-document corpora price correctly, and it
+    * tracks the wall-time curve: measured masses 2.4×10⁵ / 1.5×10⁶ /
+    * 1.5×10⁷ at sf1/sf3/sf10 (growth exponent ≈1.86, the wall's 1.73).
+    * The default budget of 5×10⁶ pairs sits log-centered between the
+    * sf3 mass (the last decade where the exact route's ~44 s/run was
+    * affordable) and the sf10 mass (where its ~350 s/run was not).
+    * Probe cost is one posting pass (~the LSH route's signature
+    * phase: 70 s at sf10 vs 82 s/run for LSH itself) — the router is
+    * for unattended pipelines over corpora of unknown regime; a
+    * deployment that knows its corpus calls the route directly.
+    * Calibration numbers are from the fixture-corpus decades (SURVEY
+    * §6.1.4); deployments with different tolerance re-site the knee by
+    * passing their own budget.
+    *
+    * Parameter defaults mirror the declared q20/q21 pair
+    * ([[graft.jobs.DocumentQueries]]): 5-gram shingles, DF cap 100,
+    * 32 hashes × 8 bands. */
+  def nearDupAuto(docs: DataFrame, k: Int = 5, threshold: Double = 0.4,
+      maxDF: Int = 100, numHashes: Int = 32, bands: Int = 8,
+      exactPairBudget: Long = 5000000L): NearDupRouted = {
+    val mass = exactCandidateMass(docs, k, maxDF)
+    if (mass <= exactPairBudget)
+      NearDupRouted(ngramJaccard(docs, k, threshold, maxDF), "exact", mass)
+    else
+      NearDupRouted(minhashLsh(docs, k, numHashes, bands, threshold), "lsh",
+        mass)
+  }
+
   /** Exact n-gram Jaccard over the inverted shingle index.
     * Output: (doc_a, doc_b, jaccard) for pairs ≥ threshold.
     *

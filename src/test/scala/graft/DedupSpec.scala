@@ -25,6 +25,35 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.4))
   }
 
+  test("exactCandidateMass is the hand-computed pair fan, cap-aware") {
+    // 3 copies of one 6-token text → 2 distinct 5-gram shingles, each
+    // df=3 → mass = 2 × (3·2/2) = 6; capping at maxDF=2 excludes both
+    val tri = Seq((0L, "a b c d e f"), (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    assert(Dedup.exactCandidateMass(tri, k = 5, maxDF = 100) == 6L)
+    assert(Dedup.exactCandidateMass(tri, k = 5, maxDF = 2) == 0L)
+  }
+
+  test("nearDupAuto routes by the probed candidate mass, both regimes") {
+    // below the budget: the exact route, with ngramJaccard's own pairs
+    val routed = Dedup.nearDupAuto(docs, k = 5, threshold = 0.4, maxDF = 100)
+    assert(routed.route == "exact" && routed.candidateMass > 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(routed.pairs) ==
+      pairs(Dedup.ngramJaccard(docs, k = 5, threshold = 0.4, maxDF = 100)))
+    // over the budget (forced with a zero budget): the LSH route, with
+    // minhashLsh's own pairs, and the SAME probe value either way
+    val big = Dedup.nearDupAuto(docs, k = 5, threshold = 0.4, maxDF = 100,
+      exactPairBudget = 0L)
+    assert(big.route == "lsh")
+    assert(big.candidateMass == routed.candidateMass)
+    assert(pairs(big.pairs) ==
+      pairs(Dedup.minhashLsh(docs, k = 5, numHashes = 32, bands = 8,
+        threshold = 0.4)))
+  }
+
   test("minhash LSH recovers the exact-jaccard pairs at threshold 0.6") {
     val exact = Dedup.ngramJaccard(docs, k = 5, threshold = 0.6)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
