@@ -89,10 +89,12 @@ object ClusterHarness {
   * copy and "shuffle" never touches a socket. This harness runs the
   * heavy subset — q63 (broadcast-handle bloom screen), q21 (LSH band
   * join), q42 (checkpointed component propagation), q34 (IVF
-  * postings) — plus the exact-dedup STREAMING seam once under plain
-  * `local[4]` and once under `local-cluster[2,2,2048]` (two separate
-  * executor processes, 2 cores / 2 GiB each), and requires
-  * digest-equality (same order-free digest as [[ScaleSweep]]).
+  * postings) — plus the exact-dedup STREAMING seam and the
+  * large-cell-count IVF kernel route (the second broadcast-handle
+  * kernel) once under plain `local[4]` and once under
+  * `local-cluster[2,2,2048]` (two separate executor processes,
+  * 2 cores / 2 GiB each), and requires digest-equality (same
+  * order-free digest as [[ScaleSweep]]).
   *
   * Usage:
   *   sbt package
@@ -139,13 +141,33 @@ object ClusterSweep {
     ScaleSweep.digest(spark.read.parquet(corpus))
   }
 
+  /** The large-cell-count IVF route's digest: the
+    * [[graft.expressions.IvfNearestCells]] kernel carries its centroid
+    * matrix as a `Broadcast[IvfCentroidSet]` handle, so this leg is the
+    * torrent-delivery + Kryo + executor-cached-field test for the
+    * SECOND broadcast-handle kernel (BloomProbe being the first).
+    * Centroids are the first 64 corpus vectors — deterministic across
+    * masters, where a per-leg k-means fit could diverge by
+    * partition-order float summation. */
+  private def ivfLargeDigest(spark: SparkSession,
+      sfDir: String): ScaleSweep.Digest = {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.orderBy($"vec_id").limit(64)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    ScaleSweep.digest(graft.operators.Similarity
+      .ivfTopKLargeWithCentroids(emb, cents, probes = 4, k = 10))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf1")
     val queries = if (args.length > 1) args.drop(1).toSeq else defaultQueries
     val unknown = queries.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
-    def leg(master: String): (Map[String, ScaleSweep.Digest], ScaleSweep.Digest) =
+    def leg(master: String): (Map[String, ScaleSweep.Digest],
+        Seq[(String, ScaleSweep.Digest)]) =
       ClusterHarness.withSession(ClusterHarness.builder(master)) { spark =>
         Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
         val ds = queries.map { name =>
@@ -161,13 +183,17 @@ object ClusterSweep {
         val seam = exactSeamDigest(spark, sfDir)
         println(f"[$master] exact_ingest_seam kept=${seam.rows} " +
           f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
-        (ds, seam)
+        val t1 = System.nanoTime()
+        val ivf = ivfLargeDigest(spark, sfDir)
+        println(f"[$master] ivf_large_kernel rows=${ivf.rows} " +
+          f"(${(System.nanoTime() - t1) / 1e9}%.1f s)")
+        (ds, Seq("exact_ingest_seam" -> seam, "ivf_large_kernel" -> ivf))
       }
 
     // local leg at the cluster's core count so any divergence is the
     // process boundary, not parallelism (digests are shape-free anyway)
-    val (localD, localSeam) = leg("local[4]")
-    val (clusterD, clusterSeam) = leg("local-cluster[2,2,2048]")
+    val (localD, localExtra) = leg("local[4]")
+    val (clusterD, clusterExtra) = leg("local-cluster[2,2,2048]")
 
     var failures = List.empty[String]
     queries.foreach { name =>
@@ -178,15 +204,16 @@ object ClusterSweep {
         println(s"[cluster-sweep] FAIL $name\n  local:   $a\n  cluster: $b")
       }
     }
-    if (localSeam == clusterSeam)
-      println(s"[cluster-sweep] OK   exact_ingest_seam kept=${localSeam.rows}")
-    else {
-      failures ::= "exact_ingest_seam"
-      println(s"[cluster-sweep] FAIL exact_ingest_seam\n  local:   " +
-        s"$localSeam\n  cluster: $clusterSeam")
+    localExtra.zip(clusterExtra).foreach { case ((name, a), (_, b)) =>
+      if (a == b) println(s"[cluster-sweep] OK   $name rows=${a.rows}")
+      else {
+        failures ::= name
+        println(s"[cluster-sweep] FAIL $name\n  local:   $a\n  cluster: $b")
+      }
     }
-    println(s"[cluster-sweep] ${queries.size + 1 - failures.size}/" +
-      s"${queries.size + 1} process-boundary invariant; failures: " +
+    val total = queries.size + localExtra.size
+    println(s"[cluster-sweep] ${total - failures.size}/$total " +
+      "process-boundary invariant; failures: " +
       failures.reverse.mkString(", "))
     if (failures.nonEmpty) sys.exit(1)
   }

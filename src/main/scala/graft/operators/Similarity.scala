@@ -224,12 +224,21 @@ object Similarity {
     * sides: element 0 is the home cell (index side), the full list is
     * the probe set (query side). */
   def ivfTopKLarge(emb: DataFrame, model: KMeansModel, probes: Int,
+      k: Int, cellCap: Int = Int.MaxValue): DataFrame =
+    ivfTopKLargeWithCentroids(emb, model.clusterCenters.map(_.toArray),
+      probes, k, cellCap)
+
+  /** [[ivfTopKLarge]] over a raw centroid matrix (cell id = row index,
+    * the [[centroidTable]] contract) — the form callers with
+    * deterministic fixed centroids (or a matrix restored from an
+    * artifact) use directly. */
+  def ivfTopKLargeWithCentroids(emb: DataFrame,
+      centroids: Array[Array[Double]], probes: Int,
       k: Int, cellCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
-    val cs = graft.expressions.IvfAssignKernel.centroidSet(
-      model.clusterCenters.map(_.toArray))
+    val cs = graft.expressions.IvfAssignKernel.centroidSet(centroids)
     require(probes <= cs.numCells,
       s"probes=$probes exceeds the model's ${cs.numCells} cells")
     val bc = spark.sparkContext.broadcast(cs)
