@@ -26,6 +26,10 @@ import graft.operators.Similarity
   *  - `IVF_ROUTE=large` serves through [[Similarity.ivfTopKLarge]]
   *    (kernel assignment, no N×cells expansion) — REQUIRED above a few
   *    hundred cells, where the window-ranked route's shuffle explodes;
+  *  - `IVF_ROUTE=2l` serves through [[Similarity.ivfTopKTwoLevel]]
+  *    (grouped assignment: `IVF_GROUPS` groups, default ≈√cells,
+  *    `IVF_GROUP_PROBES` probed, default 4) — the 2¹⁴⁺-cells shape
+  *    whose assignment term stays sublinear in cells;
   *  - `IVF_QUERY_STEP=s` computes the truth table (the sweep's O(n²)
   *    term) over the deterministic query sample `vec_id % s == 0`
   *    instead of every vector; recall@k is then estimated on the
@@ -65,7 +69,10 @@ object IvfSweep {
     val probesGrid = sys.env.getOrElse("IVF_PROBES", "4,8,12,16")
       .split(",").map(_.trim.toInt).toSeq
     val route = sys.env.getOrElse("IVF_ROUTE", "exact")
-    require(route == "exact" || route == "large", s"IVF_ROUTE=$route")
+    require(Seq("exact", "large", "2l").contains(route), s"IVF_ROUTE=$route")
+    // two-level quantizer shape (route=2l): group count and probed groups
+    val numGroups = sys.env.get("IVF_GROUPS").map(_.toInt)
+    val groupProbes = sys.env.get("IVF_GROUP_PROBES").map(_.toInt).getOrElse(4)
     val queryStep = sys.env.get("IVF_QUERY_STEP").map(_.toLong)
     val trainFraction =
       sys.env.get("IVF_TRAIN_FRACTION").map(_.toDouble).getOrElse(0.25)
@@ -88,9 +95,13 @@ object IvfSweep {
       val model = Similarity.fitIvfIndex(emb, cells, trainFraction = trainFraction)
       val fitSec = (System.nanoTime() - tFit0) / 1e9
       for (probes <- probesGrid if probes <= cells) {
-        def serve() =
-          if (route == "large") Similarity.ivfTopKLarge(emb, model, probes, k)
-          else Similarity.ivfTopKWithModel(emb, model, probes, k)
+        def serve() = route match {
+          case "large" => Similarity.ivfTopKLarge(emb, model, probes, k)
+          case "2l" => Similarity.ivfTopKTwoLevel(emb, model, probes, k,
+            numGroups.getOrElse(math.max(1, math.sqrt(cells).round.toInt)),
+            groupProbes)
+          case _ => Similarity.ivfTopKWithModel(emb, model, probes, k)
+        }
         serve().write.format("noop").mode("overwrite").save() // warm-up
         val t0 = System.nanoTime()
         serve().write.format("noop").mode("overwrite").save()
@@ -99,7 +110,12 @@ object IvfSweep {
           .select($"vec_id".as("query_id"), $"neighbor_id")
         val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
         val recall = hits.toDouble / (nQueries * k)
-        println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,"route":"$route","queries":$nQueries}""")
+        val routeJson =
+          if (route == "2l")
+            s""""route":"2l","groups":${numGroups.getOrElse(
+              math.max(1, math.sqrt(cells).round.toInt))},"group_probes":$groupProbes"""
+          else s""""route":"$route""""
+        println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,$routeJson,"queries":$nQueries}""")
       }
     }
     spark.stop()

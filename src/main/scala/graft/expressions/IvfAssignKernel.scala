@@ -25,6 +25,20 @@ final case class IvfCentroidSet(cents: Array[Array[Double]], cn2: Array[Double])
   def dim: Int = cents(0).length
 }
 
+/** A [[IvfCentroidSet]] plus a GROUPING of its cells for two-level
+  * assignment: group centroids (`gCents`, with self-dots `gn2`) and
+  * each group's member-cell list (`members`). Built driver-side by
+  * [[IvfAssignKernel.groupedCentroidSet]] — a deterministic Lloyd's
+  * run over the CELL CENTROIDS themselves (≤2¹⁴ points, milliseconds),
+  * not the corpus. The flat set rides along so the exact single-level
+  * scan stays available from the same payload. */
+final case class IvfGroupedCentroidSet(flat: IvfCentroidSet,
+    gCents: Array[Array[Double]], gn2: Array[Double],
+    members: Array[Array[Int]]) {
+  require(gCents.length == members.length, "group count mismatch")
+  def numGroups: Int = gCents.length
+}
+
 object IvfAssignKernel {
 
   /** Build the payload from a centroid matrix (cell id = row index —
@@ -94,6 +108,168 @@ object IvfAssignKernel {
         if (filled < keep) filled += 1
       }
       c += 1
+    }
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = new GenericInternalRow(
+        Array[Any](bestC(r), bestD(r))): InternalRow
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Group the cell centroids for two-level assignment: `numGroups`
+    * centers from a deterministic Lloyd's run over the CELL CENTROIDS
+    * (init = every (cells/groups)-th centroid in index order, fixed
+    * iteration count, ties to the lower group id) — no RNG, no Spark
+    * job, milliseconds at 2¹⁴ cells. */
+  def groupedCentroidSet(cents: Array[Array[Double]], numGroups: Int,
+      iters: Int = 10): IvfGroupedCentroidSet = {
+    val flat = centroidSet(cents)
+    val n = cents.length
+    val g = math.min(numGroups, n)
+    require(g >= 1, s"numGroups=$numGroups")
+    val dim = flat.dim
+    // deterministic spread init over the index order
+    var gc = Array.tabulate(g)(i => cents(i * n / g).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < g) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) {
+            val t = cents(c)(i) - gc(j)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      val sums = Array.ofDim[Double](g, dim)
+      val counts = new Array[Int](g)
+      var c2 = 0
+      while (c2 < n) {
+        val a = assign(c2)
+        counts(a) += 1
+        var i = 0
+        while (i < dim) { sums(a)(i) += cents(c2)(i); i += 1 }
+        c2 += 1
+      }
+      gc = Array.tabulate(g)(j =>
+        if (counts(j) == 0) gc(j) // empty group keeps its center
+        else { val s = sums(j); var i = 0
+          while (i < dim) { s(i) /= counts(j); i += 1 }; s })
+      it += 1
+    }
+    val gn2 = new Array[Double](g)
+    var j = 0
+    while (j < g) {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += gc(j)(i) * gc(j)(i); i += 1 }
+      gn2(j) = s
+      j += 1
+    }
+    val members = Array.fill(g)(List.empty[Int])
+    var c3 = n - 1
+    while (c3 >= 0) { members(assign(c3)) ::= c3; c3 -= 1 } // ascending
+    IvfGroupedCentroidSet(flat, gc, gn2, members.map(_.toArray))
+  }
+
+  /** Two-level nearest cells: scan the `numGroups` group centroids,
+    * keep the `groupProbes` nearest groups (d2 asc, group asc), then
+    * run the EXACT per-cell d2 — bit-identical arithmetic to
+    * [[topCells]] — over only those groups' member cells. Per-row cost
+    * drops from O(cells × dim) to O((groups + probedMembers) × dim);
+    * at 2¹⁴ cells with √cells groups that is ~64× less arithmetic. A
+    * cell is missed only when its whole GROUP outranks the probed set
+    * while the cell itself would have ranked — the recall trade
+    * measured in SURVEY §6.2. With `groupProbes >= numGroups` every
+    * member list is scanned and the result is exactly [[topCells]]'s
+    * (cells in a group are visited in ascending order, and the
+    * insertion tie-break is cell-ascending GLOBALLY because every
+    * candidate d2 is computed identically). */
+  def topCellsTwoLevel(v: ArrayData, nrm: Double,
+      gcs: IvfGroupedCentroidSet, m: Int, groupProbes: Int): ArrayData = {
+    val cs = gcs.flat
+    val dim = cs.dim
+    if (v.numElements() != dim) return null
+    val vec = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      vec(i) = v.getDouble(i)
+      i += 1
+    }
+    val nv2 = nrm * nrm
+    // level 1: nearest groups
+    val ng = gcs.numGroups
+    val gKeep = math.min(groupProbes, ng)
+    val gBestD = new Array[Double](gKeep)
+    val gBestC = new Array[Int](gKeep)
+    var gFilled = 0
+    var j = 0
+    while (j < ng) {
+      val gcent = gcs.gCents(j)
+      var dp = 0.0
+      i = 0
+      while (i < dim) { dp += vec(i) * gcent(i); i += 1 }
+      val d2 = nv2 + gcs.gn2(j) - 2.0 * dp
+      if (gFilled < gKeep || d2 < gBestD(gFilled - 1)) {
+        var p = if (gFilled < gKeep) gFilled else gKeep - 1
+        while (p > 0 && d2 < gBestD(p - 1)) {
+          gBestD(p) = gBestD(p - 1); gBestC(p) = gBestC(p - 1); p -= 1
+        }
+        gBestD(p) = d2
+        gBestC(p) = j
+        if (gFilled < gKeep) gFilled += 1
+      }
+      j += 1
+    }
+    // level 2: exact cell scan over the probed groups' members. To keep
+    // the (d2 asc, cell asc) tie-break identical to the flat scan, the
+    // insertion uses strict-< and candidates arrive grouped — a tie
+    // between cells of different groups must resolve to the LOWER cell
+    // id, so on equal d2 an arriving lower id displaces a higher one.
+    val keep = math.min(m, cs.numCells)
+    val bestD = new Array[Double](keep)
+    val bestC = new Array[Int](keep)
+    var filled = 0
+    var gi = 0
+    while (gi < gFilled) {
+      val mem = gcs.members(gBestC(gi))
+      var mi = 0
+      while (mi < mem.length) {
+        val c = mem(mi)
+        val cent = cs.cents(c)
+        var dp = 0.0
+        i = 0
+        while (i < dim) { dp += vec(i) * cent(i); i += 1 }
+        val d2 = nv2 + cs.cn2(c) - 2.0 * dp
+        val worse = filled >= keep &&
+          (d2 > bestD(filled - 1) ||
+            (d2 == bestD(filled - 1) && c > bestC(filled - 1)))
+        if (!worse) {
+          var p = if (filled < keep) filled else keep - 1
+          while (p > 0 && (d2 < bestD(p - 1) ||
+              (d2 == bestD(p - 1) && c < bestC(p - 1)))) {
+            bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+          }
+          bestD(p) = d2
+          bestC(p) = c
+          if (filled < keep) filled += 1
+        }
+        mi += 1
+      }
+      gi += 1
     }
     val rows = new Array[Any](filled)
     var r = 0

@@ -246,6 +246,47 @@ object Similarity {
       GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
         GraftColumnBridge.expression($"v"),
         GraftColumnBridge.expression($"nrm"), probes)))
+    serveFromAssigned(assigned, k, cellCap)
+  }
+
+  /** Two-level-quantized [[ivfTopKLarge]] — the 2¹⁴⁺-cells shape:
+    * cells are grouped driver-side
+    * ([[graft.expressions.IvfAssignKernel.groupedCentroidSet]], a
+    * deterministic Lloyd's over the CELL CENTROIDS — milliseconds,
+    * no Spark job), and per-vector assignment scans the `numGroups`
+    * group centroids plus only the `groupProbes` nearest groups'
+    * member cells. At 2¹⁴ cells with 2⁷ groups and a few probes this
+    * is ~50× less assignment arithmetic per row than the flat kernel —
+    * the term §6.2 measured as serve-dominating at 4096 cells. The
+    * recall trade: a candidate cell is lost only when its entire GROUP
+    * outranks the probed set; `groupProbes >= numGroups` degenerates
+    * to exactly the flat scan (spec-pinned bit-equal). */
+  def ivfTopKTwoLevel(emb: DataFrame, model: KMeansModel, probes: Int,
+      k: Int, numGroups: Int, groupProbes: Int,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val gcs = graft.expressions.IvfAssignKernel.groupedCentroidSet(
+      model.clusterCenters.map(_.toArray), numGroups)
+    require(probes <= gcs.flat.numCells,
+      s"probes=$probes exceeds the model's ${gcs.flat.numCells} cells")
+    val bc = spark.sparkContext.broadcast(gcs)
+    val assigned = prepared(emb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCellsTwoLevel(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes, groupProbes)))
+    serveFromAssigned(assigned, k, cellCap)
+  }
+
+  /** Candidate join + top-k window shared by the kernel-assigned
+    * routes: element 0 of `nc` is the home cell (index side), the full
+    * list the probe set (query side). No index-side exchange when the
+    * hot-cell cap is unbounded. */
+  private def serveFromAssigned(assigned: DataFrame, k: Int,
+      cellCap: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val home = assigned.select(
       element_at($"nc", 1).getField("cell").as("cell"),
       element_at($"nc", 1).getField("d2").as("d2"),

@@ -126,6 +126,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("two-level IVF with all groups probed equals the flat kernel route exactly") {
+    // groupProbes >= numGroups scans every member list, and the
+    // level-2 d2 arithmetic is the flat kernel's bit for bit — the
+    // degenerate case must be EXACT equality, which also transitively
+    // pins the two-level route to the window-ranked oracle shape
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    val model = Similarity.fitIvfIndex(emb, numCells = 32, trainFraction = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val flat = rows(Similarity.ivfTopKLarge(emb, model, probes = 4, k = 5))
+    val two = rows(Similarity.ivfTopKTwoLevel(emb, model, probes = 4, k = 5,
+      numGroups = 8, groupProbes = 8))
+    assert(two == flat, s"degenerate two-level diverged " +
+      s"(${two.size} vs ${flat.size} rows)")
+  }
+
+  test("two-level IVF at shallow group probes retains most of the flat route's recall") {
+    // the production trade: scanning ~groupProbes/numGroups of the
+    // cells must cost only a small recall slice on a clustered corpus
+    // (a query's nearest cells concentrate in few groups)
+    val emb = ScaleData.clusteredEmbeddings(spark, 5000, clusters = 100,
+      spread = 1.2)
+    val k = 10
+    val truth = Similarity.bruteForceTopK(emb, lit(true), k)
+      .select($"query_id", $"neighbor_id")
+    val model = Similarity.fitIvfIndex(emb, numCells = 64,
+      trainFraction = 0.25)
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select($"vec_id".as("query_id"), $"neighbor_id")
+      truth.join(approx, Seq("query_id", "neighbor_id")).count().toDouble /
+        (5000.0 * k)
+    }
+    val flat = recall(Similarity.ivfTopKLarge(emb, model, probes = 4, k = k))
+    val two = recall(Similarity.ivfTopKTwoLevel(emb, model, probes = 4, k = k,
+      numGroups = 8, groupProbes = 3))
+    assert(flat >= 0.90, s"flat-route recall $flat below the §6.2 floor")
+    assert(two >= 0.85 * flat,
+      s"two-level recall $two lost more than 15% of flat $flat")
+  }
+
   test("IVF index artifact: fit → save → load serves identical top-k") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
