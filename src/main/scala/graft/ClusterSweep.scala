@@ -160,6 +160,24 @@ object ClusterSweep {
       .ivfTopKLargeWithCentroids(emb, cents, probes = 4, k = 10))
   }
 
+  /** The two-level kernel's boundary leg: same fixed first-64 centroids,
+    * block-grouped (8×8), HALF the groups probed — exercises Java
+    * serialization + torrent delivery of the nested
+    * `Broadcast[IvfGroupedCentroidSet]` payload (group matrix + member
+    * lists) into `graft_ivf_nearest_cells_2l`'s executor-cached field
+    * across the process boundary, with the group prune actually binding. */
+  private def ivfTwoLevelDigest(spark: SparkSession,
+      sfDir: String): ScaleSweep.Digest = {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.orderBy($"vec_id").limit(64)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    ScaleSweep.digest(graft.operators.Similarity
+      .ivfTopKTwoLevelFixed(emb, cents, groupSize = 8, probes = 4, k = 10,
+        groupProbes = 4))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf1")
     val queries = if (args.length > 1) args.drop(1).toSeq else defaultQueries
@@ -187,7 +205,12 @@ object ClusterSweep {
         val ivf = ivfLargeDigest(spark, sfDir)
         println(f"[$master] ivf_large_kernel rows=${ivf.rows} " +
           f"(${(System.nanoTime() - t1) / 1e9}%.1f s)")
-        (ds, Seq("exact_ingest_seam" -> seam, "ivf_large_kernel" -> ivf))
+        val t2 = System.nanoTime()
+        val ivf2l = ivfTwoLevelDigest(spark, sfDir)
+        println(f"[$master] ivf_2l_kernel rows=${ivf2l.rows} " +
+          f"(${(System.nanoTime() - t2) / 1e9}%.1f s)")
+        (ds, Seq("exact_ingest_seam" -> seam, "ivf_large_kernel" -> ivf,
+          "ivf_2l_kernel" -> ivf2l))
       }
 
     // local leg at the cluster's core count so any divergence is the

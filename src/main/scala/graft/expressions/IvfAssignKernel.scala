@@ -184,6 +184,43 @@ object IvfAssignKernel {
     IvfGroupedCentroidSet(flat, gc, gn2, members.map(_.toArray))
   }
 
+  /** The SQL-expressible grouping: contiguous blocks of `groupSize`
+    * cells in index order, group centroid = the member mean summed in
+    * ascending cell order (bit-reproducible as nested adds — the form
+    * the q77 DuckDB oracle mirrors term for term, unlike
+    * [[groupedCentroidSet]]'s iterated Lloyd's). The last block may be
+    * short; its mean divides by its actual member count. */
+  def fixedGroupedCentroidSet(cents: Array[Array[Double]],
+      groupSize: Int): IvfGroupedCentroidSet = {
+    val flat = centroidSet(cents)
+    require(groupSize >= 1, s"groupSize=$groupSize")
+    val n = cents.length
+    val dim = flat.dim
+    val g = (n + groupSize - 1) / groupSize
+    val gc = Array.tabulate(g) { j =>
+      val lo = j * groupSize
+      val hi = math.min(lo + groupSize, n)
+      val s = new Array[Double](dim)
+      var c = lo
+      while (c < hi) {
+        var i = 0
+        while (i < dim) { s(i) += cents(c)(i); i += 1 }
+        c += 1
+      }
+      var i = 0
+      while (i < dim) { s(i) /= (hi - lo); i += 1 }
+      s
+    }
+    val gn2 = gc.map { a =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    val members = Array.tabulate(g)(j =>
+      Array.range(j * groupSize, math.min((j + 1) * groupSize, n)))
+    IvfGroupedCentroidSet(flat, gc, gn2, members)
+  }
+
   /** Two-level nearest cells: scan the `numGroups` group centroids,
     * keep the `groupProbes` nearest groups (d2 asc, group asc), then
     * run the EXACT per-cell d2 — bit-identical arithmetic to

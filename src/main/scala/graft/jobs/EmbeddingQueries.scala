@@ -94,6 +94,39 @@ object EmbeddingQueries {
       probes = q34Probes, k = q34K, cellCap = q34CellCap)
   }
 
+  /** q77 two-level IVF geometry: first [[q77Cells]] corpus vectors as
+    * fixed cells, contiguous blocks of [[q77GroupSize]] as groups
+    * (member-mean group centroids — SQL-reproducible, unlike the
+    * trained path's Lloyd's grouping), [[q77GroupProbes]] of the 8
+    * groups probed (a REAL prune: 12 of 32 cells scanned per vector),
+    * 2-probe, top-3, hot cells capped at [[q77CellCap]]. */
+  val q77Cells = 32
+  val q77GroupSize = 4
+  val q77GroupProbes = 3
+  val q77Probes = 2
+  val q77K = 3
+  val q77CellCap = 200
+
+  // ---------------------------------------------------------------- q77
+  /** Two-level-quantized IVF ANN top-k — the oracle-checkable twin of
+    * [[Similarity.ivfTopKTwoLevel]] (§6.2's 2¹⁴⁺-cells assignment
+    * shape): fixed corpus-vector cells grouped into contiguous blocks
+    * so BOTH quantizer levels — group ranking and pruned member-cell
+    * ranking — are plain window SQL. The 32-row centroid matrix is a
+    * driver-side index artifact (collected once, broadcast to the
+    * codegen kernel), the same stance as the trained model path. */
+  def q77AnnIvf2l(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val centroids = e.filter($"vec_id" < q77Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    Similarity.ivfTopKTwoLevelFixed(e, centroids, q77GroupSize,
+      probes = q77Probes, k = q77K, groupProbes = q77GroupProbes,
+      cellCap = q77CellCap)
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -179,7 +212,8 @@ object EmbeddingQueries {
     "q34_ann_ivf" -> (q34AnnIvf _),
     "q48_embed_quantize" -> (q48EmbedQuantize _),
     "q55_semantic_dedup" -> (q55SemanticDedup _),
-    "q71_ref_coverage" -> (q71RefCoverage _))
+    "q71_ref_coverage" -> (q71RefCoverage _),
+    "q77_ann_ivf_2l" -> (q77AnnIvf2l _))
 
   val oracle: Map[String, String] = Map(
     // same deterministic degradation of the embeddings side, same
@@ -336,6 +370,72 @@ object EmbeddingQueries {
            SELECT n.vec_id, n.v, n.nrm, c.cell,
              n.nrm * n.nrm + c.cn2 - 2.0 * list_dot_product(n.v, c.centroid) AS d2
            FROM n CROSS JOIN c),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         indexed AS (
+           SELECT cell, vec_id AS cand_id, v AS cv, nrm AS cn,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM ranked WHERE cr = 1),
+         q AS (SELECT cell, vec_id, v, nrm FROM ranked WHERE cr <= 2),
+         pairs AS (
+           SELECT DISTINCT q.vec_id, i.cand_id,
+             round(list_dot_product(q.v, i.cv) / (q.nrm * i.cn), 4) + 0.0 AS sim
+           FROM q JOIN indexed i ON q.cell = i.cell
+           WHERE i.cell_rank <= 200 AND q.vec_id <> i.cand_id),
+         topk AS (
+           SELECT vec_id, cand_id AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cand_id ASC) AS rn
+           FROM pairs)
+         SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3""",
+    // two-level quantizer, both levels in SQL: group centroids are the
+    // 4-member block means with the adds nested in ascending cell order
+    // (bit-identical to the kernel's ascending accumulate), level 1
+    // ranks groups by (gd2, grp), level 2 ranks ONLY the probed groups'
+    // member cells by (d2, cell) — then the q34 candidate-join shape
+    "q77_ann_ivf_2l" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 32),
+         g AS (
+           SELECT c0.cell // 4 AS grp,
+             list_transform(c0.centroid, (x, i) ->
+               (((x + c1.centroid[i]) + c2.centroid[i]) + c3.centroid[i])
+                 / 4.0) AS gcent
+           FROM c c0
+           JOIN c c1 ON c1.cell = c0.cell + 1
+           JOIN c c2 ON c2.cell = c0.cell + 2
+           JOIN c c3 ON c3.cell = c0.cell + 3
+           WHERE c0.cell % 4 = 0),
+         g2 AS (
+           SELECT grp, gcent, list_dot_product(gcent, gcent) AS gn2 FROM g),
+         gd AS (
+           SELECT n.vec_id, g2.grp,
+             n.nrm * n.nrm + g2.gn2
+               - 2.0 * list_dot_product(n.v, g2.gcent) AS gd2
+           FROM n CROSS JOIN g2),
+         gsel AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY gd2 ASC, grp ASC) AS gr
+           FROM gd),
+         probed AS (SELECT vec_id, grp FROM gsel WHERE gr <= 3),
+         d AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cell,
+             n.nrm * n.nrm + c.cn2
+               - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n
+           JOIN probed p ON p.vec_id = n.vec_id
+           JOIN c ON c.cell // 4 = p.grp),
          ranked AS (
            SELECT *, row_number() OVER (PARTITION BY vec_id
                                         ORDER BY d2 ASC, cell ASC) AS cr

@@ -263,12 +263,33 @@ object Similarity {
     * to exactly the flat scan (spec-pinned bit-equal). */
   def ivfTopKTwoLevel(emb: DataFrame, model: KMeansModel, probes: Int,
       k: Int, numGroups: Int, groupProbes: Int,
-      cellCap: Int = Int.MaxValue): DataFrame = {
+      cellCap: Int = Int.MaxValue): DataFrame =
+    ivfTopKTwoLevelGrouped(emb,
+      graft.expressions.IvfAssignKernel.groupedCentroidSet(
+        model.clusterCenters.map(_.toArray), numGroups),
+      probes, k, groupProbes, cellCap)
+
+  /** [[ivfTopKTwoLevel]] with the SQL-expressible FIXED grouping
+    * (contiguous `groupSize`-cell blocks, member-mean group centroids —
+    * [[graft.expressions.IvfAssignKernel.fixedGroupedCentroidSet]]) over
+    * a raw centroid matrix. The form the declared q77 serves: every
+    * step — block mean, level-1 group ranking, level-2 member-cell
+    * ranking — is plain window SQL, so the group-pruned route itself is
+    * DuckDB-oracle-checkable, not just its degenerate all-groups case. */
+  def ivfTopKTwoLevelFixed(emb: DataFrame, centroids: Array[Array[Double]],
+      groupSize: Int, probes: Int, k: Int, groupProbes: Int,
+      cellCap: Int = Int.MaxValue): DataFrame =
+    ivfTopKTwoLevelGrouped(emb,
+      graft.expressions.IvfAssignKernel.fixedGroupedCentroidSet(
+        centroids, groupSize),
+      probes, k, groupProbes, cellCap)
+
+  private def ivfTopKTwoLevelGrouped(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, probes: Int, k: Int,
+      groupProbes: Int, cellCap: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
-    val gcs = graft.expressions.IvfAssignKernel.groupedCentroidSet(
-      model.clusterCenters.map(_.toArray), numGroups)
     require(probes <= gcs.flat.numCells,
       s"probes=$probes exceeds the model's ${gcs.flat.numCells} cells")
     val bc = spark.sparkContext.broadcast(gcs)

@@ -167,6 +167,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"two-level recall $two lost more than 15% of flat $flat")
   }
 
+  test("fixed-block two-level route: degenerate all-groups equals flat, structure as declared") {
+    // the q77 shape: contiguous 4-cell blocks, member-mean group
+    // centroids. All groups probed must equal the flat kernel exactly;
+    // and the grouping itself is pinned (members, mean arithmetic)
+    val gcs = graft.expressions.IvfAssignKernel.fixedGroupedCentroidSet(
+      Array(Array(0.0, 0.0), Array(2.0, 0.0), Array(0.0, 2.0),
+        Array(4.0, 4.0), Array(10.0, 10.0)), groupSize = 2)
+    assert(gcs.numGroups == 3)
+    assert(gcs.members.map(_.toSeq).toSeq ==
+      Seq(Seq(0, 1), Seq(2, 3), Seq(4)))
+    assert(gcs.gCents(0).toSeq == Seq(1.0, 0.0)) // (0+2)/2, (0+0)/2
+    assert(gcs.gCents(1).toSeq == Seq(2.0, 3.0))
+    assert(gcs.gCents(2).toSeq == Seq(10.0, 10.0)) // short block: /1
+
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val cents = emb.filter($"vec_id" < 32)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val flat = rows(Similarity.ivfTopKLargeWithCentroids(emb, cents,
+      probes = 2, k = 3, cellCap = 200))
+    val degenerate = rows(Similarity.ivfTopKTwoLevelFixed(emb, cents,
+      groupSize = 4, probes = 2, k = 3, groupProbes = 8, cellCap = 200))
+    assert(degenerate == flat, "all-groups fixed two-level diverged from flat")
+    // the declared q77 prune (3 of 8 groups) must still return k rows
+    // per query and stay a subset-quality result: same schema, nonempty
+    val pruned = Similarity.ivfTopKTwoLevelFixed(emb, cents,
+      groupSize = 4, probes = 2, k = 3, groupProbes = 3, cellCap = 200)
+    assert(pruned.count() > 0)
+  }
+
   test("IVF index artifact: fit → save → load serves identical top-k") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
