@@ -30,6 +30,11 @@ import graft.operators.Similarity
   *    (grouped assignment: `IVF_GROUPS` groups, default ≈√cells,
   *    `IVF_GROUP_PROBES` probed, default 4) — the 2¹⁴⁺-cells shape
   *    whose assignment term stays sublinear in cells;
+  *  - `IVF_ROUTE=2lh` FITS hierarchically too
+  *    ([[Similarity.fitIvfHierarchical]]: one k=groups coarse fit +
+  *    distributed per-group sub-fits of cells/groups each) and serves
+  *    through the same two-level kernel — the fit-cost remedy where
+  *    flat k-means at 2¹⁴ cells is itself the bottleneck;
   *  - `IVF_QUERY_STEP=s` computes the truth table (the sweep's O(n²)
   *    term) over the deterministic query sample `vec_id % s == 0`
   *    instead of every vector; recall@k is then estimated on the
@@ -69,7 +74,8 @@ object IvfSweep {
     val probesGrid = sys.env.getOrElse("IVF_PROBES", "4,8,12,16")
       .split(",").map(_.trim.toInt).toSeq
     val route = sys.env.getOrElse("IVF_ROUTE", "exact")
-    require(Seq("exact", "large", "2l").contains(route), s"IVF_ROUTE=$route")
+    require(Seq("exact", "large", "2l", "2lh").contains(route),
+      s"IVF_ROUTE=$route")
     // two-level quantizer shape (route=2l): group count and probed groups
     val numGroups = sys.env.get("IVF_GROUPS").map(_.toInt)
     val groupProbes = sys.env.get("IVF_GROUP_PROBES").map(_.toInt).getOrElse(4)
@@ -91,16 +97,32 @@ object IvfSweep {
     // the model depends only on cells (fit is seeded-deterministic), so
     // fit once per cells value rather than once per grid point
     for (cells <- cellsGrid) {
+      val groups = numGroups.getOrElse(math.max(1, math.sqrt(cells).round.toInt))
       val tFit0 = System.nanoTime()
-      val model = Similarity.fitIvfIndex(emb, cells, trainFraction = trainFraction)
+      // `2lh` fits the two-level index HIERARCHICALLY (group fit +
+      // distributed per-group sub-fits — §6.2's fit-cost remedy at
+      // 2¹⁴ cells); every other route flat-fits `cells` centroids
+      val fitted: Either[org.apache.spark.ml.clustering.KMeansModel,
+          graft.expressions.IvfGroupedCentroidSet] =
+        if (route == "2lh")
+          Right(Similarity.fitIvfHierarchical(emb, groups,
+            math.max(1, cells / groups), trainFraction = trainFraction))
+        else
+          Left(Similarity.fitIvfIndex(emb, cells, trainFraction = trainFraction))
       val fitSec = (System.nanoTime() - tFit0) / 1e9
-      for (probes <- probesGrid if probes <= cells) {
-        def serve() = route match {
-          case "large" => Similarity.ivfTopKLarge(emb, model, probes, k)
-          case "2l" => Similarity.ivfTopKTwoLevel(emb, model, probes, k,
-            numGroups.getOrElse(math.max(1, math.sqrt(cells).round.toInt)),
-            groupProbes)
-          case _ => Similarity.ivfTopKWithModel(emb, model, probes, k)
+      val actualCells = fitted.fold(_.clusterCenters.length, _.flat.numCells)
+      for (probes <- probesGrid if probes <= actualCells) {
+        def serve() = (route, fitted) match {
+          case ("large", Left(model)) =>
+            Similarity.ivfTopKLarge(emb, model, probes, k)
+          case ("2l", Left(model)) =>
+            Similarity.ivfTopKTwoLevel(emb, model, probes, k, groups,
+              groupProbes)
+          case ("2lh", Right(gcs)) =>
+            Similarity.ivfTopKWithGrouped(emb, gcs, probes, k, groupProbes)
+          case (_, Left(model)) =>
+            Similarity.ivfTopKWithModel(emb, model, probes, k)
+          case other => sys.error(s"unreachable route/fit pairing: $other")
         }
         serve().write.format("noop").mode("overwrite").save() // warm-up
         val t0 = System.nanoTime()
@@ -111,9 +133,8 @@ object IvfSweep {
         val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
         val recall = hits.toDouble / (nQueries * k)
         val routeJson =
-          if (route == "2l")
-            s""""route":"2l","groups":${numGroups.getOrElse(
-              math.max(1, math.sqrt(cells).round.toInt))},"group_probes":$groupProbes"""
+          if (route == "2l" || route == "2lh")
+            s""""route":"$route","groups":$groups,"group_probes":$groupProbes,"actual_cells":$actualCells"""
           else s""""route":"$route""""
         println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,$routeJson,"queries":$nQueries}""")
       }

@@ -119,20 +119,25 @@ object IvfAssignKernel {
     new GenericArrayData(rows)
   }
 
-  /** Group the cell centroids for two-level assignment: `numGroups`
-    * centers from a deterministic Lloyd's run over the CELL CENTROIDS
-    * (init = every (cells/groups)-th centroid in index order, fixed
-    * iteration count, ties to the lower group id) — no RNG, no Spark
-    * job, milliseconds at 2¹⁴ cells. */
-  def groupedCentroidSet(cents: Array[Array[Double]], numGroups: Int,
-      iters: Int = 10): IvfGroupedCentroidSet = {
-    val flat = centroidSet(cents)
-    val n = cents.length
-    val g = math.min(numGroups, n)
-    require(g >= 1, s"numGroups=$numGroups")
-    val dim = flat.dim
-    // deterministic spread init over the index order
-    var gc = Array.tabulate(g)(i => cents(i * n / g).clone())
+  /** Deterministic Lloyd's over an arbitrary point set (init = every
+    * (n/k)-th point in the given order, fixed iteration count, distance
+    * ties to the lower center id, empty centers keep their previous
+    * position — no RNG anywhere). Returns the final centers and the
+    * LAST-iteration assignment (computed against the pre-update
+    * centers, as the original grouping loop did — callers that pin
+    * digests on that grouping stay bit-stable). Serves both the
+    * driver-side cell grouping ([[groupedCentroidSet]]) and the
+    * per-group sub-fits of `Similarity.fitIvfHierarchical`, where each
+    * call sees only one group's sample points inside one task. */
+  def lloyd(points: Array[Array[Double]], k: Int,
+      iters: Int = 10): (Array[Array[Double]], Array[Int]) = {
+    val n = points.length
+    require(n >= 1, "empty point set")
+    val g = math.min(k, n)
+    require(g >= 1, s"k=$k")
+    val dim = points(0).length
+    // deterministic spread init over the given order
+    var gc = Array.tabulate(g)(i => points(i * n / g).clone())
     val assign = new Array[Int](n)
     var it = 0
     while (it < iters) {
@@ -145,7 +150,7 @@ object IvfAssignKernel {
           var d = 0.0
           var i = 0
           while (i < dim) {
-            val t = cents(c)(i) - gc(j)(i); d += t * t; i += 1
+            val t = points(c)(i) - gc(j)(i); d += t * t; i += 1
           }
           if (d < bestD) { bestD = d; best = j }
           j += 1
@@ -160,15 +165,29 @@ object IvfAssignKernel {
         val a = assign(c2)
         counts(a) += 1
         var i = 0
-        while (i < dim) { sums(a)(i) += cents(c2)(i); i += 1 }
+        while (i < dim) { sums(a)(i) += points(c2)(i); i += 1 }
         c2 += 1
       }
       gc = Array.tabulate(g)(j =>
-        if (counts(j) == 0) gc(j) // empty group keeps its center
+        if (counts(j) == 0) gc(j) // empty center keeps its position
         else { val s = sums(j); var i = 0
           while (i < dim) { s(i) /= counts(j); i += 1 }; s })
       it += 1
     }
+    (gc, assign)
+  }
+
+  /** Group the cell centroids for two-level assignment: `numGroups`
+    * centers from a deterministic [[lloyd]] run over the CELL CENTROIDS
+    * — no RNG, no Spark job, milliseconds at 2¹⁴ cells. */
+  def groupedCentroidSet(cents: Array[Array[Double]], numGroups: Int,
+      iters: Int = 10): IvfGroupedCentroidSet = {
+    val flat = centroidSet(cents)
+    val n = cents.length
+    require(numGroups >= 1, s"numGroups=$numGroups")
+    val dim = flat.dim
+    val (gc, assign) = lloyd(cents, numGroups, iters)
+    val g = gc.length
     val gn2 = new Array[Double](g)
     var j = 0
     while (j < g) {

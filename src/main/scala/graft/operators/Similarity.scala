@@ -284,6 +284,145 @@ object Similarity {
         centroids, groupSize),
       probes, k, groupProbes, cellCap)
 
+  /** HIERARCHICAL two-level fit — the index-BUILD counterpart of
+    * [[ivfTopKTwoLevel]]'s serving shape. A flat k-means at 2¹⁴ cells
+    * pays O(sample × cells × dim) per iteration (§6.2 measured ~600 s
+    * at 16 384 cells where 4 096 took ~72 s); here the same cell count
+    * is fitted as `numGroups` coarse centers (one SMALL seeded Spark ML
+    * fit — k = groups, not cells) followed by per-group sub-fits of
+    * `cellsPerGroup` cells each, run as DISTRIBUTED tasks: the sample
+    * is kernel-assigned to its nearest group, and each group's sample
+    * slice — ~sample/groups points, bounded by construction because the
+    * fit always runs on a sample, never the corpus — is fitted locally
+    * inside one `mapGroups` task with the same deterministic
+    * [[graft.expressions.IvfAssignKernel.lloyd]] the cell-grouping
+    * uses (points sorted by vec_id first, so the sub-fit is invariant
+    * to shuffle arrival order). Total arithmetic is
+    * O(sample × groups × dim) + Σ O(sample_g × cellsPerGroup × dim) —
+    * linear in √cells per level instead of linear in cells, and the
+    * sub-fits parallelize across the cluster where flat k-means
+    * iterations are lockstep.
+    *
+    * The result is an [[graft.expressions.IvfGroupedCentroidSet]]
+    * whose grouping is the TRAINED hierarchy itself (group j's member
+    * cells are exactly the cells fitted inside group j), so the
+    * group-prune at serve time follows the same partition of space the
+    * fit created — no post-hoc re-clustering of finished centroids.
+    * Groups whose sample slice is empty keep their coarse center and
+    * contribute zero cells; a slice smaller than `cellsPerGroup` yields
+    * that many cells (lloyd clamps k ≤ points). Cell ids are assigned
+    * contiguously in group order. Serve via [[ivfTopKWithGrouped]]. */
+  def fitIvfHierarchical(emb: DataFrame, numGroups: Int, cellsPerGroup: Int,
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      subIters: Int = 10): graft.expressions.IvfGroupedCentroidSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    require(numGroups >= 1, s"numGroups=$numGroups")
+    require(cellsPerGroup >= 1, s"cellsPerGroup=$cellsPerGroup")
+    val sampled =
+      (if (trainFraction >= 1.0) prepared(emb)
+       else prepared(emb).sample(withReplacement = false, trainFraction, seed))
+        .select($"vec_id", $"v", $"nrm")
+    // level 1: ONE small Spark ML fit (k = groups)
+    val coarse = new KMeans().setK(numGroups).setSeed(seed)
+      .setFeaturesCol("fv")
+      .fit(sampled.withColumn("fv", array_to_vector($"v")))
+    val gCents = coarse.clusterCenters.map(_.toArray)
+    // level 2: kernel-assign the sample to its nearest group, then fit
+    // cellsPerGroup cells per group inside one task each
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(gCents))
+    val assigned = sampled.withColumn("g",
+      element_at(GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), 1)), 1).getField("cell"))
+      .select($"g", $"vec_id", $"v")
+      .as[(Int, Long, Seq[Double])]
+    val perGroup: Map[Int, Array[Array[Double]]] = assigned
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+        val (centers, _) =
+          graft.expressions.IvfAssignKernel.lloyd(pts, cellsPerGroup, subIters)
+        (g, centers.map(_.toSeq).toSeq)
+      }
+      .collect()
+      .map { case (g, cs) => g -> cs.map(_.toArray).toArray }
+      .toMap
+    require(perGroup.nonEmpty, "hierarchical fit saw an empty sample — " +
+      "raise trainFraction or check the corpus")
+    val members = new Array[Array[Int]](numGroups)
+    val cells = Array.newBuilder[Array[Double]]
+    var next = 0
+    var j = 0
+    while (j < numGroups) {
+      val cs = perGroup.getOrElse(j, Array.empty[Array[Double]])
+      members(j) = Array.range(next, next + cs.length)
+      cells ++= cs
+      next += cs.length
+      j += 1
+    }
+    val flat = graft.expressions.IvfAssignKernel.centroidSet(cells.result())
+    val gn2 = gCents.map { a =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    graft.expressions.IvfGroupedCentroidSet(flat, gCents, gn2, members)
+  }
+
+  /** Serve top-k through an explicit grouped centroid set — the
+    * steady-state path for a [[fitIvfHierarchical]] (or
+    * [[loadIvfGrouped]]-restored) index. */
+  def ivfTopKWithGrouped(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, probes: Int, k: Int,
+      groupProbes: Int, cellCap: Int = Int.MaxValue): DataFrame =
+    ivfTopKTwoLevelGrouped(emb, gcs, probes, k, groupProbes, cellCap)
+
+  /** Persist / restore a grouped (two-level) index as a plain parquet
+    * artifact: one row per group (`kind='group'`, its centroid and
+    * member-cell list) and one per cell (`kind='cell'`, its centroid).
+    * Doubles round-trip parquet exactly, and the self-dots are
+    * recomputed on load with the same index-order summation
+    * [[graft.expressions.IvfAssignKernel.centroidSet]] always uses, so
+    * a restored index serves bit-identically to the fitted one
+    * (spec-pinned). */
+  def saveIvfGrouped(spark: SparkSession,
+      gcs: graft.expressions.IvfGroupedCentroidSet, path: String): Unit = {
+    import spark.implicits._
+    val groups = gcs.gCents.zipWithIndex.map { case (c, j) =>
+      ("group", j, c.toSeq, gcs.members(j).toSeq)
+    }.toSeq
+    val cells = gcs.flat.cents.zipWithIndex.map { case (c, i) =>
+      ("cell", i, c.toSeq, Seq.empty[Int])
+    }.toSeq
+    (groups ++ cells).toDF("kind", "id", "centroid", "members")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfGrouped(spark: SparkSession,
+      path: String): graft.expressions.IvfGroupedCentroidSet = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select($"kind", $"id", $"centroid", $"members")
+      .as[(String, Int, Seq[Double], Seq[Int])]
+      .collect()
+    val cells = rows.filter(_._1 == "cell").sortBy(_._2)
+      .map(_._3.toArray)
+    val gRows = rows.filter(_._1 == "group").sortBy(_._2)
+    val gCents = gRows.map(_._3.toArray)
+    val members = gRows.map(_._4.toArray)
+    val gn2 = gCents.map { a =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    }
+    graft.expressions.IvfGroupedCentroidSet(
+      graft.expressions.IvfAssignKernel.centroidSet(cells), gCents, gn2,
+      members)
+  }
+
   private def ivfTopKTwoLevelGrouped(emb: DataFrame,
       gcs: graft.expressions.IvfGroupedCentroidSet, probes: Int, k: Int,
       groupProbes: Int, cellCap: Int): DataFrame = {

@@ -199,6 +199,82 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("hierarchical fit: trained-hierarchy structure, deterministic across runs") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    def fingerprint(g: graft.expressions.IvfGroupedCentroidSet) = (
+      g.flat.cents.map(_.toSeq).toSeq, g.gCents.map(_.toSeq).toSeq,
+      g.members.map(_.toSeq).toSeq)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 8,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    assert(gcs.numGroups == 8)
+    // cell ids are contiguous in group order and partition the id space
+    assert(gcs.members.flatten.toSeq == (0 until gcs.flat.numCells))
+    assert(gcs.flat.numCells == gcs.members.map(_.length).sum)
+    assert(gcs.flat.numCells > 8, "sub-fits produced no refinement")
+    // shuffle arrival order into the per-group sub-fit tasks varies run
+    // to run; the vec_id sort inside mapGroups must make the fit
+    // bit-deterministic anyway
+    val again = Similarity.fitIvfHierarchical(emb, numGroups = 8,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    assert(fingerprint(again) == fingerprint(gcs),
+      "hierarchical fit is not run-deterministic")
+  }
+
+  test("hierarchical-fit index serves comparable recall to a flat fit at equal cells") {
+    // the fit-cost remedy must not buy its speed with recall: same
+    // nominal cell count (64), same shallow group prune, recall within
+    // a slice of the flat-fitted index's (§6.2 16k grid motivates the
+    // hierarchy; this pins its quality side at spec scale)
+    val emb = ScaleData.clusteredEmbeddings(spark, 5000, clusters = 100,
+      spread = 1.2)
+    val k = 10
+    val truth = Similarity.bruteForceTopK(emb, lit(true), k)
+      .select($"query_id", $"neighbor_id")
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.select($"vec_id".as("query_id"), $"neighbor_id")
+      truth.join(approx, Seq("query_id", "neighbor_id")).count().toDouble /
+        (5000.0 * k)
+    }
+    val flatModel = Similarity.fitIvfIndex(emb, numCells = 64,
+      trainFraction = 0.25)
+    val flat = recall(Similarity.ivfTopKLarge(emb, flatModel, probes = 4,
+      k = k))
+    val hier = Similarity.fitIvfHierarchical(emb, numGroups = 8,
+      cellsPerGroup = 8, trainFraction = 0.25)
+    val two = recall(Similarity.ivfTopKWithGrouped(emb, hier, probes = 4,
+      k = k, groupProbes = 3))
+    info(f"flat-fit recall@10 = $flat%.4f, hierarchical-fit (3/8 groups) " +
+      f"= $two%.4f over ${hier.flat.numCells} cells")
+    assert(two >= 0.85 * flat,
+      s"hierarchical-fit recall $two lost more than 15% of flat $flat")
+  }
+
+  test("grouped index artifact: fit → save → load serves identical top-k") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_grouped").resolve("index").toString
+    Similarity.saveIvfGrouped(spark, gcs, path)
+    val loaded = Similarity.loadIvfGrouped(spark, path)
+    assert(loaded.flat.cents.map(_.toSeq).toSeq ==
+      gcs.flat.cents.map(_.toSeq).toSeq)
+    assert(loaded.gCents.map(_.toSeq).toSeq == gcs.gCents.map(_.toSeq).toSeq)
+    assert(loaded.members.map(_.toSeq).toSeq == gcs.members.map(_.toSeq).toSeq)
+    assert(loaded.flat.cn2.toSeq == gcs.flat.cn2.toSeq &&
+      loaded.gn2.toSeq == gcs.gn2.toSeq,
+      "recomputed self-dots drifted from the fitted ones")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val served = rows(Similarity.ivfTopKWithGrouped(emb, loaded, probes = 2,
+      k = 3, groupProbes = 2))
+    assert(served == rows(Similarity.ivfTopKWithGrouped(emb, gcs, probes = 2,
+      k = 3, groupProbes = 2)),
+      "restored grouped index serves differently")
+  }
+
   test("IVF index artifact: fit → save → load serves identical top-k") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
