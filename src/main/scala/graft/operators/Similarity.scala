@@ -477,8 +477,14 @@ object Similarity {
     * fails fast instead of silently assigning against different cells
     * (the one corruption the cells-count check cannot see). */
   def centroidChecksum(model: KMeansModel): Long =
-    model.clusterCenters.map(c =>
-      java.util.Arrays.hashCode(c.toArray).toLong).sum
+    centroidChecksumOf(model.clusterCenters.map(_.toArray))
+
+  /** [[centroidChecksum]] over a raw centroid matrix — the identity a
+    * grouped (two-level / [[fitIvfHierarchical]]) index's flat cells
+    * carry, so a postings artifact validates against WHICHEVER fit
+    * route produced the cells. */
+  def centroidChecksumOf(cents: Array[Array[Double]]): Long =
+    cents.map(c => java.util.Arrays.hashCode(c).toLong).sum
 
   /** Persistable IVF POSTINGS — the corpus side of the index as an
     * artifact: every vector under its home cell (hot cells capped at
@@ -498,6 +504,57 @@ object Similarity {
       .withColumn("iv_cells", lit(model.clusterCenters.length))
       .withColumn("iv_cap", lit(cellCap))
       .withColumn("iv_ck", lit(centroidChecksum(model)))
+  }
+
+  /** [[ivfPostings]] for LARGE cell counts — the SAME artifact
+    * (spec-pinned row-equal including the stored d2: the kernel sums
+    * ⟨v,c⟩ in index order, so values and cap tie-breaks match the
+    * window-ranked build exactly), built without the corpus×cells row
+    * expansion: home assignment is one codegen
+    * [[graft.expressions.IvfNearestCells]] scan per vector, and when
+    * `cellCap` is unbounded there is NO index-side exchange at all —
+    * the build is a single scan-project. At 2¹⁴ cells the expanded
+    * build pushes N×16384 vector-bearing rows through the home-cell
+    * window; this one pushes N. */
+  def ivfPostingsLarge(emb: DataFrame, model: KMeansModel,
+      cellCap: Int = Int.MaxValue): DataFrame =
+    ivfPostingsKernelBuilt(emb, model.clusterCenters.map(_.toArray), cellCap)
+
+  /** Postings for a grouped / hierarchical index
+    * ([[fitIvfHierarchical]] or a [[loadIvfGrouped]] restore): built
+    * against its FLAT cells with the exact kernel scan — the build is
+    * one-time and must assign every vector to its TRUE home cell, so
+    * only serving ([[ivfTopKFromPostingsGrouped]]) two-level-prunes.
+    * The embedded checksum is over the flat cells, matching what the
+    * grouped serving route verifies. */
+  def ivfPostingsFromGrouped(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      cellCap: Int = Int.MaxValue): DataFrame =
+    ivfPostingsKernelBuilt(emb, gcs.flat.cents, cellCap)
+
+  private def ivfPostingsKernelBuilt(emb: DataFrame,
+      cents: Array[Array[Double]], cellCap: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val cs = graft.expressions.IvfAssignKernel.centroidSet(cents)
+    val bc = spark.sparkContext.broadcast(cs)
+    val home = prepared(emb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), 1)))
+      .select(element_at($"nc", 1).getField("cell").as("cell"),
+        $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
+        element_at($"nc", 1).getField("d2").as("d2"))
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    val capped =
+      if (cellCap == Int.MaxValue) home
+      else home.withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cellCap).drop("cellRank")
+    capped
+      .withColumn("iv_cells", lit(cs.numCells))
+      .withColumn("iv_cap", lit(cellCap))
+      .withColumn("iv_ck", lit(centroidChecksumOf(cents)))
   }
 
   /** Home-cell assignment + deterministic hot-cell cap, shared by the
@@ -650,6 +707,16 @@ object Similarity {
       .withColumn("cr", row_number().over(byDist))
       .filter($"cr" <= probes)
       .select($"cell", $"vec_id", $"v", $"nrm")
+    serveQueriesOverPostings(queries, postings, k)
+  }
+
+  /** The candidate join + top-k window every postings-served route
+    * shares: `queries` is (cell, vec_id, v, nrm) — one row per probed
+    * cell per query — candidates come from the artifact. */
+  private def serveQueriesOverPostings(queries: DataFrame,
+      postings: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
     queries
       .join(postings.select($"cell", $"cand_id", $"cv", $"cn"), Seq("cell"))
@@ -659,6 +726,68 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= k)
       .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+  }
+
+  /** [[ivfTopKFromPostings]] for LARGE cell counts — same results
+    * (spec-pinned: the kernel's d2 is bit-identical to the DataFrame
+    * formula, so probe sets and tie-breaks agree exactly), different
+    * query-side shape: assignment is one codegen
+    * [[graft.expressions.IvfNearestCells]] scan per query against the
+    * broadcast centroid matrix instead of the queries×cells join +
+    * `row_number` expansion — at 2¹²⁺ cells the expanded form pushes
+    * 10⁴ rows per query through one exchange for what is per-row
+    * arithmetic. Candidate join and top-k window are byte-shared with
+    * the expanded route. */
+  def ivfTopKFromPostingsLarge(queryEmb: DataFrame, model: KMeansModel,
+      postings: DataFrame, probes: Int, k: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val (cells, _, ck) = postingsParams(postings)
+    require(model.clusterCenters.length == cells &&
+      centroidChecksum(model) == ck,
+      "model centroids differ from the postings artifact's")
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(
+        model.clusterCenters.map(_.toArray)))
+    val queries = prepared(queryEmb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes)))
+      .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
+    serveQueriesOverPostings(queries, postings, k)
+  }
+
+  /** Two-level query assignment against the postings artifact — the
+    * 2¹⁴⁺-cells STEADY STATE: the corpus side is the persisted
+    * artifact (never re-assigned), and each query's assignment costs
+    * O(groups + probed members) arithmetic via
+    * [[graft.expressions.IvfNearestCellsTwoLevel]] instead of O(cells).
+    * With `groupProbes >= numGroups` the probe set degenerates to the
+    * exact flat scan (spec-pinned identical to serving the same
+    * artifact through the corpus-side routes); shallow `groupProbes`
+    * trades recall by the same group-prune law §6.2 measured. The
+    * grouped set must be the artifact's own cells —
+    * checksum-verified against the FLAT level, so a
+    * [[fitIvfHierarchical]] index and a [[groupedCentroidSet]]-wrapped
+    * flat fit both validate. */
+  def ivfTopKFromPostingsGrouped(queryEmb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, postings: DataFrame,
+      probes: Int, k: Int, groupProbes: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val (cells, _, ck) = postingsParams(postings)
+    require(gcs.flat.numCells == cells &&
+      centroidChecksumOf(gcs.flat.cents) == ck,
+      "grouped index cells differ from the postings artifact's")
+    val bc = spark.sparkContext.broadcast(gcs)
+    val queries = prepared(queryEmb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCellsTwoLevel(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes, groupProbes)))
+      .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
+    serveQueriesOverPostings(queries, postings, k)
   }
 
   /** Measured recall@k of the trained-IVF path against brute-force

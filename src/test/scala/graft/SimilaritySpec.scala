@@ -312,6 +312,78 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("kernel-built postings equal the window-ranked build exactly, capped and not") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(4),
+        r.getInt(5), r.getInt(6), r.getLong(7))).toSet
+    // uncapped AND a binding cap: the stored d2 must agree bit-for-bit
+    // (kernel dot is index-order summed) or cap evictions would diverge
+    assert(rows(Similarity.ivfPostingsLarge(emb, model)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+    val capped = Similarity.ivfPostingsLarge(emb, model, cellCap = 16)
+    assert(rows(capped) ==
+      rows(Similarity.ivfPostings(emb, model, cellCap = 16)))
+    assert(capped.count() < Similarity.ivfPostings(emb, model).count(),
+      "cap did not bind — the eviction side is untested")
+  }
+
+  test("postings-served kernel routes equal the expanded route exactly") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val postings = Similarity.ivfPostings(emb, model, cellCap = 64)
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val expanded = rows(Similarity.ivfTopKFromPostings(emb, model, postings,
+      probes = 4, k = 3))
+    assert(rows(Similarity.ivfTopKFromPostingsLarge(emb, model, postings,
+      probes = 4, k = 3)) == expanded,
+      "kernel query assignment diverged from the expanded route")
+    // two-level with every group probed degenerates to the flat scan
+    val gcs = graft.expressions.IvfAssignKernel.groupedCentroidSet(
+      model.clusterCenters.map(_.toArray), numGroups = 4)
+    assert(rows(Similarity.ivfTopKFromPostingsGrouped(emb, gcs, postings,
+      probes = 4, k = 3, groupProbes = 4)) == expanded,
+      "all-groups two-level serving diverged from the flat scan")
+  }
+
+  test("grouped postings steady state: hierarchical fit → artifact → pruned serving") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_post_grp").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsFromGrouped(emb, gcs, cellCap = 400), path)
+    val postings = spark.read.parquet(path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    // all groups probed: artifact serving equals the corpus-reassigning
+    // grouped route (both exact at the degenerate point)
+    assert(rows(Similarity.ivfTopKFromPostingsGrouped(emb, gcs, postings,
+      probes = 2, k = 3, groupProbes = gcs.numGroups)) ==
+      rows(Similarity.ivfTopKWithGrouped(emb, gcs, probes = 2, k = 3,
+        groupProbes = gcs.numGroups)),
+      "postings-served grouped route diverged from direct serving")
+    // shallow prune still answers every query at this clustered fixture
+    val pruned = Similarity.ivfTopKFromPostingsGrouped(emb, gcs, postings,
+      probes = 2, k = 3, groupProbes = 2)
+    assert(pruned.select($"vec_id").distinct().count() == 2000)
+    // a foreign grouped set (different cells) fails fast on the checksum
+    val foreign = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 3, trainFraction = 0.5)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromPostingsGrouped(emb, foreign, postings,
+        probes = 2, k = 3, groupProbes = 2).collect()
+    }
+    assert(ex.getMessage.contains("differ from the postings artifact"))
+  }
+
   test("appendToIvfPostings equals a from-scratch build over the union") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
