@@ -127,6 +127,39 @@ object EmbeddingQueries {
       cellCap = q77CellCap)
   }
 
+  /** q78 geometry: q34's fixed corpus-vector cells, and a hot-cell cap
+    * chosen to BIND at every shipped scale (8 cells over ≥50 vectors →
+    * every cell is over-full), so the declared output exercises the
+    * eviction side of the roll-forward, not just the happy append. */
+  val q78CellCap = 4
+
+  // ---------------------------------------------------------------- q78
+  /** Incremental IVF postings roll-forward, oracle-checked: build the
+    * cell-partitioned postings over the already-indexed corpus
+    * (`vec_id % 10 != 0`), then [[Similarity.appendToIvfPostingsWithCentroids]]
+    * the newly-arrived batch (`vec_id % 10 == 0`) against the FROZEN
+    * fixed centroids — a closer newcomer must EVICT a capped-out old
+    * member exactly as a from-scratch build would (the stored d2 breaks
+    * ties identically). The oracle is the REBUILD over the union, so
+    * the hash match IS the append≡rebuild contract — previously only
+    * spec-pinned, here checked against an independent engine. Cost
+    * shape at scale: delta assignment ∝ batch + a window over touched
+    * cells only (never a full-artifact pass). */
+  def q78PostingsRoll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val indexed = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    Similarity.appendToIvfPostingsWithCentroids(
+        Similarity.ivfPostingsWithCentroids(indexed, cents, q78CellCap),
+        cents, batch)
+      .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -213,9 +246,39 @@ object EmbeddingQueries {
     "q48_embed_quantize" -> (q48EmbedQuantize _),
     "q55_semantic_dedup" -> (q55SemanticDedup _),
     "q71_ref_coverage" -> (q71RefCoverage _),
-    "q77_ann_ivf_2l" -> (q77AnnIvf2l _))
+    "q77_ann_ivf_2l" -> (q77AnnIvf2l _),
+    "q78_postings_roll" -> (q78PostingsRoll _))
 
   val oracle: Map[String, String] = Map(
+    // the REBUILD over the full corpus — Spark computes build(90%) +
+    // append(10%); hash equality is the append≡rebuild contract
+    "q78_postings_roll" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT n.vec_id, c.cell,
+             n.nrm * n.nrm + c.cn2
+               - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n CROSS JOIN c),
+         assigned AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         home AS (
+           SELECT cell, vec_id AS cand_id, d2,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM assigned WHERE cr = 1)
+         SELECT cell, cand_id, round(d2, 4) + 0.0 AS d2
+         FROM home WHERE cell_rank <= 4""",
     // same deterministic degradation of the embeddings side, same
     // distinct-ref + full-outer-join + per-source rollup semantics
     "q71_ref_coverage" ->

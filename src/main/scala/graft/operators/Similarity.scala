@@ -191,10 +191,16 @@ object Similarity {
   /** The model's centroids as the `(cell, centroid)` relation
     * [[ivfTopKWithCentroids]] consumes — numCells rows, driver-side by
     * construction, broadcast to executors. */
-  def centroidTable(spark: SparkSession, model: KMeansModel): DataFrame = {
+  def centroidTable(spark: SparkSession, model: KMeansModel): DataFrame =
+    centroidTableOf(spark, model.clusterCenters.map(_.toArray))
+
+  /** [[centroidTable]] over a raw centroid matrix (cell id = row
+    * index) — the form fixed or artifact-restored centroids use. */
+  def centroidTableOf(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
+    cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
   }
 
@@ -497,13 +503,22 @@ object Similarity {
     * the corpus — the missing piece that makes IVF serving cost
     * ∝ queries instead of ∝ corpus per call. */
   def ivfPostings(emb: DataFrame, model: KMeansModel,
-      cellCap: Int = Int.MaxValue): DataFrame = {
+      cellCap: Int = Int.MaxValue): DataFrame =
+    ivfPostingsWithCentroids(emb, model.clusterCenters.map(_.toArray),
+      cellCap)
+
+  /** [[ivfPostings]] over a raw centroid matrix — the form fixed
+    * (SQL-reproducible, q78) or artifact-restored centroids use; the
+    * embedded checksum is the same [[centroidChecksumOf]] identity, so
+    * the artifact serves and appends through either centroid source. */
+  def ivfPostingsWithCentroids(emb: DataFrame,
+      cents: Array[Array[Double]], cellCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    assignedHome(prepared(emb), centroidTable(spark, model), cellCap)
-      .withColumn("iv_cells", lit(model.clusterCenters.length))
+    assignedHome(prepared(emb), centroidTableOf(spark, cents), cellCap)
+      .withColumn("iv_cells", lit(cents.length))
       .withColumn("iv_cap", lit(cellCap))
-      .withColumn("iv_ck", lit(centroidChecksum(model)))
+      .withColumn("iv_ck", lit(centroidChecksumOf(cents)))
   }
 
   /** [[ivfPostings]] for LARGE cell counts — the SAME artifact
@@ -600,10 +615,18 @@ object Similarity {
     * batch-many. Spec-pinned EXACTLY equal to rebuilding postings over
     * the union (d2 is stored, so cap ties resolve identically). */
   def appendToIvfPostings(postings: DataFrame, model: KMeansModel,
-      newEmb: DataFrame): DataFrame = {
+      newEmb: DataFrame): DataFrame =
+    appendToIvfPostingsWithCentroids(postings,
+      model.clusterCenters.map(_.toArray), newEmb)
+
+  /** [[appendToIvfPostings]] over a raw centroid matrix — same
+    * checksum-verified frozen-centroid contract, for artifacts built
+    * from fixed or restored centroids (q78 declares this path). */
+  def appendToIvfPostingsWithCentroids(postings: DataFrame,
+      cents: Array[Array[Double]], newEmb: DataFrame): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val (recapped, touched) = recapTouched(postings, model, newEmb)
+    val (recapped, touched) = recapTouched(postings, cents, newEmb)
     postings
       .join(broadcast(touched), Seq("cell"), "left_anti")
       .unionByName(recapped)
@@ -615,18 +638,19 @@ object Similarity {
     * ABSORBED (dedup on (cell, cand_id) — identical rows by
     * determinism of d2), which is what makes a crash-replayed in-place
     * append converge instead of double-counting candidates. */
-  private def recapTouched(postings: DataFrame, model: KMeansModel,
+  private def recapTouched(postings: DataFrame,
+      cents: Array[Array[Double]],
       newEmb: DataFrame): (DataFrame, DataFrame) = {
     val spark = postings.sparkSession
     import spark.implicits._
     val (cells, cap, ck) = postingsParams(postings)
-    require(model.clusterCenters.length == cells,
-      s"model has ${model.clusterCenters.length} cells, artifact $cells")
-    require(centroidChecksum(model) == ck,
+    require(cents.length == cells,
+      s"model has ${cents.length} cells, artifact $cells")
+    require(centroidChecksumOf(cents) == ck,
       "model centroids differ from the artifact's — append with the " +
         "index's own saved model (loadIvfIndex), or rebuild ivfPostings")
     val delta = assignedHome(prepared(newEmb),
-      centroidTable(spark, model), cap)
+      centroidTableOf(spark, cents), cap)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
@@ -664,7 +688,8 @@ object Similarity {
       model: KMeansModel, newEmb: DataFrame): Unit = {
     spark.catalog.refreshByPath(path)
     val postings = spark.read.parquet(path)
-    val (recapped, _) = recapTouched(postings, model, newEmb)
+    val (recapped, _) = recapTouched(postings,
+      model.clusterCenters.map(_.toArray), newEmb)
     val materialized = recapped.localCheckpoint(true)
     try {
       val saved = spark.conf.getOption(
@@ -690,14 +715,23 @@ object Similarity {
     * posting's cand_id are self-excluded (same contract as the other
     * top-k paths). */
   def ivfTopKFromPostings(queryEmb: DataFrame, model: KMeansModel,
-      postings: DataFrame, probes: Int, k: Int): DataFrame = {
+      postings: DataFrame, probes: Int, k: Int): DataFrame =
+    ivfTopKFromPostingsWithCentroids(queryEmb,
+      model.clusterCenters.map(_.toArray), postings, probes, k)
+
+  /** [[ivfTopKFromPostings]] over a raw centroid matrix — the
+    * expanded (queries×cells window) route for fixed or restored
+    * centroids; at large cell counts prefer the kernel routes. */
+  def ivfTopKFromPostingsWithCentroids(queryEmb: DataFrame,
+      cents: Array[Array[Double]], postings: DataFrame, probes: Int,
+      k: Int): DataFrame = {
     val spark = queryEmb.sparkSession
     import spark.implicits._
     val (cells, _, ck) = postingsParams(postings)
-    require(model.clusterCenters.length == cells &&
-      centroidChecksum(model) == ck,
+    require(cents.length == cells &&
+      centroidChecksumOf(cents) == ck,
       "model centroids differ from the postings artifact's")
-    val c2 = centroidTable(spark, model)
+    val c2 = centroidTableOf(spark, cents)
       .withColumn("cn2", dot($"centroid", $"centroid"))
     val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
     val queries = prepared(queryEmb)
@@ -739,17 +773,23 @@ object Similarity {
     * arithmetic. Candidate join and top-k window are byte-shared with
     * the expanded route. */
   def ivfTopKFromPostingsLarge(queryEmb: DataFrame, model: KMeansModel,
-      postings: DataFrame, probes: Int, k: Int): DataFrame = {
+      postings: DataFrame, probes: Int, k: Int): DataFrame =
+    ivfTopKFromPostingsLargeWithCentroids(queryEmb,
+      model.clusterCenters.map(_.toArray), postings, probes, k)
+
+  /** [[ivfTopKFromPostingsLarge]] over a raw centroid matrix. */
+  def ivfTopKFromPostingsLargeWithCentroids(queryEmb: DataFrame,
+      cents: Array[Array[Double]], postings: DataFrame, probes: Int,
+      k: Int): DataFrame = {
     val spark = queryEmb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
     val (cells, _, ck) = postingsParams(postings)
-    require(model.clusterCenters.length == cells &&
-      centroidChecksum(model) == ck,
+    require(cents.length == cells &&
+      centroidChecksumOf(cents) == ck,
       "model centroids differ from the postings artifact's")
     val bc = spark.sparkContext.broadcast(
-      graft.expressions.IvfAssignKernel.centroidSet(
-        model.clusterCenters.map(_.toArray)))
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
     val queries = prepared(queryEmb).withColumn("nc",
       GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
         GraftColumnBridge.expression($"v"),

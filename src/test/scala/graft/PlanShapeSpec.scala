@@ -26,14 +26,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     * cross join — the classic IVF assignment shape); q55's SemDeDup
     * cluster assignment is the SAME centroid-assignment shape as q34
     * (corpus × broadcast rows=cells centroid table, then rank-1 per
-    * vector — Dedup.semanticDedup). BroadcastNestedLoop is the
-    * intended plan for all three: the broadcast side is O(cells),
-    * never data-sized, so the fan-out is a fixed small multiplier on
-    * a single corpus pass. q56 is deliberately NOT here — its corpus
-    * count enters as a scalar subquery (Dataset.scalar()), so the
-    * plan must contain no nested-loop join at all. */
+    * vector — Dedup.semanticDedup); q78's postings build+append is
+    * the same centroid-assignment shape twice (build side and batch
+    * side each fan across the broadcast 8-row centroid table).
+    * BroadcastNestedLoop is the intended plan for all four: the
+    * broadcast side is O(cells), never data-sized, so the fan-out is
+    * a fixed small multiplier on a single corpus pass. q56 is
+    * deliberately NOT here — its corpus count enters as a scalar
+    * subquery (Dataset.scalar()), so the plan must contain no
+    * nested-loop join at all. */
   private val bnlAllowed =
-    Set("q24_cosine_topk", "q34_ann_ivf", "q55_semantic_dedup")
+    Set("q24_cosine_topk", "q34_ann_ivf", "q55_semantic_dedup",
+      "q78_postings_roll")
 
   test("no cartesian product or nested-loop join outside the allowed set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
