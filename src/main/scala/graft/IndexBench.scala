@@ -209,6 +209,17 @@ object IndexBench {
     Comparison(screen, full)
   }
 
+  // NOTE: partition-pruned bounded-query serving
+  // (Similarity.ivfTopKFromPostingsPruned) deliberately has NO
+  // fixture-scale wall-clock twin here: its win is file-OPEN cost
+  // (directory count × cold I/O), which a warm local page cache hides
+  // below ~2¹⁴ directories — a toy-scale "speedup" would measure the
+  // probe-set collect job's fixed overhead and read ~0.8×, pure noise.
+  // The mechanism is spec-pinned (PartitionFilters plan shape + output
+  // equality, SimilaritySpec) and the economics are measured at real
+  // directory counts by graft.PostingsSweep (SURVEY §6.2: 0.8 s vs
+  // 7.1 s at 20 queries / 16 384 cells).
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))

@@ -16,7 +16,12 @@ import graft.operators.Similarity
   *  - `large`     [[Similarity.ivfTopKFromPostingsLarge]]-shape via the
   *    flat kernel — one O(cells×dim) scan per query, no expansion;
   *  - `2l`        [[Similarity.ivfTopKFromPostingsGrouped]] — two-level
-  *    kernel, O(groups + probed members) per query.
+  *    kernel, O(groups + probed members) per query;
+  *  - `pruned`    [[Similarity.ivfTopKFromPostingsPruned]] — flat
+  *    kernel assignment + the probed-cell set pushed as a partition
+  *    filter, so the artifact read itself shrinks to probed
+  *    directories (measure with a LARGE `PS_QUERY_STEP`: pruning bites
+  *    when the probe set covers few cells).
   *
   * All three serve the SAME artifact and the exact routes must agree on
   * recall (asserted); `2l` trades recall by the group prune. The
@@ -68,7 +73,7 @@ object PostingsSweep {
       sys.env.get("PS_TRAIN_FRACTION").map(_.toDouble).getOrElse(0.25)
     val routes = sys.env.getOrElse("PS_ROUTES", "expanded,large,2l")
       .split(",").map(_.trim).toSeq
-    val known = Set("expanded", "large", "2l")
+    val known = Set("expanded", "large", "2l", "pruned")
     require(routes.forall(known), s"unknown route in PS_ROUTES=$routes")
 
     val queryPred = pmod($"vec_id", lit(step)) === 0
@@ -105,6 +110,8 @@ object PostingsSweep {
           queries, gcs.flat.cents, postings, probes, k)
         case "2l" => Similarity.ivfTopKFromPostingsGrouped(
           queries, gcs, postings, probes, k, groupProbes)
+        case "pruned" => Similarity.ivfTopKFromPostingsPruned(
+          queries, gcs.flat.cents, postings, probes, k)
       }
       val recallByRoute = routes.map { route =>
         serve(route).write.format("noop").mode("overwrite").save() // warm
@@ -118,9 +125,11 @@ object PostingsSweep {
         println(f"""{"route":"$route","cells":${gcs.flat.numCells},"groups":$groups,"group_probes":$groupProbes,"probes":$probes,"queries":$nQueries,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,"build_sec":$buildSec%.1f}""")
         route -> recall
       }.toMap
-      // the two exact-assignment routes must agree bit-for-bit
-      for (a <- recallByRoute.get("expanded"); b <- recallByRoute.get("large"))
-        require(a == b, s"exact routes disagree: expanded=$a large=$b")
+      // the exact-assignment routes must agree bit-for-bit
+      val exact = recallByRoute.view
+        .filterKeys(Set("expanded", "large", "pruned")).toMap
+      require(exact.values.toSet.size <= 1,
+        s"exact routes disagree: $exact")
     }
     spark.stop()
   }

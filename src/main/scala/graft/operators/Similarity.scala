@@ -668,9 +668,16 @@ object Similarity {
 
   /** Persist postings PARTITIONED BY CELL — the directory layout that
     * makes in-place maintenance and cell-pruned serving possible
-    * (a probe of 12 cells reads 12 directories). */
+    * (a probe of 12 cells reads 12 directories). The frame is
+    * repartitioned BY CELL first so each cell directory holds ONE file
+    * instead of one per upstream task — with 32 upstream partitions
+    * each spraying most of 2¹⁴ cells, the naive write lands ~upstream×
+    * cells files, and §6.2 measured the resulting ~500 k-file artifact
+    * dominating BOTH the build wall and every later full-artifact
+    * read. The exchange this adds is ∝ artifact, once, at build time. */
   def saveIvfPostings(postings: DataFrame, path: String): Unit =
-    postings.write.mode("overwrite").partitionBy("cell").parquet(path)
+    postings.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Roll a cell-partitioned postings DIRECTORY forward in place:
     * dynamic partition overwrite rewrites ONLY the touched cells'
@@ -695,8 +702,8 @@ object Similarity {
       val saved = spark.conf.getOption(
         "spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try materialized.write.mode("overwrite").partitionBy("cell")
-        .parquet(path)
+      try materialized.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
       finally saved match {
         case Some(v) => spark.conf.set(
           "spark.sql.sources.partitionOverwriteMode", v)
@@ -811,6 +818,45 @@ object Similarity {
     * checksum-verified against the FLAT level, so a
     * [[fitIvfHierarchical]] index and a [[groupedCentroidSet]]-wrapped
     * flat fit both validate. */
+  /** Bounded-query serving with PARTITION-PRUNED artifact reads — the
+    * low-latency path. The kernel routes above still SCAN the whole
+    * artifact: with a bounded query set most cells host no probe, and
+    * §6.2's serving sweep measured that full scan dominating the wall
+    * (the route spread was ~10 s of assignment arithmetic on top of a
+    * ~35–50 s artifact read at 4096–16 384 cells). Here the probed-cell
+    * set is computed driver-side (one collect of ≤ queries×probes ints
+    * — this path is for query sets that fit a driver round-trip) and
+    * pushed as an IN filter on the artifact's partition column, so a
+    * [[saveIvfPostings]] directory reads ONLY probed cells' directories
+    * — serving I/O finally ∝ queries, not ∝ corpus. Output is exactly
+    * the unpruned route's (spec-pinned): unprobed cells can never join
+    * a query row. Pass `postings` as the PARTITIONED read
+    * (`spark.read.parquet(dir)` of a [[saveIvfPostings]] dir); a
+    * non-partitioned frame still answers correctly but prunes nothing. */
+  def ivfTopKFromPostingsPruned(queryEmb: DataFrame,
+      cents: Array[Array[Double]], postings: DataFrame, probes: Int,
+      k: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val (cells, _, ck) = postingsParams(postings)
+    require(cents.length == cells &&
+      centroidChecksumOf(cents) == ck,
+      "model centroids differ from the postings artifact's")
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val queries = prepared(queryEmb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes)))
+      .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
+      .localCheckpoint(false) // assignment runs once: probe-set collect + join
+    val probed = queries.select($"cell").distinct()
+      .as[Int].collect().toSeq
+    serveQueriesOverPostings(queries,
+      postings.filter($"cell".isin(probed: _*)), k)
+  }
+
   def ivfTopKFromPostingsGrouped(queryEmb: DataFrame,
       gcs: graft.expressions.IvfGroupedCentroidSet, postings: DataFrame,
       probes: Int, k: Int, groupProbes: Int): DataFrame = {

@@ -384,6 +384,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("differ from the postings artifact"))
   }
 
+  test("pruned postings serving equals the full-scan route and reads fewer files") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
+      spread = 0.35)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 8,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_post_prune").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsFromGrouped(emb, gcs), path)
+    val postings = spark.read.parquet(path)
+    val queries = emb.filter($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val pruned = Similarity.ivfTopKFromPostingsPruned(queries,
+      gcs.flat.cents, postings, probes = 2, k = 3)
+    assert(rows(pruned) == rows(Similarity
+      .ivfTopKFromPostingsLargeWithCentroids(queries, gcs.flat.cents,
+        postings, probes = 2, k = 3)),
+      "pruning changed the answer")
+    // the probe set must land in the scan as a PARTITION filter (the
+    // artifact is partitioned by cell, so this is directory pruning,
+    // not row filtering), while the full-scan route's scan carries none
+    // an IN-set on the partition column (isnotnull(cell) rides along on
+    // BOTH routes from the join — the probe-set INSET is the prune)
+    val inSet = "PartitionFilters: \\[[^\\]]*cell[^\\]]*(INSET|IN \\()".r
+    pruned.collect()
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(inSet.findFirstIn(prunedPlan).isDefined,
+      s"probe set did not reach the scan as a partition filter:\n$prunedPlan")
+    val full = Similarity.ivfTopKFromPostingsLargeWithCentroids(queries,
+      gcs.flat.cents, postings, probes = 2, k = 3)
+    full.collect()
+    assert(inSet.findFirstIn(
+      full.queryExecution.executedPlan.toString).isEmpty,
+      "full-scan route unexpectedly carries a probe-set partition filter")
+  }
+
   test("appendToIvfPostings equals a from-scratch build over the union") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
