@@ -178,6 +178,33 @@ object ClusterSweep {
         groupProbes = 4))
   }
 
+  /** The postings-ARTIFACT lifecycle leg (r13): fixed first-64 cells
+    * block-grouped (8×8), kernel-built cell-partitioned postings
+    * (1-file-per-cell layout), then BOUNDED-QUERY serving through the
+    * partition-pruned route — exercises, across the process boundary:
+    * the grouped kernel build's broadcast, the repartition-by-cell
+    * partitioned write, the probe-set driver collect, and the IN
+    * partition filter pruning a directory tree that forked executors
+    * wrote. */
+  private def postingsPrunedDigest(spark: SparkSession,
+      sfDir: String): ScaleSweep.Digest = {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = emb.orderBy($"vec_id").limit(64)
+      .select($"embedding".cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val gcs = graft.expressions.IvfAssignKernel
+      .fixedGroupedCentroidSet(cents, groupSize = 8)
+    val dir = Files.createTempDirectory("graft_clustersweep_post")
+      .resolve("postings").toString
+    graft.operators.Similarity.saveIvfPostings(
+      graft.operators.Similarity.ivfPostingsFromGrouped(emb, gcs), dir)
+    val postings = spark.read.parquet(dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    ScaleSweep.digest(graft.operators.Similarity.ivfTopKFromPostingsPruned(
+      queries, gcs.flat.cents, postings, probes = 4, k = 10))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf1")
     val queries = if (args.length > 1) args.drop(1).toSeq else defaultQueries
@@ -209,8 +236,12 @@ object ClusterSweep {
         val ivf2l = ivfTwoLevelDigest(spark, sfDir)
         println(f"[$master] ivf_2l_kernel rows=${ivf2l.rows} " +
           f"(${(System.nanoTime() - t2) / 1e9}%.1f s)")
+        val t3 = System.nanoTime()
+        val pruned = postingsPrunedDigest(spark, sfDir)
+        println(f"[$master] ivf_postings_pruned rows=${pruned.rows} " +
+          f"(${(System.nanoTime() - t3) / 1e9}%.1f s)")
         (ds, Seq("exact_ingest_seam" -> seam, "ivf_large_kernel" -> ivf,
-          "ivf_2l_kernel" -> ivf2l))
+          "ivf_2l_kernel" -> ivf2l, "ivf_postings_pruned" -> pruned))
       }
 
     // local leg at the cluster's core count so any divergence is the
