@@ -102,12 +102,21 @@ object IvfSweep {
       // `2lh` fits the two-level index HIERARCHICALLY (group fit +
       // distributed per-group sub-fits — §6.2's fit-cost remedy at
       // 2¹⁴ cells); every other route flat-fits `cells` centroids
+      // IVF_POLISH=n (route=2lh only): n distributed Lloyd passes over
+      // the full cell set after the hierarchical fit — the recall-
+      // recovery knob, timed INSIDE fit_sec so the grid shows the
+      // fit-cost/recall trade as one curve
+      val polishIters = sys.env.get("IVF_POLISH").map(_.toInt).getOrElse(0)
       val fitted: Either[org.apache.spark.ml.clustering.KMeansModel,
           graft.expressions.IvfGroupedCentroidSet] =
-        if (route == "2lh")
-          Right(Similarity.fitIvfHierarchical(emb, groups,
-            math.max(1, cells / groups), trainFraction = trainFraction))
-        else
+        if (route == "2lh") {
+          val base = Similarity.fitIvfHierarchical(emb, groups,
+            math.max(1, cells / groups), trainFraction = trainFraction)
+          Right(if (polishIters > 0)
+            Similarity.polishIvfGrouped(emb, base, polishIters,
+              trainFraction = trainFraction)
+          else base)
+        } else
           Left(Similarity.fitIvfIndex(emb, cells, trainFraction = trainFraction))
       val fitSec = (System.nanoTime() - tFit0) / 1e9
       val actualCells = fitted.fold(_.clusterCenters.length, _.flat.numCells)
@@ -134,7 +143,8 @@ object IvfSweep {
         val recall = hits.toDouble / (nQueries * k)
         val routeJson =
           if (route == "2l" || route == "2lh")
-            s""""route":"$route","groups":$groups,"group_probes":$groupProbes,"actual_cells":$actualCells"""
+            s""""route":"$route","groups":$groups,"group_probes":$groupProbes,"actual_cells":$actualCells""" +
+              (if (route == "2lh") s""","polish":$polishIters""" else "")
           else s""""route":"$route""""
         println(f"""{"cells":$cells,"probes":$probes,"recall_at_$k%d":$recall%.4f,"serve_sec":$sec%.3f,"fit_sec":$fitSec%.1f,$routeJson,"queries":$nQueries}""")
       }

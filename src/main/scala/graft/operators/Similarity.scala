@@ -378,6 +378,96 @@ object Similarity {
     graft.expressions.IvfGroupedCentroidSet(flat, gCents, gn2, members)
   }
 
+  /** Distributed Lloyd POLISH over the FULL cell set — the
+    * recall-recovery knob for [[fitIvfHierarchical]] (§6.2 measured the
+    * hierarchy's recall price at −0.09..−0.13 vs an equal-cell flat
+    * fit: a group's cells refine only its own sample slice, so
+    * group-boundary vectors land in coarser cells). Each iteration
+    * costs ONE kernel-assign pass over the training sample
+    * (O(sample × cells × dim) — what a SINGLE flat k-means iteration
+    * pays, i.e. ~1/20th of the full flat fit) plus one per-cell mean,
+    * computed DETERMINISTICALLY (vec_id-ordered summation inside
+    * `mapGroups`, the same stance as the hierarchical sub-fits), so a
+    * polished index is run-deterministic like everything else in the
+    * family. Cells that attract no sample keep their position. The
+    * grouping is re-derived driver-side over the polished centroids
+    * ([[graft.expressions.IvfAssignKernel.groupedCentroidSet]] — the
+    * polished cells may cross their old group boundaries, and serving
+    * recall depends on the grouping matching the cells it prunes). */
+  def polishIvfGrouped(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, iters: Int,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0): graft.expressions.IvfGroupedCentroidSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    require(iters >= 1, s"iters=$iters")
+    val sample =
+      (if (trainFraction >= 1.0) prepared(emb)
+       else prepared(emb).sample(withReplacement = false, trainFraction, seed))
+        .select($"vec_id", $"v", $"nrm")
+        .localCheckpoint(true) // iterated over: assign once per pass
+    try {
+      var cents = gcs.flat.cents
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(
+          graft.expressions.IvfAssignKernel.centroidSet(cents))
+        val perCell = sample.withColumn("cell",
+          element_at(GraftColumnBridge.column(
+            graft.expressions.IvfNearestCells(bc,
+              GraftColumnBridge.expression($"v"),
+              GraftColumnBridge.expression($"nrm"), 1)), 1).getField("cell"))
+          .select($"cell", $"vec_id", $"v")
+          .as[(Int, Long, Seq[Double])]
+          .groupByKey(_._1)
+          .mapGroups { (c, itr) =>
+            val pts = itr.toArray.sortBy(_._2)
+            val dim = pts(0)._3.length
+            val s = new Array[Double](dim)
+            pts.foreach { p =>
+              var i = 0; val v = p._3
+              while (i < dim) { s(i) += v(i); i += 1 }
+            }
+            var i = 0
+            while (i < dim) { s(i) /= pts.length; i += 1 }
+            (c, s.toSeq)
+          }
+          .collect().map { case (c, s) => c -> s.toArray }.toMap
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          perCell.getOrElse(i, old)
+        }
+        it += 1
+      }
+      graft.expressions.IvfAssignKernel.groupedCentroidSet(cents,
+        gcs.numGroups)
+    } finally org.apache.spark.sql.GraftColumnBridge
+      .unpersistLocalCheckpoint(sample)
+  }
+
+  /** Mean squared assignment distance of the training sample to its
+    * nearest cell — the quantization error a Lloyd pass monotonically
+    * improves on that sample; the index-quality number [[polishIvfGrouped]]
+    * is judged by (recall is the downstream symptom; this is the cause). */
+  def quantizationError(emb: DataFrame,
+      cents: Array[Array[Double]], seed: Long = 42L,
+      trainFraction: Double = 1.0): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val sample =
+      if (trainFraction >= 1.0) prepared(emb)
+      else prepared(emb).sample(withReplacement = false, trainFraction, seed)
+    sample.select(element_at(GraftColumnBridge.column(
+        graft.expressions.IvfNearestCells(bc,
+          GraftColumnBridge.expression($"v"),
+          GraftColumnBridge.expression($"nrm"), 1)), 1)
+        .getField("d2").as("d2"))
+      .agg(avg($"d2")).as[Double].head()
+  }
+
   /** Serve top-k through an explicit grouped centroid set — the
     * steady-state path for a [[fitIvfHierarchical]] (or
     * [[loadIvfGrouped]]-restored) index. */

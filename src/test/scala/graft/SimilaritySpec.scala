@@ -250,6 +250,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"hierarchical-fit recall $two lost more than 15% of flat $flat")
   }
 
+  test("polish: quantization error monotonically improves, deterministic, structure kept") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 5000, clusters = 100,
+      spread = 1.2)
+    val base = Similarity.fitIvfHierarchical(emb, numGroups = 8,
+      cellsPerGroup = 8, trainFraction = 0.5)
+    val e0 = Similarity.quantizationError(emb, base.flat.cents,
+      trainFraction = 0.5)
+    val p1 = Similarity.polishIvfGrouped(emb, base, iters = 1,
+      trainFraction = 0.5)
+    val e1 = Similarity.quantizationError(emb, p1.flat.cents,
+      trainFraction = 0.5)
+    val p2 = Similarity.polishIvfGrouped(emb, base, iters = 2,
+      trainFraction = 0.5)
+    val e2 = Similarity.quantizationError(emb, p2.flat.cents,
+      trainFraction = 0.5)
+    info(f"quantization error: fit $e0%.5f → polish(1) $e1%.5f → polish(2) $e2%.5f")
+    // Lloyd monotonicity on the training sample (tiny float slack: the
+    // per-cell means are exact, but assignment d2 re-sums per pass)
+    assert(e1 <= e0 * (1 + 1e-9) && e2 <= e1 * (1 + 1e-9),
+      s"polish worsened quantization error: $e0 -> $e1 -> $e2")
+    assert(e1 < e0, "one polish pass moved nothing — fixture too easy")
+    // cell count and group count survive; grouping is re-derived
+    assert(p1.flat.numCells == base.flat.numCells &&
+      p1.numGroups == base.numGroups)
+    assert(p1.members.flatten.toSeq.sorted == (0 until p1.flat.numCells))
+    // run-determinism (shuffle arrival order must not leak into means)
+    val again = Similarity.polishIvfGrouped(emb, base, iters = 1,
+      trainFraction = 0.5)
+    assert(again.flat.cents.map(_.toSeq).toSeq ==
+      p1.flat.cents.map(_.toSeq).toSeq,
+      "polish is not run-deterministic")
+  }
+
   test("grouped index artifact: fit → save → load serves identical top-k") {
     val emb = ScaleData.clusteredEmbeddings(spark, 2000, clusters = 20,
       spread = 0.35)
