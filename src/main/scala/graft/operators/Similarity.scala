@@ -112,12 +112,18 @@ object Similarity {
       .select($"cell", $"centroid", $"cn2")
 
     // distance of every vector to every centroid (cells multiplier on a
-    // broadcast side only), ranked per vector
+    // broadcast side only), ranked per vector. Null d2 (mis-dimensioned
+    // or null-element vector) is dropped BEFORE ranking: the window's
+    // NULLS-FIRST order would otherwise crown the malformed vector
+    // cr=1 at an arbitrary cell, where the kernel routes return null
+    // and drop it — both routes must drop non-assignable vectors
+    // identically (SimilaritySpec pins the equality).
     val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
     val ranked = corpus
       .join(broadcast(cents))
       .withColumn("d2",
         $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .filter($"d2".isNotNull)
       .withColumn("cr", row_number().over(byDist))
 
     // index side: home cell only, hot cells capped at cellCap members
@@ -434,6 +440,10 @@ object Similarity {
             (c, s.toSeq)
           }
           .collect().map { case (c, s) => c -> s.toArray }.toMap
+        // this iteration's centroid broadcast (megabytes at 2^14 cells)
+        // is fully consumed by the collect above — release it now
+        // instead of accruing one per iteration until ContextCleaner GC
+        bc.destroy()
         cents = cents.zipWithIndex.map { case (old, i) =>
           perCell.getOrElse(i, old)
         }
@@ -651,6 +661,11 @@ object Similarity {
       .select(element_at($"nc", 1).getField("cell").as("cell"),
         $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
         element_at($"nc", 1).getField("d2").as("d2"))
+      // kernel assignment yields null for non-assignable vectors (dim
+      // mismatch / null element); drop them here so the ARTIFACT never
+      // carries a null-cell posting row (the window-ranked build drops
+      // them at ranking time — the two builds must stay row-equal)
+      .filter($"cell".isNotNull)
     val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
     val capped =
       if (cellCap == Int.MaxValue) home
@@ -677,6 +692,10 @@ object Similarity {
       .join(broadcast(c2))
       .withColumn("d2",
         $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      // drop non-assignable vectors (null d2: dim mismatch / null
+      // element) — matches the kernel build, which returns null for
+      // them, instead of letting NULLS-FIRST rank them into cell 0
+      .filter($"d2".isNotNull)
       .withColumn("cr", row_number().over(byDist))
       .filter($"cr" === 1)
       .select($"cell", $"vec_id".as("cand_id"), $"v".as("cv"),
@@ -835,6 +854,8 @@ object Similarity {
       .join(broadcast(c2))
       .withColumn("d2",
         $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      // non-assignable queries are dropped, same as the kernel routes
+      .filter($"d2".isNotNull)
       .withColumn("cr", row_number().over(byDist))
       .filter($"cr" <= probes)
       .select($"cell", $"vec_id", $"v", $"nrm")
@@ -940,7 +961,13 @@ object Similarity {
         GraftColumnBridge.expression($"v"),
         GraftColumnBridge.expression($"nrm"), probes)))
       .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
-      .localCheckpoint(false) // assignment runs once: probe-set collect + join
+    // Assignment arithmetic runs twice (probe-set collect here, then
+    // lazily when the caller consumes the serve plan) — deterministic,
+    // so both passes agree, and ∝ queries × cells: pennies next to the
+    // artifact read this route exists to prune. The alternative — a
+    // localCheckpoint shared by both passes — pins executor storage for
+    // the life of the returned (lazy) plan with no safe unpersist
+    // point, which accumulates across calls in a serving session.
     val probed = queries.select($"cell").distinct()
       .as[Int].collect().toSeq
     serveQueriesOverPostings(queries,

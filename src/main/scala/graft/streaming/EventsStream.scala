@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.time.Instant
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -238,15 +238,22 @@ object EventsStream {
     val guard = assert_true(!(col("value").isNull || required),
       lit("corrupt kafka payload: null value bytes or missing required " +
         "field (event_id/ts_us/user_id/event_type)"))
+    // guard.isNull is TRUE whenever the assert passes (assert_true
+    // returns null) — the when() keeps the assert load-bearing. It is
+    // woven into EVERY projected column, not just event_id: column
+    // pruning removes unselected columns together with the side
+    // effects nested in them, so a downstream plan selecting only
+    // (ts, user_id) must still carry the guard or the fail policy
+    // silently degrades to null-passthrough for tombstones and
+    // schema-drift records.
+    def guarded(c: Column): Column = when(guard.isNull, c)
     parsed.select(
-      // guard.isNull is TRUE whenever the assert passes (assert_true
-      // returns null) — the when() keeps the assert load-bearing
-      when(guard.isNull, col("e.event_id")).as("event_id"),
-      expr("timestamp_micros(e.ts_us)").as("ts"),
-      col("e.user_id").as("user_id"),
-      col("e.event_type").as("event_type"),
-      col("e.value").as("value"),
-      col("e.props").as("props"))
+      guarded(col("e.event_id")).as("event_id"),
+      guarded(expr("timestamp_micros(e.ts_us)")).as("ts"),
+      guarded(col("e.user_id")).as("user_id"),
+      guarded(col("e.event_type")).as("event_type"),
+      guarded(col("e.value")).as("value"),
+      guarded(col("e.props")).as("props"))
   }
 
   /** Kafka-source twin of [[readEvents]]: identical downstream schema,

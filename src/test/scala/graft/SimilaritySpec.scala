@@ -126,6 +126,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("malformed vectors are dropped identically by window and kernel routes") {
+    // a dim-mismatched vector has null d2 under ArrayDotProduct; the
+    // window-ranked routes sort d2 NULLS FIRST, which (before the
+    // isNotNull guard) silently crowned it cr=1 at cell 0 while the
+    // kernel routes return null and drop it — both routes, and both
+    // postings builds, must drop non-assignable vectors identically
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.7f), 0),
+      (4L, Array(0.7f, 0.7f, 0.3f), 0) // dim mismatch vs 2-dim centroids
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().toSet
+    val windowed = rows(Similarity.ivfTopKWithCentroids(vecs,
+      Similarity.centroidTableOf(spark, cents), probes = 2, k = 3))
+    val kernel = rows(Similarity.ivfTopKLargeWithCentroids(vecs, cents,
+      probes = 2, k = 3))
+    assert(windowed == kernel,
+      s"routes diverged on a malformed vector: $windowed vs $kernel")
+    assert(!windowed.exists(r => r._1 == 4L || r._2 == 4L),
+      "the non-assignable vector must be dropped, not indexed under cell 0")
+    // postings builds: row-equal, no null-cell artifact rows
+    def postingRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val pw = postingRows(Similarity.ivfPostingsWithCentroids(vecs, cents))
+    val pk = postingRows(graft.operators.Similarity
+      .ivfPostingsFromGrouped(vecs,
+        graft.expressions.IvfAssignKernel.groupedCentroidSet(cents, 1)))
+    assert(pw == pk && !pw.exists(_._2 == 4L),
+      s"postings builds diverged or kept the malformed vector: $pw vs $pk")
+  }
+
   test("two-level IVF with all groups probed equals the flat kernel route exactly") {
     // groupProbes >= numGroups scans every member list, and the
     // level-2 d2 arithmetic is the flat kernel's bit for bit — the

@@ -1159,4 +1159,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"offset ${w.offset}: unexpected failure $msgs")
     }
   }
+
+  test("strict policy survives column pruning: guard fires even when " +
+      "event_id is pruned away") {
+    import spark.implicits._
+    val (clean, corrupt) = hostileWire
+    // the guard is woven into EVERY column, so a downstream plan that
+    // selects only (ts, user_id) — pruning event_id and its assert —
+    // must still fail on each corruption class instead of silently
+    // degrading to null-passthrough
+    corrupt.foreach { w =>
+      val df = spark.createDataset(Seq(w)).toDF()
+      val e = intercept[Exception] {
+        EventsStream.decodeKafkaEventsStrict(df)
+          .select($"ts", $"user_id").collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("Malformed") || msgs.contains("corrupt kafka"),
+        s"offset ${w.offset}: pruned projection lost the guard ($msgs)")
+    }
+    // and a clean wire still decodes under the pruned projection
+    val cleanDf = spark.createDataset(clean).toDF()
+    assert(EventsStream.decodeKafkaEventsStrict(cleanDf)
+      .select($"user_id").as[Long].collect().length == clean.length)
+  }
 }
