@@ -24,8 +24,58 @@ import org.apache.spark.sql.SparkSession
   * samples fell inside one slow window and the median kept it.
   */
 object Bench {
+
+  /** Fixed pure-CPU workload (xorshift + FP accumulate, single thread,
+    * zero I/O, zero Spark) — the host-drift self-calibration SURVEY
+    * §6.1.8 calls for: the same box ran near-identical code 1.14–1.5×
+    * apart within hours, so BENCH_rN ↔ BENCH_rN−1 comparisons need a
+    * box-speed denominator measured IN the run they normalize. The
+    * work is a compile-time constant — never scaled by sf, cpus, or
+    * env — so its wall time varies only with the machine. */
+  private def calibrateOnce(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var s = 0.0
+    var i = 0
+    while (i < 400000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      s += (x & 0xFFFF).toDouble * 1.0e-9
+      i += 1
+    }
+    s
+  }
+
+  /** Median-of-3 calibration seconds (after one untimed JIT warm-up
+    * pass; the sink defeats dead-code elimination). */
+  def calibrationSec(): Double = {
+    val sink = calibrateOnce()
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val s = calibrateOnce()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (s + sink == Double.MinValue) System.err.println("calib sink")
+      sec
+    }.sorted
+    times(1)
+  }
+
+  /** What [[calibrationSec]] measures on the reference box at its fast
+    * point (r14, quiet box; five samples 0.88–0.94) — host_factor =
+    * measured / this, so 1.0 = reference speed, 1.5 = the slow end of
+    * the observed §6.1.8 drift band. Cross-round query-time ratios
+    * divide by the factor. */
+  val CalibNominalSec = 0.88
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = graft.sources.Config.resolveDir(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    // calibration-only mode: print the raw seconds + factor and exit —
+    // how CalibNominalSec itself was pinned, and a quick box-speed probe
+    // for any future timing investigation
+    if (sys.env.contains("BENCH_CALIB_ONLY")) {
+      val sec = calibrationSec()
+      println(f"""{"calib_sec":$sec%.4f,"host_factor":${sec / CalibNominalSec}%.3f}""")
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +83,10 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host-speed probe BEFORE any Spark work touches the caches (and
+    // again after the metrics block — a box that slows down MID-run
+    // shows up as start/end disagreement)
+    val calibStartSec = calibrationSec()
     // schema gate first (same as Verify): a drifted snapshot fails
     // HERE with per-column diffs instead of as N erroring queries
     // whose timings silently vanish from the report — the r10 bench
@@ -155,8 +209,15 @@ object Bench {
           s"""{"ivf_recall_at_10":null,"error":"$msg"}"""
       }
       finally spark.catalog.clearCache()
+    // end-of-run probe + the factor the driver normalizes by: the MEAN
+    // of start/end (each already a median-of-3), with both raw numbers
+    // kept so a mid-run drift is visible rather than averaged away
+    val calibEndSec = calibrationSec()
+    val hostFactor = (calibStartSec + calibEndSec) / 2.0 / CalibNominalSec
+    val calibJson =
+      s""""host_factor":${num(hostFactor, 3)},"calib_start_sec":${num(calibStartSec, 3)},"calib_end_sec":${num(calibEndSec, 3)}"""
     val report =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,$calibJson,"sf":"$sfDir"}"""
     // The driver archives only a bounded TAIL of this process's stdout,
     // so the single line above has been truncated in every BENCH_r*.json
     // to date (q01-q12 lost each round). The complete report therefore

@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
+    // `@/path/file.properties` resolves through the S2 config seam
+    val sfDir = graft.sources.Config.resolveDir(args(0))
     val outDir = args(1)
     // optional: args 3+ restrict the dump to named queries — the scale
     // sweeps' oracle leg re-checks only the heavy families at sf3/sf10
