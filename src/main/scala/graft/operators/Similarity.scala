@@ -751,7 +751,6 @@ object Similarity {
       cents: Array[Array[Double]],
       newEmb: DataFrame): (DataFrame, DataFrame) = {
     val spark = postings.sparkSession
-    import spark.implicits._
     val (cells, cap, ck) = postingsParams(postings)
     require(cents.length == cells,
       s"model has ${cents.length} cells, artifact $cells")
@@ -763,6 +762,19 @@ object Similarity {
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
+    recapFromDelta(postings, delta, cap)
+  }
+
+  /** The recap core shared by the exact and two-level append routes:
+    * `delta` is the batch already home-assigned (and carrying the
+    * artifact's iv_ columns); every touched cell's old ∪ new rows are
+    * deduped on (cell, cand_id) and re-capped, so a closer newcomer
+    * evicts exactly as a from-scratch build would and a crash-replayed
+    * batch converges. */
+  private def recapFromDelta(postings: DataFrame, delta: DataFrame,
+      cap: Int): (DataFrame, DataFrame) = {
+    val spark = postings.sparkSession
+    import spark.implicits._
     val touched = delta.select($"cell").distinct()
     val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
     val recapped = postings
@@ -806,6 +818,19 @@ object Similarity {
     val postings = spark.read.parquet(path)
     val (recapped, _) = recapTouched(postings,
       model.clusterCenters.map(_.toArray), newEmb)
+    overwriteTouchedCells(spark, path, recapped)
+  }
+
+  /** Dynamic-partition-overwrite of the touched cells' directories —
+    * the write half shared by the in-place append routes. The frame is
+    * materialized first (a plain-parquet overwrite may not read its own
+    * input) and repartitioned BY CELL so each rewritten cell directory
+    * holds ONE file — the in-place routes PRESERVE the
+    * [[saveIvfPostings]] 1-file-per-cell layout, append after append
+    * (spec-pinned; [[compactIvfPostings]] exists for the fragment
+    * route, not for these). */
+  private def overwriteTouchedCells(spark: SparkSession, path: String,
+      recapped: DataFrame): Unit = {
     val materialized = recapped.localCheckpoint(true)
     try {
       val saved = spark.conf.getOption(
@@ -821,6 +846,189 @@ object Similarity {
       }
     } finally org.apache.spark.sql.GraftColumnBridge
       .unpersistLocalCheckpoint(materialized)
+  }
+
+  /** Home-cell frame (cell, cand_id, cv, cn, d2) via the TWO-LEVEL
+    * kernel — O(groups + probed members) assignment arithmetic per row
+    * instead of O(cells): the per-batch cost VERDICT r13 measured as
+    * the append bottleneck at 2¹⁴ cells. `groupProbes >= numGroups`
+    * degenerates to exactly the flat scan (spec-pinned bit-equal home
+    * cells); shallower probes may assign a group-boundary vector to a
+    * nearby-but-not-nearest cell — the same recall law the serving
+    * routes trade under, applied at index time. */
+  private def homeTwoLevel(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      groupProbes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bc = spark.sparkContext.broadcast(gcs)
+    prepared(emb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCellsTwoLevel(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), 1, groupProbes)))
+      .select(element_at($"nc", 1).getField("cell").as("cell"),
+        $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
+        element_at($"nc", 1).getField("d2").as("d2"))
+      .filter($"cell".isNotNull) // non-assignable vectors drop, as everywhere
+  }
+
+  /** Postings BUILT with two-level home assignment — the 2¹⁴⁺-cells
+    * index-build/maintenance posture: at that scale even the one-time
+    * build's flat O(cells) per-row scan is the dominant term, and a
+    * deployment choosing it for the build wants the SAME assignment
+    * law for every later append ([[appendIvfPostingsInPlaceGrouped]]),
+    * or append≡rebuild breaks. The chosen `groupProbes` is therefore
+    * embedded in the artifact (`iv_gp`) alongside the cap and
+    * checksum, and the grouped append validates it — two parameters
+    * ([[centroidChecksumOf]] identity + gp) pin the full assignment
+    * law. With `groupProbes >= numGroups` this is row-equal to
+    * [[ivfPostingsFromGrouped]] (modulo the extra iv_gp column). */
+  def ivfPostingsTwoLevel(emb: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, groupProbes: Int,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val home = homeTwoLevel(emb, gcs, groupProbes)
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    val capped =
+      if (cellCap == Int.MaxValue) home
+      else home.withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cellCap).drop("cellRank")
+    capped
+      .withColumn("iv_cells", lit(gcs.flat.numCells))
+      .withColumn("iv_cap", lit(cellCap))
+      .withColumn("iv_ck", lit(centroidChecksumOf(gcs.flat.cents)))
+      .withColumn("iv_gp", lit(groupProbes))
+  }
+
+  /** In-place roll-forward with TWO-LEVEL delta assignment — the
+    * grouped twin of [[appendIvfPostingsInPlace]] for
+    * [[ivfPostingsTwoLevel]]-built artifacts: per-batch assignment
+    * arithmetic is O(groups + probed members) per row, the recap and
+    * touched-cell overwrite are byte-shared with the exact route, and
+    * append ≡ rebuild holds AT THE ARTIFACT'S OWN groupProbes
+    * (validated against the embedded `iv_gp`; spec-pinned equal to
+    * [[ivfPostingsTwoLevel]] over the union). An artifact without
+    * `iv_gp` (exact-built) accepts the grouped append only in its
+    * degenerate `groupProbes >= numGroups` form, where the two-level
+    * kernel is bit-equal to the flat scan. */
+  def appendIvfPostingsInPlaceGrouped(spark: SparkSession, path: String,
+      gcs: graft.expressions.IvfGroupedCentroidSet, newEmb: DataFrame,
+      groupProbes: Int): Unit = {
+    spark.catalog.refreshByPath(path)
+    val postings = spark.read.parquet(path)
+    val (cells, cap, ck) = postingsParams(postings)
+    require(gcs.flat.numCells == cells &&
+      centroidChecksumOf(gcs.flat.cents) == ck,
+      "grouped index cells differ from the postings artifact's")
+    if (postings.columns.contains("iv_gp")) {
+      val gp = postings.select("iv_gp").take(1)(0).getInt(0)
+      require(gp == groupProbes,
+        s"artifact was built with groupProbes=$gp, append asked " +
+          s"$groupProbes — one assignment law per artifact life")
+    } else require(groupProbes >= gcs.numGroups,
+      s"exact-built artifact: grouped append needs groupProbes >= " +
+        s"numGroups (${gcs.numGroups}) to preserve append≡rebuild")
+    val delta0 = homeTwoLevel(newEmb, gcs, groupProbes)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap))
+      .withColumn("iv_ck", lit(ck))
+    val delta =
+      if (postings.columns.contains("iv_gp"))
+        delta0.withColumn("iv_gp", lit(groupProbes))
+      else delta0
+    val (recapped, _) = recapFromDelta(postings, delta, cap)
+    overwriteTouchedCells(spark, path, recapped)
+  }
+
+  /** FRAGMENT append — the O(batch)-per-trigger maintenance mode: the
+    * batch is home-assigned (exact kernel scan, no row expansion) and
+    * APPENDED into the touched cells' directories, with no recap and
+    * no rewrite of existing rows. Per-call cost is ∝ batch alone —
+    * where [[appendIvfPostingsInPlace]] pays ∝ the touched cells' full
+    * populations per call — at the price of deferred maintenance,
+    * settled by [[compactIvfPostings]]:
+    *  - each call adds one file to every touched cell (the LSM trade:
+    *    serving reads degrade with fragment count until compaction);
+    *  - a cellCap artifact serves a SUPERSET between compactions (the
+    *    cap is re-applied over old ∪ new at compaction, not here) —
+    *    recall never drops, hot-cell candidate fan temporarily exceeds
+    *    the cap;
+    *  - a crash-REPLAYED batch double-appends; the duplicate
+    *    (cell, cand_id) rows consume top-k ranks until compaction
+    *    dedups them — under at-least-once delivery, compact before
+    *    serving, or use the recap route (streaming's default).
+    * High-frequency ingest wants this + periodic compaction; the recap
+    * route is the always-serveable shape. */
+  def appendIvfPostingsFragment(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], newEmb: DataFrame): Unit = {
+    spark.catalog.refreshByPath(path)
+    val postings = spark.read.parquet(path)
+    val (cells, cap, ck) = postingsParams(postings)
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the postings artifact's")
+    require(!postings.columns.contains("iv_gp"),
+      "artifact is two-level-built (iv_gp): fragment appends assign " +
+        "exactly and would mix assignment laws — use " +
+        "appendIvfPostingsInPlaceGrouped")
+    ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
+      .withColumn("iv_cap", lit(cap)) // artifact's cap, not this delta's
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
+  /** Cell-partition-aware compaction of a [[saveIvfPostings]]
+    * directory: folds every FRAGMENTED cell (more than one file, or
+    * over-cap after fragment appends) back to the 1-file-per-cell
+    * contract, deduping replayed rows on (cell, cand_id) and
+    * re-applying the hot-cell cap over the accumulated union — so
+    * fragment-appends + compact lands the exact from-scratch-rebuild
+    * rows (spec-pinned). Clean cells are NOT rewritten (their files
+    * stay byte-identical — at 10⁴ cells and dozens touched, the
+    * maintenance write is ∝ fragmented cells, like the append itself),
+    * which is also why this never replaces [[WarehouseWriter
+    * .compactParquet]]: that one folds FLAT directories and would
+    * flatten the partition layout serving prunes on. Same concurrency
+    * stance as the in-place append: per-partition swaps, run between
+    * serving epochs. Returns (fragmented cells rewritten, files
+    * before, files after). */
+  def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) = {
+    import spark.implicits._
+    spark.catalog.refreshByPath(path)
+    val postings = spark.read.parquet(path)
+    val (_, cap, _) = postingsParams(postings)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perCellFiles = fs.listStatus(hPath)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .map(d => d.getPath.getName.stripPrefix("cell=").toInt ->
+        fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-")))
+      .toMap
+    val filesBefore = perCellFiles.values.sum
+    val multiFile = perCellFiles.filter(_._2 > 1).keySet
+    // a single fragment can overfill an EMPTY cell past the cap — file
+    // count alone can't see it, so over-cap cells join the rewrite set
+    // (row-group-metadata count, not a data scan)
+    val overCap =
+      if (cap == Int.MaxValue) Set.empty[Int]
+      else postings.groupBy($"cell").count()
+        .filter($"count" > cap).select($"cell".cast("int"))
+        .as[Int].collect().toSet
+    val fragmented = multiFile ++ overCap
+    if (fragmented.isEmpty) return (0, filesBefore, filesBefore)
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    val folded = postings
+      .filter($"cell".isin(fragmented.toSeq: _*))
+      .dropDuplicates(Seq("cell", "cand_id"))
+      .withColumn("cellRank", row_number().over(byCell))
+      .filter($"cellRank" <= cap)
+      .drop("cellRank")
+    overwriteTouchedCells(spark, path, folded)
+    (fragmented.size, filesBefore,
+      filesBefore - perCellFiles.view.filterKeys(fragmented).values.sum
+        + fragmented.size)
   }
 
   /** Serve top-k for a QUERY set from the persisted postings: queries

@@ -159,6 +159,24 @@ object CorpusIngest {
       finally batch.unpersist()
     }
 
+  /** [[embeddingIngest]] at the 2¹⁴⁺-cells posture: the per-batch home
+    * assignment rides the two-level kernel (O(groups + probed members)
+    * per row instead of O(cells) — the term that dominates a 16 384-cell
+    * append), against a [[Similarity.ivfPostingsTwoLevel]]-built
+    * artifact whose embedded `groupProbes` this stream must match
+    * (checksum + gp validated per batch). Same convergence contract as
+    * the exact seam — the recap dedups on (cell, cand_id), so a
+    * replayed micro-batch reproduces the same directory state. */
+  def embeddingIngestGrouped(embStream: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet, postingsPath: String,
+      groupProbes: Int): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPostingsInPlaceGrouped(batch.sparkSession,
+        postingsPath, gcs, batch, groupProbes)
+      finally batch.unpersist()
+    }
+
   /** Parquet-directory convenience sink: kept docs append to
     * `corpusPath`, the index delta appends to `indexPath` (which must
     * hold a non-empty [[Dedup.minhashBandIndex]] before the stream

@@ -548,6 +548,141 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(rows(spark.read.parquet(path)) == rows(want))
   }
 
+  test("in-place appends preserve the 1-file-per-cell layout") {
+    // the recap route repartitions by cell under a dynamic partition
+    // overwrite, so touched cells are REPLACED with one file — the
+    // artifact never fragments under it and needs no compaction (that
+    // is the fragment route's debt, tested below)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_onefile").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostings(emb.filter($"vec_id" % 4 === 0), model), path)
+    (1 to 3).foreach { i =>
+      Similarity.appendIvfPostingsInPlace(spark, path, model,
+        emb.filter($"vec_id" % 4 === i))
+    }
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = fs.listStatus(hp)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-")))
+      .filter(_._2 != 1)
+    assert(counts.isEmpty,
+      s"cells fragmented under in-place appends: ${counts.toSeq}")
+  }
+
+  test("fragment appends + compaction equal a from-scratch rebuild") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16 // binding, so compaction's cap re-application is tested
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val b2 = emb.filter($"vec_id" % 4 === 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_frag").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellFiles(cell: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/cell=$cell"))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => (f.getPath.getName, f.getModificationTime, f.getLen)).toSet
+
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // replay
+    // between compactions the artifact is a SUPERSET (dups + over-cap)
+    val before = spark.read.parquet(path)
+    assert(before.count() >
+      before.dropDuplicates(Seq("cell", "cand_id")).count(),
+      "fixture must exercise the replay-dup debt")
+    // a clean cell = touched by NO fragment batch — byte-stable through
+    // compaction
+    val touched = Similarity.ivfPostings(b1.union(b2), model)
+      .select($"cell").distinct().as[Int].collect().toSet
+    val cleanCell = spark.read.parquet(path).select($"cell").distinct()
+      .as[Int].collect().filterNot(touched).headOption
+    val cleanBefore = cleanCell.map(cellFiles)
+
+    val (nFrag, fBefore, fAfter) = Similarity.compactIvfPostings(spark, path)
+    assert(nFrag > 0 && fAfter < fBefore, s"($nFrag, $fBefore, $fAfter)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuilt = Similarity.ivfPostings(old.union(b1).union(b2), model, cap)
+    assert(rows(spark.read.parquet(path)) == rows(rebuilt),
+      "compacted fragment appends must equal the from-scratch build")
+    cleanCell.foreach { c =>
+      assert(cellFiles(c) == cleanBefore.get,
+        s"clean cell $c was rewritten by compaction")
+    }
+    // idempotent: a second pass finds nothing to fold
+    assert(Similarity.compactIvfPostings(spark, path)._1 == 0)
+  }
+
+  test("two-level postings: degenerate build equals exact, shallow-gp append equals rebuild") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 1500, clusters = 24,
+      spread = 0.3)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 6,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    // gp >= numGroups: the two-level kernel degenerates to the flat
+    // scan — row-equal to the exact grouped build (modulo iv_gp)
+    assert(rows(Similarity.ivfPostingsTwoLevel(emb, gcs,
+        groupProbes = gcs.numGroups)) ==
+      rows(Similarity.ivfPostingsFromGrouped(emb, gcs)))
+
+    // shallow gp: append ≡ rebuild AT THE ARTIFACT'S OWN gp
+    val gp = 2
+    val old = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_2lappend").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(old, gcs, gp, cellCap = 16), path)
+    Similarity.appendIvfPostingsInPlaceGrouped(spark, path, gcs,
+      batch, groupProbes = gp)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostingsTwoLevel(emb, gcs, gp, cellCap = 16)),
+      "grouped append diverged from the two-level rebuild")
+    // replay converges (recap dedups on (cell, cand_id))
+    Similarity.appendIvfPostingsInPlaceGrouped(spark, path, gcs,
+      batch, groupProbes = gp)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostingsTwoLevel(emb, gcs, gp, cellCap = 16)))
+
+    // one assignment law per artifact life: gp mismatch rejected
+    val eGp = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPostingsInPlaceGrouped(spark, path, gcs,
+        batch, groupProbes = gp + 1)
+    }
+    assert(eGp.getMessage.contains("one assignment law"), eGp.getMessage)
+    // exact-built artifacts accept grouped appends only degenerately,
+    // and never fragment appends on a two-level artifact
+    val exactPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_exact4grp").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsFromGrouped(old, gcs), exactPath)
+    val eShallow = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPostingsInPlaceGrouped(spark, exactPath, gcs,
+        batch, groupProbes = gp)
+    }
+    assert(eShallow.getMessage.contains("groupProbes >= numGroups"),
+      eShallow.getMessage)
+    val eFrag = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPostingsFragment(spark, path, gcs.flat.cents, batch)
+    }
+    assert(eFrag.getMessage.contains("two-level-built"), eFrag.getMessage)
+  }
+
   test("IVF postings reject a foreign model by centroid checksum") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L)

@@ -848,6 +848,58 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("streaming embedding ingest at the two-level posture equals batch appends") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    // grouped (hierarchical-fit) index, shallow groupProbes — the
+    // 2¹⁴⁺-cells posture scaled down: per-batch assignment rides the
+    // two-level kernel and must land the exact state the batch-API
+    // grouped appends land, replay absorbed
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val gp = 2
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    def embRows(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[EmbRow].collect().toIndexedSeq
+    val b1 = embRows($"vec_id" % 3 === 1)
+    val b2 = embRows($"vec_id" % 3 === 2)
+
+    val path = Files.createTempDirectory("graft_emb_ingest_2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(seed, gcs, gp, cellCap = 16), path)
+
+    val ms = MemoryStream[EmbRow](spark)
+    val q = CorpusIngest.embeddingIngestGrouped(ms.toDF(), gcs, path, gp)
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // replay converges
+    } finally q.stop()
+
+    val batchPath = Files.createTempDirectory("graft_emb_batch_2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(seed, gcs, gp, cellCap = 16), batchPath)
+    Similarity.appendIvfPostingsInPlaceGrouped(spark, batchPath, gcs,
+      b1.toDF(), gp)
+    Similarity.appendIvfPostingsInPlaceGrouped(spark, batchPath, gcs,
+      b2.toDF(), gp)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(spark.read.parquet(path)) ==
+      rows(spark.read.parquet(batchPath)),
+      "streamed grouped postings must equal sequential batch appends")
+    // and the artifact serves through the grouped route
+    val served = Similarity.ivfTopKFromPostingsGrouped(emb.limit(20), gcs,
+      spark.read.parquet(path), probes = 4, k = 3, groupProbes = gp)
+    assert(served.count() > 0)
+  }
+
   /** Row groups in `dir` whose text_hash [min,max] could contain a
     * probe, summed over probes — the footer-statistics census behind
     * the point-lookup claim: under a range-sorted layout a pushed IN
