@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.fs.{FileUtil, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.operators.Dedup
@@ -144,6 +145,143 @@ object CompactBench {
       s"compaction changed the kept corpus: control=$keptCtl compacted=$keptCmp")
     require(fBefore == idxFilesPre && fAfter < fBefore,
       s"compaction did not fold files: $fBefore -> $fAfter")
+    spark.stop()
+  }
+}
+
+/** The POSTINGS maintenance A/B (r14): per-append cost and steady-state
+  * serve cost of the two IVF postings maintenance modes —
+  *
+  *  - RECAP ([[graft.operators.Similarity.appendIvfPostingsInPlace]]):
+  *    every touched cell's full population is re-ranked and its
+  *    directory replaced (1-file-per-cell self-maintains; serving is
+  *    always the compact shape) — per-append cost ∝ touched
+  *    populations;
+  *  - FRAGMENT ([[graft.operators.Similarity.appendIvfPostingsFragment]]
+  *    then [[graft.operators.Similarity.compactIvfPostings]]): per
+  *    append only the batch's own rows are written — O(batch) — at the
+  *    price of one file per touched cell per append, paid back as a
+  *    growing full-scan serve wall until compaction folds it.
+  *
+  * The artifact is built UNCAPPED so the two modes hold row-identical
+  * artifacts at every step (asserted by digest) and the measured spread
+  * is pure maintenance economics: append wall per mode, file counts,
+  * serve wall fragmented vs compacted, compaction cost.
+  *
+  * Usage: `tools/run_main.sh graft.PostingsCompactBench [corpus]
+  * [nAppends]` — corpus is an sfDir or `clustered:<n>[:k[:spread]]`;
+  * env `PCB_GROUPS` / `PCB_CELLS_PER_GROUP` size the hierarchical fit
+  * (default 64 × 64 = 4096 cells), `PCB_QUERY_STEP` the serve query
+  * set (default 100). */
+object PostingsCompactBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val corpusSpec = args.headOption.getOrElse("scaledata/sf1")
+    val nAppends = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.defaults(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val emb =
+      (if (corpusSpec.startsWith("clustered:")) {
+        val p = corpusSpec.stripPrefix("clustered:").split(":")
+        ScaleData.clusteredEmbeddings(spark, p(0).toLong,
+          clusters = p.lift(1).map(_.toInt).getOrElse(100),
+          spread = p.lift(2).map(_.toDouble).getOrElse(0.35))
+      } else {
+        Tables.validate(spark, corpusSpec, Seq("embeddings"))
+        Tables.load(spark, corpusSpec, "embeddings")
+      }).cache()
+    val n = emb.count()
+    val groups = sys.env.get("PCB_GROUPS").map(_.toInt).getOrElse(64)
+    val cpg = sys.env.get("PCB_CELLS_PER_GROUP").map(_.toInt).getOrElse(64)
+    val step = sys.env.get("PCB_QUERY_STEP").map(_.toLong).getOrElse(100L)
+
+    // seed = first half; appends slice the second half evenly
+    val seedPred = $"vec_id" < n / 2
+    val slices = (0 until nAppends).map { i =>
+      emb.filter(!seedPred &&
+        org.apache.spark.sql.functions.pmod($"vec_id", lit(nAppends)) === i)
+    }
+    val gcs = Similarity.fitIvfHierarchical(emb.filter(seedPred), groups, cpg,
+      trainFraction = if (n < 50000) 1.0 else 0.25)
+    val cents = gcs.flat.cents
+    println(s"""{"phase":"fit","cells":${gcs.flat.numCells},"groups":$groups}""")
+
+    val fs = new HPath("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newArtifact(): String = {
+      val dir = Files.createTempDirectory("graft_pcb").resolve("postings").toString
+      Similarity.saveIvfPostings(
+        Similarity.ivfPostingsFromGrouped(emb.filter(seedPred), gcs), dir)
+      dir
+    }
+    def fileCount(dir: String): Int =
+      fs.listStatus(new HPath(dir))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.startsWith("part-"))).sum
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def serveSec(dir: String): (Double, ScaleSweep.Digest) = {
+      spark.catalog.refreshByPath(dir)
+      val postings = spark.read.parquet(dir)
+      val queries = emb.filter(pmod($"vec_id", lit(step)) === 0)
+      def go() = Similarity.ivfTopKFromPostingsLargeWithCentroids(
+        queries, cents, postings, probes = 8, k = 10)
+      go().write.format("noop").mode("overwrite").save() // warm
+      val (_, sec) = timed(go().write.format("noop").mode("overwrite").save())
+      (sec, ScaleSweep.digest(go()))
+    }
+
+    // ---- leg R: recap appends (in-place grouped at degenerate gp —
+    // bit-equal to the exact recap; the artifact stays 1-file-per-cell)
+    val dirR = newArtifact()
+    val recapSecs = slices.map { b =>
+      timed(Similarity.appendIvfPostingsInPlaceGrouped(spark, dirR, gcs, b,
+        groupProbes = gcs.numGroups))._2
+    }
+    val filesR = fileCount(dirR)
+    val (serveRSec, digR) = serveSec(dirR)
+
+    // ---- leg F: fragment appends, then compaction
+    val dirF = newArtifact()
+    val fragSecs = slices.map { b =>
+      timed(Similarity.appendIvfPostingsFragment(spark, dirF, cents, b))._2
+    }
+    val filesFrag = fileCount(dirF)
+    val (serveFragSec, digFrag) = serveSec(dirF)
+    val ((nFolded, fBefore, fAfter), compactSec) =
+      timed(Similarity.compactIvfPostings(spark, dirF))
+    val (serveCmpSec, digCmp) = serveSec(dirF)
+
+    // uncapped + disjoint batches: all three artifact states serve the
+    // identical result — the spread is pure layout economics
+    require(digR == digFrag && digFrag == digCmp,
+      s"serve results drifted across maintenance modes: $digR / $digFrag / $digCmp")
+    def arr(xs: Seq[Double]) =
+      xs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    println(f"""{"metric":"postings_compact_bench","corpus":"$corpusSpec","vectors":$n,""" +
+      f""""cells":${gcs.flat.numCells},"appends":$nAppends,""" +
+      f""""recap_append_secs":${arr(recapSecs)},"frag_append_secs":${arr(fragSecs)},""" +
+      f""""append_speedup":${mean(recapSecs) / mean(fragSecs)}%.2f,""" +
+      f""""files_recap":$filesR,"files_fragmented":$filesFrag,""" +
+      f""""files_compacted":$fAfter,"cells_folded":$nFolded,""" +
+      f""""compact_sec":$compactSec%.2f,""" +
+      f""""serve_recap_sec":$serveRSec%.2f,"serve_fragmented_sec":$serveFragSec%.2f,""" +
+      f""""serve_compacted_sec":$serveCmpSec%.2f,""" +
+      f""""serve_penalty_fragmented":${serveFragSec / serveCmpSec}%.2f,""" +
+      f""""results_identical":true}""")
+    require(fBefore == filesFrag && fAfter < fBefore,
+      s"compaction did not fold the fragment debt: $fBefore -> $fAfter")
     spark.stop()
   }
 }

@@ -155,6 +155,47 @@ object IngestBench {
       docs = n)
   }
 
+  /** The GROUPED embedding seam's flatness at a large cell count —
+    * [[CorpusIngest.embeddingIngestGrouped]] at the 2¹⁴-cell posture
+    * (VERDICT r13 #5): hierarchical fit over the seed slice, two-level
+    * postings artifact, per-batch appends whose assignment rides the
+    * two-level kernel. Returns per-batch (rows, sec) + final postings
+    * count. Run standalone via env `IB_GROUPED_CELLS` (see [[main]]) —
+    * the corpus must be big enough that cells ≪ vectors. */
+  def groupedEmbedding(spark: SparkSession, sfDir: String, nBatches: Int,
+      groups: Int, cellsPerGroup: Int,
+      groupProbes: Int): (Seq[(Long, Double)], Long) = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding", $"label")
+    val nEmb = emb.count()
+    val szE = (nEmb + nBatches - 1) / nBatches
+    def embSlice(i: Int): DataFrame =
+      emb.filter($"vec_id" >= i * szE && $"vec_id" < (i + 1) * szE)
+    val staging =
+      Files.createTempDirectory("graft_ingestbench_2lstage").toString
+    (1 until nBatches).foreach { i =>
+      embSlice(i).coalesce(1).write.mode("append").parquet(staging)
+      Thread.sleep(1100)
+    }
+    val gcs = Similarity.fitIvfHierarchical(embSlice(0), groups,
+      cellsPerGroup, trainFraction = 0.25)
+    val postingsPath =
+      Files.createTempDirectory("graft_ingestbench_2lpost").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(embSlice(0), gcs, groupProbes),
+      postingsPath)
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staging)
+    val q = CorpusIngest.embeddingIngestGrouped(src, gcs, postingsPath,
+      groupProbes).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(p =>
+      (p.numInputRows, p.durationMs.get("triggerExecution").toDouble / 1000.0))
+    (prog, spark.read.parquet(postingsPath).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("scaledata/sf1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(10)
@@ -171,6 +212,29 @@ object IngestBench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // grouped-seam-only mode: IB_GROUPED_CELLS=<groups>x<cellsPerGroup>
+    // [IB_GROUP_PROBES=<gp>] runs ONLY the two-level embedding seam at
+    // that cell count and exits — the 2¹⁴-cell flatness row
+    sys.env.get("IB_GROUPED_CELLS").foreach { spec =>
+      Tables.validate(spark, sfDir, Seq("embeddings"))
+      val Array(g, cpg) = spec.split("x").map(_.trim.toInt)
+      val gp = sys.env.get("IB_GROUP_PROBES").map(_.toInt)
+        .getOrElse(math.max(1, g / 16))
+      val (prog, nPostings) =
+        groupedEmbedding(spark, sfDir, nBatches, g, cpg, gp)
+      prog.zipWithIndex.foreach { case ((rows, sec), i) =>
+        println(f"""{"seam":"ivf_grouped","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+      }
+      println(f"""{"metric":"ingest_bench_grouped","sf_dir":"$sfDir",""" +
+        f""""cells":${g * cpg},"groups":$g,"group_probes":$gp,""" +
+        f""""batches":${nBatches - 1},""" +
+        f""""ivf_grouped_flatness":${flatness(prog.map(_._2))}%.2f,""" +
+        f""""ivf_postings":$nPostings}""")
+      spark.stop()
+      return
+    }
+
     // both corpora are loaded by run() — gate both before either seam
     // spends wall time
     Tables.validate(spark, sfDir, Seq("documents", "embeddings"))
