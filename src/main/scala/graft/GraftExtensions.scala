@@ -121,6 +121,16 @@ object GraftExtensions {
         (children: Seq[Expression]) => {
           requireArity("graft_nfc", children, Seq(1))
           NfcNormalize(children.head)
+        }),
+      // graft_topk(score double, id bigint, k int) — bounded-heap top-k
+      // aggregate (k must be a foldable int literal: it sizes the heap)
+      (FunctionIdentifier("graft_topk"),
+        new ExpressionInfo(classOf[graft.expressions.TopKByScore].getName,
+          "graft_topk"),
+        (children: Seq[Expression]) => {
+          requireArity("graft_topk", children, Seq(3))
+          graft.expressions.TopKByScore(children(0), children(1),
+            foldableInt("graft_topk", "k", children(2)))
         }))
 
   /** Register on an already-running session (tests, notebooks). */

@@ -33,6 +33,38 @@ object Similarity {
     * summation-order differences can't flip near-tie neighbors. */
   private def simR(c: Column): Column = roundedSim(c)
 
+  /** Per-query top-k over a candidate relation `(qCol, cCol, sim)` —
+    * the rank step every similarity route ends in, as the
+    * [[graft.expressions.TopKByScore]] bounded-heap AGGREGATE instead
+    * of `row_number` over a window. Same rows out — (sim desc, cCol
+    * asc) order, rn = 1..k — radically different physics at scale: the
+    * window shape shuffles EVERY candidate row and sorts whole
+    * partitions (brute-force truth at sf30 = 1.2 × 10⁹ rows through
+    * one exchange, and the sort straggler ran 30+ min), while the
+    * aggregate keeps a k-element heap per query with MAP-SIDE
+    * PARTIALS, so each map task emits ≤ queries×k pairs, the exchange
+    * carries ~queries×k×maps rows, and nothing is ever globally sorted
+    * — candidates-bounded work becomes answers-bounded work.
+    * SimilaritySpec pins route equality row-for-row against the window
+    * form. Null sims (non-comparable candidates) are dropped rather
+    * than padded, the same stance every assignment route takes for
+    * non-assignable vectors. */
+  private def topKPerQuery(cands: DataFrame, qCol: String, cCol: String,
+      k: Int): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val agg = GraftColumnBridge.column(graft.expressions.TopKByScore(
+      GraftColumnBridge.expression($"sim"),
+      GraftColumnBridge.expression(col(cCol)), k).toAggregateExpression())
+    cands.filter($"sim".isNotNull)
+      .groupBy(col(qCol))
+      .agg(agg.as("tk"))
+      .select(col(qCol), posexplode($"tk"))
+      .select(col(qCol), $"col.id".as("neighbor_id"),
+        $"col.sim".as("sim"), ($"pos" + 1).cast("int").as("rn"))
+  }
+
   /** Brute-force cosine top-k: each query (vec_id ∈ querySet) against the
     * whole corpus. Exact baseline for the ANN variants. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
@@ -41,13 +73,12 @@ object Similarity {
     val corpus = prepared(emb)
     val queries = corpus.filter(queryPred)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val w = Window.partitionBy($"query_id").orderBy($"sim".desc, $"vec_id".asc)
-    corpus
-      .join(broadcast(queries), $"vec_id" =!= $"query_id")
-      .withColumn("sim", simR(cosine($"qv", $"v", $"qn", $"nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"sim", $"rn")
+    topKPerQuery(
+      corpus
+        .join(broadcast(queries), $"vec_id" =!= $"query_id")
+        .withColumn("sim", simR(cosine($"qv", $"v", $"qn", $"nrm")))
+        .select($"query_id", $"vec_id", $"sim"),
+      "query_id", "vec_id", k)
   }
 
   /** Blocked (IVF/LSH-style) nearest neighbor: candidates share the
@@ -78,14 +109,14 @@ object Similarity {
     val right = capped
       .select($"vec_id".as("cand_id"), $"label".as("cl"),
         $"bucket".as("cb"), $"v".as("cv"), $"nrm".as("cn"))
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
-    left
-      .join(right,
-        $"label" === $"cl" && $"bucket" === $"cb" && $"vec_id" =!= $"cand_id")
-      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim")
+    topKPerQuery(
+      left
+        .join(right,
+          $"label" === $"cl" && $"bucket" === $"cb" && $"vec_id" =!= $"cand_id")
+        .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+        .select($"vec_id", $"cand_id", $"sim"),
+      "vec_id", "cand_id", k = 1)
+      .select($"vec_id", $"neighbor_id", $"sim")
   }
 
   /** IVF top-k over caller-supplied centroids `(cell int, centroid
@@ -137,18 +168,16 @@ object Similarity {
     val queries = ranked.filter($"cr" <= probes)
       .select($"cell", $"vec_id", $"v", $"nrm")
 
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
-    queries
-      .join(indexed, Seq("cell"))
-      .filter($"vec_id" =!= $"cand_id")
-      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
-      // no dedup needed: each candidate is indexed under exactly ONE
-      // home cell (cr = 1), and a query probes distinct cells, so a
-      // (query, candidate) pair meets at most once
-      .select($"vec_id", $"cand_id", $"sim")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+    topKPerQuery(
+      queries
+        .join(indexed, Seq("cell"))
+        .filter($"vec_id" =!= $"cand_id")
+        .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+        // no dedup needed: each candidate is indexed under exactly ONE
+        // home cell (cr = 1), and a query probes distinct cells, so a
+        // (query, candidate) pair meets at most once
+        .select($"vec_id", $"cand_id", $"sim"),
+      "vec_id", "cand_id", k)
   }
 
   /** IVF top-k — the trained-centroid scale path (vs [[blockedNearest]]'s
@@ -567,15 +596,13 @@ object Similarity {
       }
     val queries = assigned
       .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
-    queries
-      .join(indexed, Seq("cell"))
-      .filter($"vec_id" =!= $"cand_id")
-      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
-      .select($"vec_id", $"cand_id", $"sim")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+    topKPerQuery(
+      queries
+        .join(indexed, Seq("cell"))
+        .filter($"vec_id" =!= $"cand_id")
+        .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+        .select($"vec_id", $"cand_id", $"sim"),
+      "vec_id", "cand_id", k)
   }
 
   /** Order-insensitive checksum of a model's centroids — embedded in
@@ -1077,15 +1104,13 @@ object Similarity {
       postings: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cand_id".asc)
-    queries
-      .join(postings.select($"cell", $"cand_id", $"cv", $"cn"), Seq("cell"))
-      .filter($"vec_id" =!= $"cand_id")
-      .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
-      .select($"vec_id", $"cand_id", $"sim")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= k)
-      .select($"vec_id", $"cand_id".as("neighbor_id"), $"sim", $"rn")
+    topKPerQuery(
+      queries
+        .join(postings.select($"cell", $"cand_id", $"cv", $"cn"), Seq("cell"))
+        .filter($"vec_id" =!= $"cand_id")
+        .withColumn("sim", simR(cosine($"v", $"cv", $"nrm", $"cn")))
+        .select($"vec_id", $"cand_id", $"sim"),
+      "vec_id", "cand_id", k)
   }
 
   /** [[ivfTopKFromPostings]] for LARGE cell counts — same results

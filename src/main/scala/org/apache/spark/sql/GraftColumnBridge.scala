@@ -20,6 +20,7 @@ object GraftColumnBridge {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+
   /** Spark's standard NON_FOLDABLE_ARGUMENT AnalysisException, for SQL
     * builders whose shape parameters (signature width, band count) must
     * be literals. */
