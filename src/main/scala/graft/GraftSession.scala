@@ -47,6 +47,17 @@ object GraftSession {
       // cannot scope-and-restore it; it lives here as explicit session
       // configuration instead of a hidden runtime mutation.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "2048")
+      // graft_topk (the similarity family's rank aggregate) keeps a
+      // k-element heap per group — hundreds of bytes. The default
+      // 128-ENTRY sort-based fallback of ObjectHashAggregateExec was
+      // tuned for collect_list-style unbounded buffers; under it, any
+      // query set beyond 128 queries abandons hash aggregation and
+      // SORTS the whole candidate relation by group key — the exact
+      // candidates-bounded sort the aggregate exists to avoid (the
+      // sf30 truth hit a 600 M-row single-task spill sort here).
+      // 2^16 groups × a bounded heap is a few tens of MB per task.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config(NanosKey, "true")
 
   /** Loader-side guard: events reads require [[NanosKey]] at execution

@@ -70,8 +70,15 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // The broadcast join FANS OUT: every corpus partition becomes
+    // |queries| times itself, so the partial-aggregation parallelism —
+    // and with it the whole truth computation's wall — is the CORPUS
+    // scan's split count. A single-file corpus scans as 1–2 splits;
+    // pre-split it to the cluster's parallelism first (one exchange of
+    // the corpus itself — trivial next to the fan-out it parallelizes).
     val corpus = prepared(emb)
-    val queries = corpus.filter(queryPred)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val queries = prepared(emb).filter(queryPred)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     topKPerQuery(
       corpus
