@@ -83,7 +83,11 @@ object IvfSweep {
     val trainFraction =
       sys.env.get("IVF_TRAIN_FRACTION").map(_.toDouble).getOrElse(0.25)
 
-    val emb = corpus().cache()
+    // single-file corpora scan as 1–2 splits, and every kernel
+    // assignment pass downstream runs at the cached partition count —
+    // cache a cluster-parallel layout (same fix as PostingsSweep r14)
+    val emb = corpus()
+      .repartition(spark.sparkContext.defaultParallelism).cache()
     val n = emb.count()
     // ONE truth table for the whole grid (the sweep's dominant cost) —
     // over the query sample when IVF_QUERY_STEP bounds the n² term
