@@ -73,11 +73,25 @@ object Similarity {
     // The broadcast join FANS OUT: every corpus partition becomes
     // |queries| times itself, so the partial-aggregation parallelism —
     // and with it the whole truth computation's wall — is the CORPUS
-    // scan's split count. A single-file corpus scans as 1–2 splits;
-    // pre-split it to the cluster's parallelism first (one exchange of
-    // the corpus itself — trivial next to the fan-out it parallelizes).
-    val corpus = prepared(emb)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // scan's split count. A single-file LARGE corpus scans as 1–2
+    // splits and serializes the fan-out onto 2 cores (the sf30 truth
+    // ran 25× under-parallel); pre-split it to the cluster's
+    // parallelism first — one exchange of the corpus itself, trivial
+    // next to the fan-out it parallelizes. Skipped when the corpus is
+    // small enough that the exchange would COST more than the
+    // parallelism buys (fixture-scale rows × |queries| fit one core's
+    // second) or the scan already splits wide.
+    val par = spark.sparkContext.defaultParallelism
+    val base = prepared(emb)
+    val corpus =
+      if (base.rdd.getNumPartitions >= par / 2) base
+      else {
+        // sized from the optimizer's free byte estimate (no probe job):
+        // a corpus under ~32 MB fans out to what one core clears in
+        // seconds even at thousands of queries
+        val bytes = org.apache.spark.sql.GraftColumnBridge.planSizeBytes(emb)
+        if (bytes < (32L << 20)) base else base.repartition(par)
+      }
     val queries = prepared(emb).filter(queryPred)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     topKPerQuery(

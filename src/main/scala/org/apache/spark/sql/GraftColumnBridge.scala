@@ -35,6 +35,14 @@ object GraftColumnBridge {
     errors.QueryCompilationErrors.wrongNumArgsError(
       funcName, expected.map(_.toString), actual)
 
+  /** The optimizer's size estimate for a frame (bytes) — the same
+    * statistic the broadcast-join threshold consults; free (no job),
+    * upper-bounded by the scan's file sizes. For parallelism
+    * heuristics, not exact accounting. */
+  def planSizeBytes(df: Dataset[Row]): BigInt =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution
+      .optimizedPlan.stats.sizeInBytes
+
   /** The canonicalized analyzed plan — the identity the CacheManager
     * dedupes persists on (`sameResult` compares canonicalized plans), so
     * it is the right key for any bookkeeping that must agree with that
