@@ -160,6 +160,42 @@ object EmbeddingQueries {
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
+  // ---------------------------------------------------------------- q79
+  /** IVF postings FRAGMENT-append + COMPACTION lifecycle, end-to-end
+    * against the oracle: seed 80% of the corpus into a cell-partitioned
+    * postings DIRECTORY, fragment-append the two remaining 10% batches
+    * (O(batch) writes, no recap — the high-frequency ingest mode), and
+    * re-append the first batch (an at-least-once redelivery), then
+    * [[Similarity.compactIvfPostings]] folds the fragments: dedups the
+    * replay, re-applies the hot-cell cap over the accumulated union,
+    * restores 1-file-per-cell. The oracle is q78's REBUILD over the
+    * whole corpus, so the hash match proves the compacted directory
+    * holds exactly the from-scratch build — the contract that makes
+    * fragment-mode maintenance safe to serve after compaction. The
+    * artifact lives in a per-run temp directory: the declared query is
+    * the LIFECYCLE, not a persistent table. */
+  def q79PostingsCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_q79")
+      .resolve("postings").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsWithCentroids(seed, cents, q78CellCap), path)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // redelivery
+    Similarity.compactIvfPostings(spark, path)
+    spark.read.parquet(path)
+      .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -247,13 +283,18 @@ object EmbeddingQueries {
     "q55_semantic_dedup" -> (q55SemanticDedup _),
     "q71_ref_coverage" -> (q71RefCoverage _),
     "q77_ann_ivf_2l" -> (q77AnnIvf2l _),
-    "q78_postings_roll" -> (q78PostingsRoll _))
+    "q78_postings_roll" -> (q78PostingsRoll _),
+    "q79_postings_compact" -> (q79PostingsCompact _))
 
-  val oracle: Map[String, String] = Map(
-    // the REBUILD over the full corpus — Spark computes build(90%) +
-    // append(10%); hash equality is the append≡rebuild contract
-    "q78_postings_roll" ->
-      """WITH e AS (
+  /** The from-scratch postings REBUILD over the full corpus (fixed
+    * first-8 centroids, cap 4) — the shared oracle of every postings
+    * maintenance lifecycle: q78 reaches the same state through
+    * build(90%) + recap-append(10%), q79 through build(80%) + two
+    * fragment appends + a replayed one + compaction. Hash equality
+    * against THIS query is the append≡rebuild / compact≡rebuild
+    * contract, checked by an independent engine. */
+  private val postingsRebuildSql =
+    """WITH e AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -278,7 +319,11 @@ object EmbeddingQueries {
                                 ORDER BY d2 ASC, vec_id ASC) AS cell_rank
            FROM assigned WHERE cr = 1)
          SELECT cell, cand_id, round(d2, 4) + 0.0 AS d2
-         FROM home WHERE cell_rank <= 4""",
+         FROM home WHERE cell_rank <= 4"""
+
+  val oracle: Map[String, String] = Map(
+    "q79_postings_compact" -> postingsRebuildSql,
+    "q78_postings_roll" -> postingsRebuildSql,
     // same deterministic degradation of the embeddings side, same
     // distinct-ref + full-outer-join + per-source rollup semantics
     "q71_ref_coverage" ->
