@@ -52,6 +52,12 @@ object PostingsSweep {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // cache a WELL-PARTITIONED corpus: scaledata tables are single
+    // parquet files, so the raw scan yields 1–2 splits and every
+    // downstream kernel scan (per-row O(cells×dim) assignment — the
+    // build's dominating term at 2¹⁴ cells) would run 2-wide on a
+    // 32-core box; a real deployment's corpus arrives in thousands of
+    // splits, which this one exchange reproduces
     val emb =
       (if (corpusSpec.startsWith("clustered:")) {
         val p = corpusSpec.stripPrefix("clustered:").split(":")
@@ -61,7 +67,7 @@ object PostingsSweep {
       } else {
         Tables.validate(spark, corpusSpec, Seq("embeddings"))
         Tables.load(spark, corpusSpec, "embeddings")
-      }).cache()
+      }).repartition(spark.sparkContext.defaultParallelism).cache()
     emb.count()
 
     val k = 10
