@@ -58,12 +58,61 @@ object Bench {
     times(1)
   }
 
+  /** Fixed memory-BANDWIDTH workload — the second calibration dimension
+    * r14 proved the ALU probe blind to: one bench window ran a uniform
+    * ~1.35× slow while `host_factor` read 1.01, because the co-tenant
+    * pressure was DRAM bandwidth, not core time. One touch per 64-byte
+    * cache line over a 256 MiB long array (far past any LLC), so wall
+    * time tracks memory-system throughput with near-zero ALU demand —
+    * the complement of [[calibrateOnce]]. Single-threaded like the ALU
+    * probe: a saturating co-tenant suppresses even one stream's share. */
+  private lazy val bwArr: Array[Long] = {
+    val a = new Array[Long]((1 << 28) / 8) // 256 MiB
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  private def calibrateBwOnce(): Long = {
+    var s = 0L
+    var pass = 0
+    while (pass < 8) { // 8 × 256 MiB = 2 GiB of line-granular traffic
+      var i = 0
+      while (i < bwArr.length) { s += bwArr(i); i += 8 }
+      pass += 1
+    }
+    s
+  }
+
+  /** Median-of-3 bandwidth-probe seconds (untimed warm-up pass first —
+    * it also faults the array in on the first call). */
+  def calibrationBwSec(): Double = {
+    val sink = calibrateBwOnce()
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val s = calibrateBwOnce()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (s + sink == Long.MinValue) System.err.println("calib bw sink")
+      sec
+    }.sorted
+    times(1)
+  }
+
   /** What [[calibrationSec]] measures on the reference box at its fast
     * point (r14, quiet box; five samples 0.88–0.94) — host_factor =
     * measured / this, so 1.0 = reference speed, 1.5 = the slow end of
     * the observed §6.1.8 drift band. Cross-round query-time ratios
     * divide by the factor. */
   val CalibNominalSec = 0.88
+
+  /** [[calibrationBwSec]] on the reference box at its fast point (r14,
+    * quiet box; three samples 0.318–0.330 ≈ 6.3 GB/s single-stream) —
+    * host_factor_bw = measured / this. Read the TWO factors together:
+    * core contention moves host_factor, bandwidth contention (the r14
+    * blind spot: a uniform 1.35× bench window at host_factor 1.01)
+    * moves host_factor_bw, and a shared-box slowdown that shows in
+    * NEITHER has not been observed. */
+  val CalibBwNominalSec = 0.32
 
   def main(args: Array[String]): Unit = {
     val sfDir = graft.sources.Config.resolveDir(
@@ -73,7 +122,8 @@ object Bench {
     // for any future timing investigation
     if (sys.env.contains("BENCH_CALIB_ONLY")) {
       val sec = calibrationSec()
-      println(f"""{"calib_sec":$sec%.4f,"host_factor":${sec / CalibNominalSec}%.3f}""")
+      val bw = calibrationBwSec()
+      println(f"""{"calib_sec":$sec%.4f,"host_factor":${sec / CalibNominalSec}%.3f,"calib_bw_sec":$bw%.4f,"host_factor_bw":${bw / CalibBwNominalSec}%.3f}""")
       return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -87,6 +137,7 @@ object Bench {
     // again after the metrics block — a box that slows down MID-run
     // shows up as start/end disagreement)
     val calibStartSec = calibrationSec()
+    val calibBwStartSec = calibrationBwSec()
     // schema gate first (same as Verify): a drifted snapshot fails
     // HERE with per-column diffs instead of as N erroring queries
     // whose timings silently vanish from the report — the r10 bench
@@ -213,9 +264,12 @@ object Bench {
     // of start/end (each already a median-of-3), with both raw numbers
     // kept so a mid-run drift is visible rather than averaged away
     val calibEndSec = calibrationSec()
+    val calibBwEndSec = calibrationBwSec()
     val hostFactor = (calibStartSec + calibEndSec) / 2.0 / CalibNominalSec
+    val hostFactorBw =
+      (calibBwStartSec + calibBwEndSec) / 2.0 / CalibBwNominalSec
     val calibJson =
-      s""""host_factor":${num(hostFactor, 3)},"calib_start_sec":${num(calibStartSec, 3)},"calib_end_sec":${num(calibEndSec, 3)}"""
+      s""""host_factor":${num(hostFactor, 3)},"calib_start_sec":${num(calibStartSec, 3)},"calib_end_sec":${num(calibEndSec, 3)},"host_factor_bw":${num(hostFactorBw, 3)},"calib_bw_start_sec":${num(calibBwStartSec, 3)},"calib_bw_end_sec":${num(calibBwEndSec, 3)}"""
     val report =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,$calibJson,"sf":"$sfDir"}"""
     // The driver archives only a bounded TAIL of this process's stdout,

@@ -196,6 +196,47 @@ object EmbeddingQueries {
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
+  // ---------------------------------------------------------------- q80
+  /** TWO-LEVEL postings fragment-append + compaction lifecycle — q79's
+    * grouped twin at the 2¹⁴⁺-cells posture, oracle-checked: seed 80%
+    * of the corpus into a postings directory BUILT with two-level home
+    * assignment (q77's fixed 32-cell / 4-per-group geometry, a REAL
+    * group prune at [[q77GroupProbes]]), fragment-append the two
+    * remaining 10% batches via
+    * [[Similarity.appendIvfPostingsFragmentGrouped]] — O(batch) writes
+    * AND O(groups + probed members) per-row assignment, riding the
+    * artifact's own embedded `iv_gp` — re-append the first batch (an
+    * at-least-once redelivery), then compact. The oracle is the
+    * two-level REBUILD over the whole corpus in SQL (both quantizer
+    * levels as window SQL, as q77 proved expressible), so the hash
+    * match pins compact≡rebuild UNDER THE PRUNED ASSIGNMENT LAW — the
+    * contract that lets a 2¹⁴-cell deployment run high-frequency
+    * fragment maintenance without ever paying a flat O(cells) scan. */
+  def q80PostingsCompact2l(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q77Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val gcs = graft.expressions.IvfAssignKernel
+      .fixedGroupedCentroidSet(cents, q77GroupSize)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_q80")
+      .resolve("postings").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(seed, gcs, q77GroupProbes,
+        q78CellCap), path)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b1)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b2)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b1) // redelivery
+    Similarity.compactIvfPostings(spark, path)
+    spark.read.parquet(path)
+      .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -284,7 +325,8 @@ object EmbeddingQueries {
     "q71_ref_coverage" -> (q71RefCoverage _),
     "q77_ann_ivf_2l" -> (q77AnnIvf2l _),
     "q78_postings_roll" -> (q78PostingsRoll _),
-    "q79_postings_compact" -> (q79PostingsCompact _))
+    "q79_postings_compact" -> (q79PostingsCompact _),
+    "q80_postings_compact_2l" -> (q80PostingsCompact2l _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -321,8 +363,68 @@ object EmbeddingQueries {
          SELECT cell, cand_id, round(d2, 4) + 0.0 AS d2
          FROM home WHERE cell_rank <= 4"""
 
+  /** The from-scratch TWO-LEVEL postings rebuild over the full corpus
+    * (q77's fixed geometry: 32 cells, 4-per-group member-mean group
+    * centroids with adds nested in ascending cell order — bit-identical
+    * to the kernel's accumulate — 3 of 8 groups probed, cap 4): q80's
+    * lifecycle (two-level build(80%) + grouped fragment appends + a
+    * replayed one + compaction) must land exactly these rows. Both
+    * quantizer levels are plain window SQL, same as the q77 oracle. */
+  private val postingsRebuild2lSql =
+    """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 32),
+         g AS (
+           SELECT c0.cell // 4 AS grp,
+             list_transform(c0.centroid, (x, i) ->
+               (((x + c1.centroid[i]) + c2.centroid[i]) + c3.centroid[i])
+                 / 4.0) AS gcent
+           FROM c c0
+           JOIN c c1 ON c1.cell = c0.cell + 1
+           JOIN c c2 ON c2.cell = c0.cell + 2
+           JOIN c c3 ON c3.cell = c0.cell + 3
+           WHERE c0.cell % 4 = 0),
+         g2 AS (
+           SELECT grp, gcent, list_dot_product(gcent, gcent) AS gn2 FROM g),
+         gd AS (
+           SELECT n.vec_id, g2.grp,
+             n.nrm * n.nrm + g2.gn2
+               - 2.0 * list_dot_product(n.v, g2.gcent) AS gd2
+           FROM n CROSS JOIN g2),
+         gsel AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY gd2 ASC, grp ASC) AS gr
+           FROM gd),
+         probed AS (SELECT vec_id, grp FROM gsel WHERE gr <= 3),
+         d AS (
+           SELECT n.vec_id, c.cell,
+             n.nrm * n.nrm + c.cn2
+               - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n
+           JOIN probed p ON p.vec_id = n.vec_id
+           JOIN c ON c.cell // 4 = p.grp),
+         assigned AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         home AS (
+           SELECT cell, vec_id AS cand_id, d2,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM assigned WHERE cr = 1)
+         SELECT cell, cand_id, round(d2, 4) + 0.0 AS d2
+         FROM home WHERE cell_rank <= 4"""
+
   val oracle: Map[String, String] = Map(
     "q79_postings_compact" -> postingsRebuildSql,
+    "q80_postings_compact_2l" -> postingsRebuild2lSql,
     "q78_postings_roll" -> postingsRebuildSql,
     // same deterministic degradation of the embeddings side, same
     // distinct-ref + full-outer-join + per-source rollup semantics

@@ -1026,6 +1026,40 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** FRAGMENT append for TWO-LEVEL-built artifacts — the O(batch)
+    * maintenance mode at the 2¹⁴⁺-cells posture, where per-row
+    * assignment must be O(groups + probed members) too (a flat-scan
+    * fragment append would make assignment, not the write, the
+    * per-trigger bottleneck). Assignment rides the artifact's OWN
+    * embedded `iv_gp` — one assignment law per artifact life, same
+    * contract as [[appendIvfPostingsInPlaceGrouped]], which is what
+    * keeps fragment-appends + [[compactIvfPostings]] landing exactly
+    * the [[ivfPostingsTwoLevel]] from-scratch rows (spec-pinned). All
+    * the flat fragment route's debts apply unchanged: one file per
+    * touched cell per call, superset serving between compactions,
+    * replay dups deduped at compaction. */
+  def appendIvfPostingsFragmentGrouped(spark: SparkSession, path: String,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      newEmb: DataFrame): Unit = {
+    spark.catalog.refreshByPath(path)
+    val postings = spark.read.parquet(path)
+    val (cells, cap, ck) = postingsParams(postings)
+    require(gcs.flat.numCells == cells &&
+      centroidChecksumOf(gcs.flat.cents) == ck,
+      "grouped index cells differ from the postings artifact's")
+    require(postings.columns.contains("iv_gp"),
+      "artifact is exact-built (no iv_gp): fragment appends to it " +
+        "assign with the flat scan — use appendIvfPostingsFragment")
+    val gp = postings.select("iv_gp").take(1)(0).getInt(0)
+    homeTwoLevel(newEmb, gcs, gp)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap)) // artifact's cap, not this delta's
+      .withColumn("iv_ck", lit(ck))
+      .withColumn("iv_gp", lit(gp))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Cell-partition-aware compaction of a [[saveIvfPostings]]
     * directory: folds every FRAGMENTED cell (more than one file, or
     * over-cap after fragment appends) back to the 1-file-per-cell

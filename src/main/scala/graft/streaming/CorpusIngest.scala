@@ -177,6 +177,44 @@ object CorpusIngest {
       finally batch.unpersist()
     }
 
+  /** [[embeddingIngest]] in FRAGMENT mode — the high-frequency
+    * trigger posture: each micro-batch is home-assigned and APPENDED
+    * (one file per touched cell, no recap), so per-trigger cost is
+    * ∝ batch alone where the recap seam pays ∝ the touched cells' full
+    * populations. The LSM debts transfer from the batch route intact
+    * and one is SHARPER here: a checkpoint-recovery REPLAY of a
+    * micro-batch double-appends (the recap seams absorb it), and the
+    * duplicates only fold at the next [[Similarity.compactIvfPostings]]
+    * — so under at-least-once delivery this seam's serving contract is
+    * compact-before-serve, and the recap seam stays the default for
+    * always-serveable artifacts. Run compaction between triggers or on
+    * a maintenance cadence (cost ∝ fragmented cells, measured in
+    * CompactBench). */
+  def embeddingIngestFragment(embStream: DataFrame,
+      cents: Array[Array[Double]],
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPostingsFragment(batch.sparkSession,
+        postingsPath, cents, batch)
+      finally batch.unpersist()
+    }
+
+  /** Fragment-mode ingest for TWO-LEVEL-built artifacts — O(batch)
+    * writes AND O(groups + probed members) per-row assignment, riding
+    * the artifact's own embedded `iv_gp` (one assignment law per
+    * artifact life, validated per batch). Same compact-before-serve
+    * contract as [[embeddingIngestFragment]]. */
+  def embeddingIngestFragmentGrouped(embStream: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPostingsFragmentGrouped(batch.sparkSession,
+        postingsPath, gcs, batch)
+      finally batch.unpersist()
+    }
+
   /** Parquet-directory convenience sink: kept docs append to
     * `corpusPath`, the index delta appends to `indexPath` (which must
     * hold a non-empty [[Dedup.minhashBandIndex]] before the stream

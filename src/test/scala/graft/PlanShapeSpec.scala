@@ -37,7 +37,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     * nested-loop join at all. */
   private val bnlAllowed =
     Set("q24_cosine_topk", "q34_ann_ivf", "q55_semantic_dedup",
-      "q78_postings_roll", "q79_postings_compact")
+      "q78_postings_roll", "q79_postings_compact",
+      "q80_postings_compact_2l")
 
   test("no cartesian product or nested-loop join outside the allowed set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

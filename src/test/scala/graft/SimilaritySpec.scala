@@ -683,6 +683,54 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(eFrag.getMessage.contains("two-level-built"), eFrag.getMessage)
   }
 
+  test("grouped fragment appends + compaction equal the two-level rebuild") {
+    val emb = ScaleData.clusteredEmbeddings(spark, 1500, clusters = 24,
+      spread = 0.3)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 6,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val gp = 2 // a REAL prune: the artifact's own assignment law
+    val cap = 16 // binding, so compaction re-applies it over the union
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val b2 = emb.filter($"vec_id" % 4 === 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_frag2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(old, gcs, gp, cellCap = cap), path)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b1)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b2)
+    Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b1) // replay
+    // between compactions: superset (replay dups + over-cap), same debt
+    // contract as the flat fragment route
+    val before = spark.read.parquet(path)
+    assert(before.count() >
+      before.dropDuplicates(Seq("cell", "cand_id")).count(),
+      "fixture must exercise the replay-dup debt")
+    val (nFrag, fBefore, fAfter) = Similarity.compactIvfPostings(spark, path)
+    assert(nFrag > 0 && fAfter < fBefore, s"($nFrag, $fBefore, $fAfter)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostingsTwoLevel(
+        old.union(b1).union(b2), gcs, gp, cellCap = cap)),
+      "compacted grouped fragment appends must equal the two-level rebuild")
+    // the iv_gp law survives the lifecycle (compaction preserves it)
+    assert(spark.read.parquet(path).select("iv_gp").take(1)(0).getInt(0) == gp)
+    // idempotent: a second pass finds nothing to fold
+    assert(Similarity.compactIvfPostings(spark, path)._1 == 0)
+    // exact-built artifacts reject the grouped fragment route (their
+    // law is the flat scan; mixing would break compact≡rebuild)
+    val exactPath = java.nio.file.Files
+      .createTempDirectory("graft_ivf_frag2l_exact").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsFromGrouped(old, gcs), exactPath)
+    val eExact = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPostingsFragmentGrouped(spark, exactPath, gcs, b1)
+    }
+    assert(eExact.getMessage.contains("exact-built"), eExact.getMessage)
+  }
+
   test("IVF postings reject a foreign model by centroid checksum") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L)

@@ -900,6 +900,72 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("fragment-mode streaming ingest compacts to the from-scratch build") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    // the high-frequency posture: per-trigger O(batch) fragment appends,
+    // a REPLAYED micro-batch double-appends (unlike the recap seams),
+    // and compaction folds the artifact to exactly the from-scratch
+    // rows — compact-before-serve is the seam's documented contract
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def embRows(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[EmbRow].collect().toIndexedSeq
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    val b1 = embRows($"vec_id" % 3 === 1)
+    val b2 = embRows($"vec_id" % 3 === 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // flat artifact through the exact-assignment fragment seam
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val flatPath = Files.createTempDirectory("graft_emb_frag").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostings(seed, model, cellCap = 16), flatPath)
+    val msF = MemoryStream[EmbRow](spark)
+    val qF = CorpusIngest.embeddingIngestFragment(msF.toDF(), cents,
+      flatPath).start()
+    try {
+      msF.addData(b1); qF.processAllAvailable()
+      msF.addData(b2); qF.processAllAvailable()
+      msF.addData(b1); qF.processAllAvailable() // at-least-once redelivery
+    } finally qF.stop()
+    val beforeF = spark.read.parquet(flatPath)
+    assert(beforeF.count() >
+      beforeF.dropDuplicates(Seq("cell", "cand_id")).count(),
+      "replayed micro-batch must double-append between compactions")
+    assert(Similarity.compactIvfPostings(spark, flatPath)._1 > 0)
+    assert(rows(spark.read.parquet(flatPath)) ==
+      rows(Similarity.ivfPostings(emb, model, cellCap = 16)),
+      "compacted fragment-mode stream must equal the from-scratch build")
+
+    // two-level artifact through the grouped fragment seam (assignment
+    // rides the artifact's own embedded iv_gp)
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val gp = 2
+    val path2l = Files.createTempDirectory("graft_emb_frag_2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(seed, gcs, gp, cellCap = 16), path2l)
+    val msG = MemoryStream[EmbRow](spark)
+    val qG = CorpusIngest.embeddingIngestFragmentGrouped(msG.toDF(), gcs,
+      path2l).start()
+    try {
+      msG.addData(b1); qG.processAllAvailable()
+      msG.addData(b2); qG.processAllAvailable()
+      msG.addData(b1); qG.processAllAvailable() // redelivery
+    } finally qG.stop()
+    assert(Similarity.compactIvfPostings(spark, path2l)._1 > 0)
+    assert(rows(spark.read.parquet(path2l)) ==
+      rows(Similarity.ivfPostingsTwoLevel(emb, gcs, gp, cellCap = 16)),
+      "compacted grouped fragment-mode stream must equal the two-level rebuild")
+  }
+
   /** Row groups in `dir` whose text_hash [min,max] could contain a
     * probe, summed over probes — the footer-statistics census behind
     * the point-lookup claim: under a range-sorted layout a pushed IN
