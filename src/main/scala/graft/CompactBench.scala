@@ -172,7 +172,13 @@ object CompactBench {
   * [nAppends]` — corpus is an sfDir or `clustered:<n>[:k[:spread]]`;
   * env `PCB_GROUPS` / `PCB_CELLS_PER_GROUP` size the hierarchical fit
   * (default 64 × 64 = 4096 cells), `PCB_QUERY_STEP` the serve query
-  * set (default 100). */
+  * set (default 100). `PCB_GP` switches BOTH legs to the two-level
+  * assignment law: the artifact is `ivfPostingsTwoLevel`-built at that
+  * groupProbes, leg R appends with the grouped recap and leg F with
+  * the grouped fragment route — the 2¹⁴⁺-cells maintenance posture,
+  * where per-row assignment is O(groups + probed members) instead of
+  * O(cells) (digest comparability across states is preserved because
+  * every leg runs the SAME law). */
 object PostingsCompactBench {
   def main(args: Array[String]): Unit = {
     import graft.operators.Similarity
@@ -214,10 +220,18 @@ object PostingsCompactBench {
     println(s"""{"phase":"fit","cells":${gcs.flat.numCells},"groups":$groups}""")
 
     val fs = new HPath("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // PCB_GP: run the whole A/B under the two-level assignment law at
+    // that groupProbes (build, recap leg, fragment leg) — the 2¹⁴⁺-cells
+    // posture where assignment itself must be O(groups + probed members)
+    val gpEnv = sys.env.get("PCB_GP").map(_.toInt)
     def newArtifact(): String = {
       val dir = Files.createTempDirectory("graft_pcb").resolve("postings").toString
-      Similarity.saveIvfPostings(
-        Similarity.ivfPostingsFromGrouped(emb.filter(seedPred), gcs), dir)
+      Similarity.saveIvfPostings(gpEnv match {
+        case Some(gp) =>
+          Similarity.ivfPostingsTwoLevel(emb.filter(seedPred), gcs, gp)
+        case None =>
+          Similarity.ivfPostingsFromGrouped(emb.filter(seedPred), gcs)
+      }, dir)
       dir
     }
     def fileCount(dir: String): Int =
@@ -241,12 +255,13 @@ object PostingsCompactBench {
       (sec, ScaleSweep.digest(go()))
     }
 
-    // ---- leg R: recap appends (in-place grouped at degenerate gp —
-    // bit-equal to the exact recap; the artifact stays 1-file-per-cell)
+    // ---- leg R: recap appends (in-place grouped; without PCB_GP at
+    // degenerate gp — bit-equal to the exact recap; the artifact stays
+    // 1-file-per-cell either way)
     val dirR = newArtifact()
     val recapSecs = slices.map { b =>
       timed(Similarity.appendIvfPostingsInPlaceGrouped(spark, dirR, gcs, b,
-        groupProbes = gcs.numGroups))._2
+        groupProbes = gpEnv.getOrElse(gcs.numGroups)))._2
     }
     val filesR = fileCount(dirR)
     val (serveRSec, digR) = serveSec(dirR)
@@ -254,7 +269,12 @@ object PostingsCompactBench {
     // ---- leg F: fragment appends, then compaction
     val dirF = newArtifact()
     val fragSecs = slices.map { b =>
-      timed(Similarity.appendIvfPostingsFragment(spark, dirF, cents, b))._2
+      timed(gpEnv match {
+        case Some(_) =>
+          Similarity.appendIvfPostingsFragmentGrouped(spark, dirF, gcs, b)
+        case None =>
+          Similarity.appendIvfPostingsFragment(spark, dirF, cents, b)
+      })._2
     }
     val filesFrag = fileCount(dirF)
     val (serveFragSec, digFrag) = serveSec(dirF)
@@ -271,6 +291,7 @@ object PostingsCompactBench {
     def mean(xs: Seq[Double]) = xs.sum / xs.size
     println(f"""{"metric":"postings_compact_bench","corpus":"$corpusSpec","vectors":$n,""" +
       f""""cells":${gcs.flat.numCells},"appends":$nAppends,""" +
+      f""""gp":${gpEnv.map(_.toString).getOrElse("null")},""" +
       f""""recap_append_secs":${arr(recapSecs)},"frag_append_secs":${arr(fragSecs)},""" +
       f""""append_speedup":${mean(recapSecs) / mean(fragSecs)}%.2f,""" +
       f""""files_recap":$filesR,"files_fragmented":$filesFrag,""" +

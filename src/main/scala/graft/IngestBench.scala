@@ -163,8 +163,9 @@ object IngestBench {
     * count. Run standalone via env `IB_GROUPED_CELLS` (see [[main]]) —
     * the corpus must be big enough that cells ≪ vectors. */
   def groupedEmbedding(spark: SparkSession, sfDir: String, nBatches: Int,
-      groups: Int, cellsPerGroup: Int,
-      groupProbes: Int): (Seq[(Long, Double)], Long) = {
+      groups: Int, cellsPerGroup: Int, groupProbes: Int,
+      fragment: Boolean = false)
+      : (Seq[(Long, Double)], Long, Option[Double]) = {
     import spark.implicits._
     import graft.operators.Similarity
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -188,12 +189,25 @@ object IngestBench {
       postingsPath)
     val src = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", 1).parquet(staging)
-    val q = CorpusIngest.embeddingIngestGrouped(src, gcs, postingsPath,
-      groupProbes).trigger(Trigger.AvailableNow()).start()
+    // fragment = the high-frequency mode: O(batch) per trigger, the
+    // fold deferred to one closing compaction (timed separately — the
+    // two numbers TOGETHER are the mode's whole bill)
+    val writer =
+      if (fragment)
+        CorpusIngest.embeddingIngestFragmentGrouped(src, gcs, postingsPath)
+      else CorpusIngest.embeddingIngestGrouped(src, gcs, postingsPath,
+        groupProbes)
+    val q = writer.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).map(p =>
       (p.numInputRows, p.durationMs.get("triggerExecution").toDouble / 1000.0))
-    (prog, spark.read.parquet(postingsPath).count())
+    val compactSec =
+      if (fragment) Some {
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.compactIvfPostings(spark, postingsPath)
+        (System.nanoTime() - t0) / 1e9
+      } else None
+    (prog, spark.read.parquet(postingsPath).count(), compactSec)
   }
 
   def main(args: Array[String]): Unit = {
@@ -216,20 +230,30 @@ object IngestBench {
     // grouped-seam-only mode: IB_GROUPED_CELLS=<groups>x<cellsPerGroup>
     // [IB_GROUP_PROBES=<gp>] runs ONLY the two-level embedding seam at
     // that cell count and exits — the 2¹⁴-cell flatness row
+    // grouped-seam-only mode; IB_FRAGMENT=1 additionally switches the
+    // seam to the fragment route (O(batch) triggers + one timed closing
+    // compaction) — the recap/fragment per-trigger A/B at 2¹⁴ cells
     sys.env.get("IB_GROUPED_CELLS").foreach { spec =>
       Tables.validate(spark, sfDir, Seq("embeddings"))
       val Array(g, cpg) = spec.split("x").map(_.trim.toInt)
       val gp = sys.env.get("IB_GROUP_PROBES").map(_.toInt)
         .getOrElse(math.max(1, g / 16))
-      val (prog, nPostings) =
-        groupedEmbedding(spark, sfDir, nBatches, g, cpg, gp)
+      val fragment = sys.env.contains("IB_FRAGMENT")
+      val seam = if (fragment) "ivf_grouped_fragment" else "ivf_grouped"
+      val (prog, nPostings, compactSec) =
+        groupedEmbedding(spark, sfDir, nBatches, g, cpg, gp, fragment)
       prog.zipWithIndex.foreach { case ((rows, sec), i) =>
-        println(f"""{"seam":"ivf_grouped","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
+        println(f"""{"seam":"$seam","batch":$i,"rows":$rows,"sec":$sec%.2f}""")
       }
       println(f"""{"metric":"ingest_bench_grouped","sf_dir":"$sfDir",""" +
         f""""cells":${g * cpg},"groups":$g,"group_probes":$gp,""" +
+        f""""fragment":$fragment,""" +
         f""""batches":${nBatches - 1},""" +
         f""""ivf_grouped_flatness":${flatness(prog.map(_._2))}%.2f,""" +
+        f""""ivf_grouped_mean_sec":${prog.map(_._2).drop(1) match {
+          case s if s.nonEmpty => s.sum / s.size; case _ => Double.NaN
+        }}%.2f,""" +
+        compactSec.map(s => f""""compact_sec":$s%.2f,""").getOrElse("") +
         f""""ivf_postings":$nPostings}""")
       spark.stop()
       return
