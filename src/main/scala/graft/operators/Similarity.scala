@@ -761,6 +761,42 @@ object Similarity {
     (head(0).getInt(0), head(0).getInt(1), head(0).getLong(2))
   }
 
+  /** The embedded parameters of a postings DIRECTORY, read from ONE
+    * part-file: `spark.read.parquet(dir)` on a partitioned artifact
+    * lists EVERY file before the first row can be taken, so a fragment
+    * append — whose only read is these four constants — was paying an
+    * O(total-files) metadata scan in front of its O(batch) write. At
+    * 16 384 cells the A/B measured exactly that: after 8 fragment
+    * appends (42 k files) the listing dominated the append, flipping
+    * the mode's economics (first/last appends 2–3× the steady ones,
+    * and a cache-eviction storm in SharedInMemoryCache). The constants
+    * are identical in every row of every file by construction, so one
+    * FS-level root listing (∝ cells), one cell-directory listing, one
+    * footer read replace the full enumeration. Returns
+    * (cells, cap, checksum, embedded groupProbes if two-level-built). */
+  private def postingsParamsAtPath(spark: SparkSession, path: String)
+      : (Int, Int, Long, Option[Int]) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellDir = fs.listStatus(hPath)
+      .find(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+    require(cellDir.nonEmpty,
+      "empty IVF postings — build them with saveIvfPostings over the corpus")
+    val part = fs.listStatus(cellDir.get.getPath)
+      .find(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    require(part.nonEmpty,
+      s"postings cell directory holds no part-files: ${cellDir.get.getPath}")
+    val one = spark.read.parquet(part.get.getPath.toString)
+    val head = one.select("iv_cells", "iv_cap", "iv_ck").take(1)
+    require(head.nonEmpty,
+      "empty IVF postings — build them with saveIvfPostings over the corpus")
+    val gp =
+      if (one.columns.contains("iv_gp"))
+        Some(one.select("iv_gp").take(1)(0).getInt(0))
+      else None
+    (head(0).getInt(0), head(0).getInt(1), head(0).getLong(2), gp)
+  }
+
   /** Roll a postings artifact forward for newly arrived vectors —
     * assignment against the FROZEN centroids (the model must be the
     * artifact's own: checksum-verified), then the hot-cell cap
@@ -1011,15 +1047,13 @@ object Similarity {
     * route is the always-serveable shape. */
   def appendIvfPostingsFragment(spark: SparkSession, path: String,
       cents: Array[Array[Double]], newEmb: DataFrame): Unit = {
-    spark.catalog.refreshByPath(path)
-    val postings = spark.read.parquet(path)
-    val (cells, cap, ck) = postingsParams(postings)
+    val (cells, cap, ck, gp) = postingsParamsAtPath(spark, path)
     require(cents.length == cells && centroidChecksumOf(cents) == ck,
       "model centroids differ from the postings artifact's")
-    require(!postings.columns.contains("iv_gp"),
+    require(gp.isEmpty,
       "artifact is two-level-built (iv_gp): fragment appends assign " +
         "exactly and would mix assignment laws — use " +
-        "appendIvfPostingsInPlaceGrouped")
+        "appendIvfPostingsFragmentGrouped")
     ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
       .withColumn("iv_cap", lit(cap)) // artifact's cap, not this delta's
       .repartition(col("cell"))
@@ -1041,16 +1075,14 @@ object Similarity {
   def appendIvfPostingsFragmentGrouped(spark: SparkSession, path: String,
       gcs: graft.expressions.IvfGroupedCentroidSet,
       newEmb: DataFrame): Unit = {
-    spark.catalog.refreshByPath(path)
-    val postings = spark.read.parquet(path)
-    val (cells, cap, ck) = postingsParams(postings)
+    val (cells, cap, ck, gpOpt) = postingsParamsAtPath(spark, path)
     require(gcs.flat.numCells == cells &&
       centroidChecksumOf(gcs.flat.cents) == ck,
       "grouped index cells differ from the postings artifact's")
-    require(postings.columns.contains("iv_gp"),
+    require(gpOpt.nonEmpty,
       "artifact is exact-built (no iv_gp): fragment appends to it " +
         "assign with the flat scan — use appendIvfPostingsFragment")
-    val gp = postings.select("iv_gp").take(1)(0).getInt(0)
+    val gp = gpOpt.get
     homeTwoLevel(newEmb, gcs, gp)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap)) // artifact's cap, not this delta's
