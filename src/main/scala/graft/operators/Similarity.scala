@@ -887,7 +887,10 @@ object Similarity {
   /** Roll a cell-partitioned postings DIRECTORY forward in place:
     * dynamic partition overwrite rewrites ONLY the touched cells'
     * directories — at 10⁴ cells and a batch touching dozens, the
-    * artifact rewrite is ~touched/total of the naive full overwrite.
+    * artifact rewrite is ~touched/total of the naive full overwrite —
+    * and the read side is pruned the same way (params from one
+    * part-file, old rows from the touched cells' directories only), so
+    * the whole trigger is ∝ touched cells end to end.
     * The recapped frame is materialized before the write (a plain-
     * parquet overwrite may not read its own input), and the
     * (cell, cand_id) dedup in the recap makes a crash-replayed batch
@@ -898,11 +901,66 @@ object Similarity {
     * [[graft.sources.WarehouseWriter.compactParquet]]). */
   def appendIvfPostingsInPlace(spark: SparkSession, path: String,
       model: KMeansModel, newEmb: DataFrame): Unit = {
-    spark.catalog.refreshByPath(path)
-    val postings = spark.read.parquet(path)
-    val (recapped, _) = recapTouched(postings,
-      model.clusterCenters.map(_.toArray), newEmb)
-    overwriteTouchedCells(spark, path, recapped)
+    val cents = model.clusterCenters.map(_.toArray)
+    val (cells, cap, ck, gpOpt) = postingsParamsAtPath(spark, path)
+    require(gpOpt.isEmpty,
+      "artifact is two-level-built (iv_gp): the exact recap would mix " +
+        "assignment laws — use appendIvfPostingsInPlaceGrouped")
+    require(cents.length == cells,
+      s"model has ${cents.length} cells, artifact $cells")
+    require(centroidChecksumOf(cents) == ck,
+      "model centroids differ from the artifact's — append with the " +
+        "index's own saved model (loadIvfIndex), or rebuild ivfPostings")
+    val delta = assignedHome(prepared(newEmb),
+      centroidTableOf(spark, cents), cap)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap))
+      .withColumn("iv_ck", lit(ck))
+    recapTouchedDirsAndOverwrite(spark, path, delta, cap)
+  }
+
+  /** The touched-cells-only recap for the DIRECTORY routes: the delta
+    * (already home-assigned, batch-sized) is materialized once, its
+    * touched-cell set collected (bounded by numCells), and the old rows
+    * come from reading ONLY those cells' directories — so a trigger's
+    * read AND listing are ∝ touched cells, never ∝ the artifact. The
+    * previous shape (read the whole directory, left-semi to touched)
+    * listed and opened every cell's file per append: fine at 10³ cells
+    * on local disk, the dominant term at 10⁴⁺ cells on an object store
+    * — the same O(artifact-metadata) class the fragment route's param
+    * read was measured paying. Union–dedup–recap semantics are byte-
+    * identical to [[recapFromDelta]] (spec-pinned: in-place ≡ the
+    * DataFrame append route ≡ a from-scratch rebuild). */
+  private def recapTouchedDirsAndOverwrite(spark: SparkSession,
+      path: String, delta0: DataFrame, cap: Int): Unit = {
+    import spark.implicits._
+    val delta = delta0.localCheckpoint(true)
+    try {
+      val touched = delta.select($"cell").distinct().as[Int].collect()
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing = fs.listStatus(hPath)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+        .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+      val dirs = touched.filter(existing).map(c => s"$path/cell=$c")
+      // a batch can touch only never-seen cells — then the old side is
+      // empty and the recap is the capped delta alone
+      val old =
+        if (dirs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], delta.schema)
+        else spark.read.option("basePath", path).parquet(dirs.toSeq: _*)
+      val byCell =
+        Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+      val recapped = old.select(delta.columns.map(col): _*)
+        .unionByName(delta)
+        .dropDuplicates(Seq("cell", "cand_id"))
+        .withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cap)
+        .drop("cellRank")
+      overwriteTouchedCells(spark, path, recapped)
+    } finally org.apache.spark.sql.GraftColumnBridge
+      .unpersistLocalCheckpoint(delta)
   }
 
   /** Dynamic-partition-overwrite of the touched cells' directories —
@@ -1000,30 +1058,26 @@ object Similarity {
   def appendIvfPostingsInPlaceGrouped(spark: SparkSession, path: String,
       gcs: graft.expressions.IvfGroupedCentroidSet, newEmb: DataFrame,
       groupProbes: Int): Unit = {
-    spark.catalog.refreshByPath(path)
-    val postings = spark.read.parquet(path)
-    val (cells, cap, ck) = postingsParams(postings)
+    val (cells, cap, ck, gpOpt) = postingsParamsAtPath(spark, path)
     require(gcs.flat.numCells == cells &&
       centroidChecksumOf(gcs.flat.cents) == ck,
       "grouped index cells differ from the postings artifact's")
-    if (postings.columns.contains("iv_gp")) {
-      val gp = postings.select("iv_gp").take(1)(0).getInt(0)
-      require(gp == groupProbes,
+    gpOpt match {
+      case Some(gp) => require(gp == groupProbes,
         s"artifact was built with groupProbes=$gp, append asked " +
           s"$groupProbes — one assignment law per artifact life")
-    } else require(groupProbes >= gcs.numGroups,
-      s"exact-built artifact: grouped append needs groupProbes >= " +
-        s"numGroups (${gcs.numGroups}) to preserve append≡rebuild")
+      case None => require(groupProbes >= gcs.numGroups,
+        s"exact-built artifact: grouped append needs groupProbes >= " +
+          s"numGroups (${gcs.numGroups}) to preserve append≡rebuild")
+    }
     val delta0 = homeTwoLevel(newEmb, gcs, groupProbes)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
     val delta =
-      if (postings.columns.contains("iv_gp"))
-        delta0.withColumn("iv_gp", lit(groupProbes))
+      if (gpOpt.nonEmpty) delta0.withColumn("iv_gp", lit(groupProbes))
       else delta0
-    val (recapped, _) = recapFromDelta(postings, delta, cap)
-    overwriteTouchedCells(spark, path, recapped)
+    recapTouchedDirsAndOverwrite(spark, path, delta, cap)
   }
 
   /** FRAGMENT append — the O(batch)-per-trigger maintenance mode: the
