@@ -55,7 +55,23 @@ object GraftSession {
       // SORTS the whole candidate relation by group key — the exact
       // candidates-bounded sort the aggregate exists to avoid (the
       // sf30 truth hit a 600 M-row single-task spill sort here).
-      // 2^16 groups × a bounded heap is a few tens of MB per task.
+      //
+      // The conf is session-wide because it is consulted at EXECUTION
+      // (ObjectAggregationIterator reads SQLConf.get per task), so a
+      // library returning lazy plans cannot scope-and-restore it around
+      // one aggregate. That weakens the OOM valve for every OTHER
+      // object aggregate in the session, so the bound it assumes is
+      // stated and audited here: up to 65 536 in-flight buffers per
+      // task before spill-to-sort. For graft_topk that is 65 536 ×
+      // (16 B × k + object headers) ≈ 25 MB at k=10 — the intended
+      // case. The engine's only UNBOUNDED-buffer aggregates are
+      // collect_set at RelationalQueries.scala:223 (distinct
+      // supplier/part keys per rollup group — ≤ |suppliers| ints, the
+      // relation the reference's own GROUP BY carries) and
+      // Dedup.scala:887 (split names — ≤ 3 strings); both are
+      // payload-bounded well under executor memory at 65 536 groups.
+      // A consumer adding collect_list of fat payloads over
+      // high-cardinality keys should lower this on their own session.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
       .config(NanosKey, "true")

@@ -24,13 +24,22 @@ final class TopKScores(val k: Int) {
   var size = 0
 
   /** (s1,i1) ranks strictly WORSE than (s2,i2) under (score desc, id
-    * asc). Doubles here are the rounded sims (never NaN — null sims
-    * are filtered upstream), so < / == are total. */
+    * asc). NaN never enters the heap ([[add]] rejects it), so < / ==
+    * are total here. */
   @inline private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 < s2 || (s1 == s2 && i1 > i2)
 
+  /** NaN scores are REJECTED here, not just filtered upstream: a
+    * zero-norm embedding makes cosine 0/0 = NaN (not null), and a NaN
+    * inside the heap is poison — `worse` is false for every NaN
+    * comparison, so a NaN at the min-root could never be displaced and
+    * the group's top-k would silently freeze at the first k rows
+    * scanned (the row_number window this aggregate replaced at least
+    * ordered NaN deterministically). Rejecting at the single entry
+    * point covers update, merge, AND deserialize. */
   def add(s: Double, id: Long): Unit =
-    if (size < k) {
+    if (s != s) () // NaN: non-comparable candidate, skipped like null
+    else if (size < k) {
       scores(size) = s; ids(size) = id; size += 1
       var i = size - 1
       while (i > 0) {
@@ -87,10 +96,11 @@ final class TopKScores(val k: Int) {
   * per-group eval sorts k elements). Same rows out, candidates-bounded
   * work replaced by answers-bounded work.
   *
-  * Null score or id = a non-comparable candidate — skipped (the
-  * SQL-function form; the DataFrame routes additionally filter them so
-  * plans show the intent). Ties on score break to the LOWER id,
-  * matching every other deterministic tiebreak in the engine. */
+  * Null or NaN score, or null id = a non-comparable candidate —
+  * skipped (the SQL-function form; the DataFrame routes additionally
+  * filter them so plans show the intent — NaN arises from zero-norm
+  * vectors, where cosine is 0/0). Ties on score break to the LOWER
+  * id, matching every other deterministic tiebreak in the engine. */
 case class TopKByScore(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKScores] with BinaryLike[Expression] {

@@ -34,9 +34,17 @@ object VectorOps {
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two double arrays with precomputed norms. */
+  /** Cosine similarity of two double arrays with precomputed norms.
+    * A zero-norm vector has no direction, so its cosine is NULL — the
+    * engine-wide "non-comparable candidate → dropped" stance (every
+    * rank step filters null sims). The `nullif` guard matters twice
+    * over: under ANSI mode (Spark 4's default) a bare division would
+    * ABORT THE JOB with DIVIDE_BY_ZERO the moment one all-zero
+    * embedding enters a corpus, and with ANSI off it would yield NaN —
+    * which is not null, sails through null filters, and poisons
+    * NaN-naive comparators (TopKSpec pins the end-to-end behavior). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / nullif(normA * normB, lit(0.0))
 
   /** Cosine similarity rounded to 4 decimals with -0.0 folded to 0.0
     * (`+ 0.0` is the IEEE identity that erases the sign of zero in both

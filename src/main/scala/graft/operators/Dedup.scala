@@ -1247,7 +1247,7 @@ object Dedup {
     val vb = corpus.select($"vec_id".as("vec_b"), $"v".as("bv"), $"nrm".as("bn"))
     candidates
       .join(va, "vec_a").join(vb, "vec_b")
-      .withColumn("sim", roundedSim(dot($"av", $"bv") / ($"an" * $"bn")))
+      .withColumn("sim", roundedSim(cosine($"av", $"bv", $"an", $"bn")))
       .filter($"sim" >= threshold)
       .select($"vec_a", $"vec_b", $"sim")
   }
@@ -1312,7 +1312,7 @@ object Dedup {
       $"v".as("bv"), $"nrm".as("bn"))
     keepSide.join(dropSide, Seq("cell"))
       .filter($"keep_cand" < $"vec_id")
-      .withColumn("sim", roundedSim(dot($"av", $"bv") / ($"an" * $"bn")))
+      .withColumn("sim", roundedSim(cosine($"av", $"bv", $"an", $"bn")))
       .filter($"sim" >= eps)
       .groupBy($"vec_id", $"cell")
       .agg(count(lit(1)).as("n_dups"), max($"sim").as("best_sim"))

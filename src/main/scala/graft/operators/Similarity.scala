@@ -46,9 +46,11 @@ object Similarity {
     * carries ~queries×k×maps rows, and nothing is ever globally sorted
     * — candidates-bounded work becomes answers-bounded work.
     * SimilaritySpec pins route equality row-for-row against the window
-    * form. Null sims (non-comparable candidates) are dropped rather
-    * than padded, the same stance every assignment route takes for
-    * non-assignable vectors. */
+    * form. Null AND NaN sims (non-comparable candidates — a zero-norm
+    * embedding makes cosine 0/0 = NaN, which is NOT null) are dropped
+    * rather than padded, the same stance every assignment route takes
+    * for non-assignable vectors; the aggregate itself also rejects NaN
+    * at heap entry, so either guard alone suffices. */
   private def topKPerQuery(cands: DataFrame, qCol: String, cCol: String,
       k: Int): DataFrame = {
     val spark = cands.sparkSession
@@ -57,7 +59,7 @@ object Similarity {
     val agg = GraftColumnBridge.column(graft.expressions.TopKByScore(
       GraftColumnBridge.expression($"sim"),
       GraftColumnBridge.expression(col(cCol)), k).toAggregateExpression())
-    cands.filter($"sim".isNotNull)
+    cands.filter($"sim".isNotNull && !isnan($"sim"))
       .groupBy(col(qCol))
       .agg(agg.as("tk"))
       .select(col(qCol), posexplode($"tk"))
@@ -1233,6 +1235,30 @@ object Similarity {
     * stance as the in-place append: per-partition swaps, run between
     * serving epochs. Returns (fragmented cells rewritten, files
     * before, files after). */
+  /** Delete orphaned fragment-staging siblings (`<artifact>__delta_*`):
+    * [[appendFragmentFiles]] removes its temp dir in a finally, so one
+    * survives only a DRIVER crash mid-append — but those accumulate
+    * next to the artifact forever, invisible to readers (they are
+    * outside the artifact directory) yet billable storage. Compaction
+    * is the artifact's exclusive-maintenance window (same concurrency
+    * contract as the overwrites: no concurrent appends), so every
+    * surviving staging dir here is by definition stale — swept
+    * unconditionally. The crashed batch itself is the documented
+    * at-least-once story: it replays, and this same compaction dedups
+    * the rows that did land. */
+  private def sweepStaleDeltas(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path): Int = {
+    val parent = hPath.getParent
+    if (parent == null) 0
+    else {
+      val prefix = hPath.getName + "__delta_"
+      val stale = fs.listStatus(parent)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
+      stale.foreach(d => fs.delete(d.getPath, true))
+      stale.length
+    }
+  }
+
   def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) = {
     import spark.implicits._
     spark.catalog.refreshByPath(path)
@@ -1240,6 +1266,7 @@ object Similarity {
     val (_, cap, _) = postingsParams(postings)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleDeltas(fs, hPath)
     val perCellFiles = fs.listStatus(hPath)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
       .map(d => d.getPath.getName.stripPrefix("cell=").toInt ->
@@ -1389,7 +1416,16 @@ object Similarity {
     * the unpruned route's (spec-pinned): unprobed cells can never join
     * a query row. Pass `postings` as the PARTITIONED read
     * (`spark.read.parquet(dir)` of a [[saveIvfPostings]] dir); a
-    * non-partitioned frame still answers correctly but prunes nothing. */
+    * non-partitioned frame still answers correctly but prunes nothing.
+    *
+    * `queryEmb` must be DETERMINISTIC under re-evaluation: its plan
+    * runs twice (probe-set collect, then the lazy serve plan), and a
+    * sampled/`rand`/unordered-`limit`-derived query frame can assign
+    * to cells OUTSIDE the collected probe set on the second pass and
+    * silently lose results. Callers with a nondeterministic query set
+    * must materialize it first (`localCheckpoint` with their own
+    * unpersist seam — this route deliberately does not pin executor
+    * storage for the life of a lazy plan it returns). */
   def ivfTopKFromPostingsPruned(queryEmb: DataFrame,
       cents: Array[Array[Double]], postings: DataFrame, probes: Int,
       k: Int): DataFrame = {
@@ -1408,9 +1444,10 @@ object Similarity {
         GraftColumnBridge.expression($"nrm"), probes)))
       .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
     // Assignment arithmetic runs twice (probe-set collect here, then
-    // lazily when the caller consumes the serve plan) — deterministic,
-    // so both passes agree, and ∝ queries × cells: pennies next to the
-    // artifact read this route exists to prune. The alternative — a
+    // lazily when the caller consumes the serve plan) — both passes
+    // agree ONLY for deterministic query frames (contract in the
+    // scaladoc above), and the cost is ∝ queries × cells: pennies next
+    // to the artifact read this route exists to prune. The alternative — a
     // localCheckpoint shared by both passes — pins executor storage for
     // the life of the returned (lazy) plan with no safe unpersist
     // point, which accumulates across calls in a serving session.

@@ -610,7 +610,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       .as[Int].collect().filterNot(touched).headOption
     val cleanBefore = cleanCell.map(cellFiles)
 
+    // a driver crash mid-append orphans a sibling staging dir; the
+    // compaction (the exclusive-maintenance window) must sweep it
+    val orphan = new org.apache.hadoop.fs.Path(
+      path + "__delta_orphaned-by-a-crash")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "cell=0"))
+    assert(fs.exists(orphan))
+
     val (nFrag, fBefore, fAfter) = Similarity.compactIvfPostings(spark, path)
+    assert(!fs.exists(orphan),
+      "compaction must sweep orphaned __delta_ staging siblings")
     assert(nFrag > 0 && fAfter < fBefore, s"($nFrag, $fBefore, $fAfter)")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"cell", $"cand_id", $"d2").collect()

@@ -85,6 +85,43 @@ class TopKSpec extends AnyFunSuite with SparkSpec {
       s"got $got")
   }
 
+  test("NaN scores never enter the heap: zero-norm embeddings degrade nothing") {
+    // NaN is the nasty twin of the null case: cosine over a zero-norm
+    // vector is 0/0 = NaN (NOT null), worse() is false for every NaN
+    // comparison, so a NaN at the heap's min-root could never be
+    // displaced — the group's top-k silently froze at the first k rows
+    // scanned. Contract: NaN = non-comparable, dropped like null.
+    // Scatter NaNs THROUGH a big group so some land among the first k
+    // scanned (the freeze trigger), then compare to the window form
+    // over the NaN-free relation.
+    val rng = new scala.util.Random(11)
+    val cands = (1 to 4000).map { i =>
+      val sim = if (i % 7 == 0) Double.NaN else rng.nextInt(50) / 100.0
+      (rng.nextInt(20).toLong, i.toLong, sim)
+    }.toDF("q", "c", "sim")
+    val got = aggTopK(cands, 10).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val want = windowTopK(cands.filter(!isnan($"sim")), 10).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want, "NaN candidates must drop, not poison the heap")
+    assert(!got.exists(_._3.isNaN))
+    // end-to-end: an all-zero embedding in the corpus produces NaN sims
+    // against every query; brute-force top-k must rank as if it were
+    // absent from the candidate side (it stays a query — of nothing
+    // comparable — and surfaces no rows as one)
+    val base = Tables.load(spark, sf0001, "embeddings").limit(50)
+    val dim = base.select(size($"embedding")).head().getInt(0)
+    val zeroed = base.unionByName(
+      Seq((999999L, Array.fill(dim)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val gotZ = Similarity.bruteForceTopK(zeroed, $"vec_id" < 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantZ = Similarity.bruteForceTopK(base, $"vec_id" < 5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotZ == wantZ,
+      "a zero-norm corpus vector must not perturb anyone's top-k")
+  }
+
   test("graft_topk resolves in SQL and matches the DataFrame route") {
     val rng = new scala.util.Random(7)
     (1 to 1000).map { i =>
