@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The postings artifact's MANIFEST SIDECAR — a tiny parquet file inside
+  * the artifact (`<artifact>/_manifest`, invisible to readers: Spark's
+  * partition discovery skips `_`-prefixed paths) recording every data
+  * file: `(cell, file, bytes, rows)` plus the embedded artifact
+  * parameters. It exists to kill the engine's last
+  * artifact-metadata-proportional costs: before it, every compaction
+  * LISTED the whole artifact (183 s over 67 918 files at the r14
+  * trickle posture — §6.1), every full-scan serve re-listed every cell
+  * directory, and the param read still listed the root. With a clean
+  * manifest, params are one small read, compaction folds only the cells
+  * the manifest marks fragmented, and serving plans its scan from the
+  * manifest alone ([[graft.plans.PostingsFileIndex]]) — ZERO directory
+  * listings, the same move Delta Lake/Iceberg make with their
+  * transaction logs (reference analogue: the warehouse's reliance on DB
+  * catalogs, init-user-db.sh:119-120).
+  *
+  * Consistency protocol — `_manifest_dirty`, a write-ahead intent flag:
+  * every maintenance op marks dirty BEFORE its first artifact mutation
+  * and clears it only after the manifest is rolled forward to match.
+  * Invariant: **flag absent ⟹ manifest ≡ directory truth** (spec-pinned
+  * through build / fragment append / replay / recap append / compact).
+  * A crash mid-maintenance strands the flag; readers then fall back to
+  * directory listings ([[readClean]] returns None) and the next
+  * compaction rebuilds the manifest from truth and clears the flag.
+  * Same single-writer stance as the maintenance ops themselves.
+  *
+  * Scale: manifest size is ∝ data FILES (cells + uncompacted
+  * fragments), never rows — 10⁵ entries of ~5 numbers is a
+  * driver-trivial single-digit-MB read, which is exactly why file-level
+  * state can live driver-side while row-level state never does.
+  */
+object PostingsManifest {
+
+  /** One data file of the artifact: `file` is the part-file name inside
+    * `cell=<cell>/`; `rows` its physical row count (replay duplicates
+    * included — the manifest records truth, not post-dedup logic). */
+  case class FileEntry(cell: Int, file: String, bytes: Long, rows: Long)
+
+  /** The artifact's embedded constants (same values every data row
+    * carries as iv_ columns). */
+  case class Params(cells: Int, cap: Int, ck: Long, gp: Option[Int])
+
+  case class State(params: Params, files: Seq[FileEntry]) {
+    def perCellFiles: Map[Int, Int] =
+      files.groupBy(_.cell).view.mapValues(_.size).toMap
+    def perCellRows: Map[Int, Long] =
+      files.groupBy(_.cell).view.mapValues(_.map(_.rows).sum).toMap
+    def totalFiles: Int = files.size
+    /** Replace every entry of `cells` with `entries` (the post-rewrite
+      * truth for those cells) — the roll-forward all overwrite-style
+      * maintenance shares. */
+    def replacingCells(cells: Set[Int], entries: Seq[FileEntry]): State =
+      copy(files = files.filterNot(f => cells(f.cell)) ++ entries)
+    /** Add fragment entries (one new file per touched cell). */
+    def adding(entries: Seq[FileEntry]): State =
+      copy(files = files ++ entries)
+  }
+
+  def manifestDir(path: String): Path =
+    new Path(path.stripSuffix("/"), "_manifest")
+  private def dirtyFlag(path: String): Path =
+    new Path(path.stripSuffix("/"), "_manifest_dirty")
+
+  def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(manifestDir(path))
+
+  def isDirty(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(dirtyFlag(path))
+
+  /** Write-ahead intent: call BEFORE the first artifact mutation of a
+    * maintenance op. One create on the artifact's filesystem. */
+  def markDirty(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).create(dirtyFlag(path), true).close()
+
+  def clearDirty(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(dirtyFlag(path), false)
+
+  /** The manifest iff it is trustworthy: present AND not dirty. Every
+    * consumer goes through here — a stranded dirty flag silently
+    * degrades consumers to their listing fallbacks instead of serving
+    * them a manifest that may omit files a half-finished append already
+    * renamed in. */
+  def readClean(spark: SparkSession, path: String): Option[State] = {
+    val fs = fsOf(spark, path)
+    if (fs.exists(dirtyFlag(path)) || !fs.exists(manifestDir(path))) None
+    else {
+      val df = spark.read.parquet(manifestDir(path).toString)
+      val rows = df.collect()
+      if (rows.isEmpty) None
+      else {
+        val h = rows.head
+        val gp =
+          if (h.isNullAt(h.fieldIndex("iv_gp"))) None
+          else Some(h.getInt(h.fieldIndex("iv_gp")))
+        Some(State(
+          Params(h.getInt(h.fieldIndex("iv_cells")),
+            h.getInt(h.fieldIndex("iv_cap")),
+            h.getLong(h.fieldIndex("iv_ck")), gp),
+          rows.toSeq.map(r => FileEntry(
+            r.getInt(r.fieldIndex("cell")),
+            r.getString(r.fieldIndex("file")),
+            r.getLong(r.fieldIndex("bytes")),
+            r.getLong(r.fieldIndex("rows"))))))
+      }
+    }
+  }
+
+  /** Persist `state` with a tmp-dir + rename swap (the brief
+    * no-manifest window between delete and rename degrades readers to
+    * their listing fallback, never to a wrong manifest). Does NOT touch
+    * the dirty flag — the caller owns the protocol ordering. */
+  def write(spark: SparkSession, path: String, state: State): Unit = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path.stripSuffix("/"),
+      "_manifest.tmp-" + java.util.UUID.randomUUID().toString)
+    state.files.toDF("cell", "file", "bytes", "rows")
+      .withColumn("iv_cells", lit(state.params.cells))
+      .withColumn("iv_cap", lit(state.params.cap))
+      .withColumn("iv_ck", lit(state.params.ck))
+      .withColumn("iv_gp",
+        state.params.gp.map(lit(_)).getOrElse(lit(null).cast("int")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = manifestDir(path)
+    fs.delete(dest, true)
+    require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+  }
+
+  /** Directory truth, the O(files) fallback the manifest exists to make
+    * rare: one recursive listing for names/bytes plus one zero-data-
+    * column Spark job for per-file row counts (partition column +
+    * `input_file_name` only — footer-bounded, no data pages). Params
+    * come from one part-file footer, NOT from the manifest (this is
+    * what REBUILDS the manifest, so it must not trust it). */
+  def rebuild(spark: SparkSession, path: String): State = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val root = new Path(path)
+    val listed = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .flatMap { d =>
+        val cell = d.getPath.getName.stripPrefix("cell=").toInt
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map(f => (cell, f.getPath.getName, f.getLen))
+      }
+    require(listed.nonEmpty,
+      s"no postings data under $path — build with saveIvfPostings first")
+    spark.catalog.refreshByPath(path)
+    val perFileRows = spark.read.parquet(path)
+      .groupBy(col("cell").cast("int").as("cell"),
+        input_file_name().as("fn"))
+      .count()
+      .as[(Int, String, Long)].collect()
+      .map { case (c, fn, n) => (c, fn.substring(fn.lastIndexOf('/') + 1)) -> n }
+      .toMap
+    val one = new Path(new Path(root, s"cell=${listed.head._1}"),
+      listed.head._2)
+    val head = spark.read.parquet(one.toString)
+    val hr = head.select(col("iv_cells"), col("iv_cap"), col("iv_ck")).take(1)
+    require(hr.nonEmpty, s"unreadable postings part-file: $one")
+    val gp =
+      if (head.columns.contains("iv_gp"))
+        Some(head.select(col("iv_gp")).take(1)(0).getInt(0))
+      else None
+    State(
+      Params(hr(0).getInt(0), hr(0).getInt(1), hr(0).getLong(2), gp),
+      listed.toSeq.map { case (c, name, bytes) =>
+        FileEntry(c, name, bytes, perFileRows.getOrElse((c, name), 0L))
+      })
+  }
+
+  /** Rebuild from truth, persist, clear any stranded dirty flag — the
+    * recovery step (and the adoption step for a manifest-less
+    * artifact). */
+  def rebuildAndWrite(spark: SparkSession, path: String): State = {
+    val s = rebuild(spark, path)
+    write(spark, path, s)
+    clearDirty(spark, path)
+    s
+  }
+
+  /** List `cells`' directories (∝ touched, never ∝ artifact) into
+    * per-file entries with the given per-cell row counts — the
+    * post-overwrite bookkeeping for maintenance that just rewrote those
+    * cells to one file each. */
+  def entriesFromDirs(spark: SparkSession, path: String, cells: Set[Int],
+      rowsPerCell: Map[Int, Long]): Seq[FileEntry] = {
+    val fs = fsOf(spark, path)
+    cells.toSeq.flatMap { c =>
+      val d = new Path(path.stripSuffix("/"), s"cell=$c")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(f => FileEntry(c, f.getPath.getName, f.getLen,
+          rowsPerCell.getOrElse(c, 0L)))
+    }
+  }
+}

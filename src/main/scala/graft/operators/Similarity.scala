@@ -775,8 +775,24 @@ object Similarity {
     * are identical in every row of every file by construction, so one
     * FS-level root listing (∝ cells), one cell-directory listing, one
     * footer read replace the full enumeration. Returns
-    * (cells, cap, checksum, embedded groupProbes if two-level-built). */
+    * (cells, cap, checksum, embedded groupProbes if two-level-built).
+    *
+    * With a clean [[PostingsManifest]] even those listings vanish: the
+    * params ride the manifest (one small-file read, zero artifact
+    * listings) — [[postingsParamsAtPath]] prefers it and falls back
+    * here. */
+  private def paramsOf(st: PostingsManifest.State)
+      : (Int, Int, Long, Option[Int]) =
+    (st.params.cells, st.params.cap, st.params.ck, st.params.gp)
+
   private def postingsParamsAtPath(spark: SparkSession, path: String)
+      : (Int, Int, Long, Option[Int]) =
+    PostingsManifest.readClean(spark, path) match {
+      case Some(st) => paramsOf(st)
+      case None => paramsFromFooter(spark, path)
+    }
+
+  private def paramsFromFooter(spark: SparkSession, path: String)
       : (Int, Int, Long, Option[Int]) = maintStage("params_at_path") {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -896,9 +912,18 @@ object Similarity {
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col("cell"))
 
-  def saveIvfPostings(postings: DataFrame, path: String): Unit =
+  def saveIvfPostings(postings: DataFrame, path: String): Unit = {
     byCellPinned(postings)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // Born with a manifest: one listing + one footer-bounded count job
+    // at build time (the overwrite just wiped any prior sidecar along
+    // with the data) buys every later append/compact/serve its
+    // zero-listing path. Build is the one moment an O(artifact)
+    // metadata pass is already being paid — the write itself created
+    // exactly these files.
+    maintStage("save_manifest")(
+      PostingsManifest.rebuildAndWrite(postings.sparkSession, path))
+  }
 
   /** Roll a cell-partitioned postings DIRECTORY forward in place:
     * dynamic partition overwrite rewrites ONLY the touched cells'
@@ -950,15 +975,22 @@ object Similarity {
   private def recapTouchedDirsAndOverwrite(spark: SparkSession,
       path: String, delta0: DataFrame, cap: Int): Unit = {
     import spark.implicits._
+    val state0 = PostingsManifest.readClean(spark, path)
     val delta = maintStage("recap_delta_ckpt")(delta0.localCheckpoint(true))
     try {
       val touched = maintStage("recap_touched")(
         delta.select($"cell").distinct().as[Int].collect())
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val existing = fs.listStatus(hPath)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-        .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+      // which touched cells already exist: from the manifest when clean
+      // (zero listings), else one root listing
+      val existing = state0 match {
+        case Some(st) => st.perCellFiles.keySet
+        case None =>
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(hPath)
+            .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+            .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+      }
       val dirs = touched.filter(existing).map(c => s"$path/cell=$c")
       // a batch can touch only never-seen cells — then the old side is
       // empty and the recap is the capped delta alone
@@ -975,8 +1007,19 @@ object Similarity {
         .withColumn("cellRank", row_number().over(byCell))
         .filter($"cellRank" <= cap)
         .drop("cellRank")
-      maintStage("recap_overwrite")(
-        overwriteTouchedCells(spark, path, recapped))
+      if (state0.nonEmpty) PostingsManifest.markDirty(spark, path)
+      val counts = maintStage("recap_overwrite")(
+        overwriteTouchedCells(spark, path, recapped,
+          wantCounts = state0.nonEmpty))
+      state0.foreach { st =>
+        maintStage("recap_manifest_roll") {
+          val entries = PostingsManifest.entriesFromDirs(
+            spark, path, counts.keySet, counts)
+          PostingsManifest.write(spark, path,
+            st.replacingCells(counts.keySet, entries))
+          PostingsManifest.clearDirty(spark, path)
+        }
+      }
     } finally org.apache.spark.sql.GraftColumnBridge
       .unpersistLocalCheckpoint(delta)
   }
@@ -990,9 +1033,17 @@ object Similarity {
     * (spec-pinned; [[compactIvfPostings]] exists for the fragment
     * route, not for these). */
   private def overwriteTouchedCells(spark: SparkSession, path: String,
-      recapped: DataFrame): Unit = {
+      recapped: DataFrame, wantCounts: Boolean = false): Map[Int, Long] = {
+    import spark.implicits._
     val materialized = recapped.localCheckpoint(true)
     try {
+      // per-cell row counts for the manifest roll-forward — one small
+      // aggregation over the already-materialized (touched-cells-sized)
+      // frame; skipped entirely for manifest-less artifacts
+      val counts =
+        if (!wantCounts) Map.empty[Int, Long]
+        else materialized.groupBy(col("cell").cast("int").as("cell"))
+          .count().as[(Int, Long)].collect().toMap
       val saved = spark.conf.getOption(
         "spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1004,6 +1055,7 @@ object Similarity {
         case None => spark.conf.unset(
           "spark.sql.sources.partitionOverwriteMode")
       }
+      counts
     } finally org.apache.spark.sql.GraftColumnBridge
       .unpersistLocalCheckpoint(materialized)
   }
@@ -1119,7 +1171,9 @@ object Similarity {
     * route is the always-serveable shape. */
   def appendIvfPostingsFragment(spark: SparkSession, path: String,
       cents: Array[Array[Double]], newEmb: DataFrame): Unit = {
-    val (cells, cap, ck, gp) = postingsParamsAtPath(spark, path)
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gp) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
     require(cents.length == cells && centroidChecksumOf(cents) == ck,
       "model centroids differ from the postings artifact's")
     require(gp.isEmpty,
@@ -1128,7 +1182,8 @@ object Similarity {
         "appendIvfPostingsFragmentGrouped")
     appendFragmentFiles(spark, path,
       ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
-        .withColumn("iv_cap", lit(cap))) // artifact's cap, not the delta's
+        .withColumn("iv_cap", lit(cap)), // artifact's cap, not the delta's
+      state0)
   }
 
   /** The fragment WRITE: land the delta's one-file-per-touched-cell
@@ -1161,32 +1216,66 @@ object Similarity {
   }
 
   private def appendFragmentFiles(spark: SparkSession, path: String,
-      delta: DataFrame): Unit = {
+      delta0: DataFrame,
+      state0: Option[PostingsManifest.State]): Unit = {
+    import spark.implicits._
+    // Manifest bookkeeping needs the delta twice (write + per-cell row
+    // counts) — materialize ONCE so assignment arithmetic doesn't
+    // rerun; the manifest-less path keeps its single-pass shape.
+    val delta =
+      if (state0.isEmpty) delta0
+      else maintStage("frag_delta_ckpt")(delta0.localCheckpoint(true))
     // the staging dir is a SIBLING of the artifact — same filesystem,
     // so the per-file renames are valid (and cheap metadata ops there)
     val tmp = path.stripSuffix("/") +
       "__delta_" + java.util.UUID.randomUUID().toString
-    maintStage("frag_write_tmp") {
-      byCellPinned(delta)
-        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    }
-    val hTmp = new org.apache.hadoop.fs.Path(tmp)
-    val fs = hTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try maintStage("frag_rename") {
-      fs.listStatus(hTmp)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-        .foreach { d =>
-          val dest = new org.apache.hadoop.fs.Path(path, d.getPath.getName)
-          fs.mkdirs(dest) // no-op when the cell directory already exists
-          fs.listStatus(d.getPath)
-            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-            .foreach { f =>
-              require(fs.rename(f.getPath,
-                new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
-                s"fragment rename failed: ${f.getPath} -> $dest")
-            }
+    try {
+      maintStage("frag_write_tmp") {
+        byCellPinned(delta)
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      }
+      val hTmp = new org.apache.hadoop.fs.Path(tmp)
+      val fs = hTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // capture (cell, name, bytes) from the STAGING listing — the same
+      // statuses the rename pass walks, so the manifest entries cost no
+      // extra FS calls
+      val staged = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, Long)]
+      // write-ahead intent: from the first rename on, the manifest no
+      // longer matches the directory until rolled forward below
+      if (state0.nonEmpty) PostingsManifest.markDirty(spark, path)
+      try maintStage("frag_rename") {
+        fs.listStatus(hTmp)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+          .foreach { d =>
+            val cell = d.getPath.getName.stripPrefix("cell=").toInt
+            val dest = new org.apache.hadoop.fs.Path(path, d.getPath.getName)
+            fs.mkdirs(dest) // no-op when the cell directory already exists
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+              .foreach { f =>
+                require(fs.rename(f.getPath,
+                  new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+                  s"fragment rename failed: ${f.getPath} -> $dest")
+                staged += ((cell, f.getPath.getName, f.getLen))
+              }
+          }
+      } finally maintStage("frag_cleanup")(fs.delete(hTmp, true))
+      state0.foreach { st =>
+        maintStage("frag_manifest_roll") {
+          val rowsPerCell = delta
+            .groupBy(col("cell").cast("int").as("cell")).count()
+            .as[(Int, Long)].collect().toMap
+          val entries = staged.toSeq.map { case (c, name, bytes) =>
+            PostingsManifest.FileEntry(c, name, bytes,
+              rowsPerCell.getOrElse(c, 0L))
+          }
+          PostingsManifest.write(spark, path, st.adding(entries))
+          PostingsManifest.clearDirty(spark, path)
         }
-    } finally maintStage("frag_cleanup")(fs.delete(hTmp, true))
+      }
+    } finally if (state0.nonEmpty)
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(delta)
   }
 
   /** FRAGMENT append for TWO-LEVEL-built artifacts — the O(batch)
@@ -1204,7 +1293,9 @@ object Similarity {
   def appendIvfPostingsFragmentGrouped(spark: SparkSession, path: String,
       gcs: graft.expressions.IvfGroupedCentroidSet,
       newEmb: DataFrame): Unit = {
-    val (cells, cap, ck, gpOpt) = postingsParamsAtPath(spark, path)
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gpOpt) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
     require(gcs.flat.numCells == cells &&
       centroidChecksumOf(gcs.flat.cents) == ck,
       "grouped index cells differ from the postings artifact's")
@@ -1217,7 +1308,8 @@ object Similarity {
         .withColumn("iv_cells", lit(cells))
         .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
         .withColumn("iv_ck", lit(ck))
-        .withColumn("iv_gp", lit(gp)))
+        .withColumn("iv_gp", lit(gp)),
+      state0)
   }
 
   /** Cell-partition-aware compaction of a [[saveIvfPostings]]
@@ -1234,7 +1326,16 @@ object Similarity {
     * flatten the partition layout serving prunes on. Same concurrency
     * stance as the in-place append: per-partition swaps, run between
     * serving epochs. Returns (fragmented cells rewritten, files
-    * before, files after). */
+    * before, files after).
+    *
+    * With a clean [[PostingsManifest]] the whole detection phase is one
+    * small read — no artifact listing, no per-cell listStatus, no
+    * footer-count job (the O(files) terms that made the r14
+    * trickle-posture compaction 183 s over 68 k files) — and only the
+    * fragmented cells' directories are ever opened. Without one (legacy
+    * artifact, or a stranded dirty flag after a crash) it falls back to
+    * directory truth and then writes a fresh manifest, so one slow
+    * compaction ADOPTS the artifact into the fast path. */
   /** Delete orphaned fragment-staging siblings (`<artifact>__delta_*`):
     * [[appendFragmentFiles]] removes its temp dir in a finally, so one
     * survives only a DRIVER crash mid-append — but those accumulate
@@ -1261,41 +1362,91 @@ object Similarity {
 
   def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) = {
     import spark.implicits._
-    spark.catalog.refreshByPath(path)
-    val postings = spark.read.parquet(path)
-    val (_, cap, _) = postingsParams(postings)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleDeltas(fs, hPath)
-    val perCellFiles = fs.listStatus(hPath)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-      .map(d => d.getPath.getName.stripPrefix("cell=").toInt ->
-        fs.listStatus(d.getPath)
-          .count(f => f.isFile && f.getPath.getName.startsWith("part-")))
-      .toMap
-    val filesBefore = perCellFiles.values.sum
-    val multiFile = perCellFiles.filter(_._2 > 1).keySet
-    // a single fragment can overfill an EMPTY cell past the cap — file
-    // count alone can't see it, so over-cap cells join the rewrite set
-    // (row-group-metadata count, not a data scan)
-    val overCap =
-      if (cap == Int.MaxValue) Set.empty[Int]
-      else postings.groupBy($"cell").count()
-        .filter($"count" > cap).select($"cell".cast("int"))
-        .as[Int].collect().toSet
-    val fragmented = multiFile ++ overCap
-    if (fragmented.isEmpty) return (0, filesBefore, filesBefore)
-    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
-    val folded = postings
-      .filter($"cell".isin(fragmented.toSeq: _*))
-      .dropDuplicates(Seq("cell", "cand_id"))
-      .withColumn("cellRank", row_number().over(byCell))
-      .filter($"cellRank" <= cap)
-      .drop("cellRank")
-    overwriteTouchedCells(spark, path, folded)
-    (fragmented.size, filesBefore,
-      filesBefore - perCellFiles.view.filterKeys(fragmented).values.sum
-        + fragmented.size)
+    PostingsManifest.readClean(spark, path) match {
+      // ---- manifest route: fragmented-set detection from ONE small
+      // read — no artifact listing, no per-cell listStatus, no
+      // footer-count job; the only artifact I/O left is reading the
+      // fragmented cells themselves. This is what turned the r14
+      // trickle-posture compaction from O(files) to O(fragmented).
+      case Some(st) =>
+        val cap = st.params.cap
+        val pcFiles = st.perCellFiles
+        val filesBefore = st.totalFiles
+        val multiFile = pcFiles.filter(_._2 > 1).keySet
+        // a single fragment can overfill an EMPTY cell past the cap —
+        // file count alone can't see it; the manifest's physical row
+        // counts (replay dups included) can
+        val overCap =
+          if (cap == Int.MaxValue) Set.empty[Int]
+          else st.perCellRows.filter(_._2 > cap).keySet
+        val fragmented = multiFile ++ overCap
+        if (fragmented.isEmpty) return (0, filesBefore, filesBefore)
+        spark.catalog.refreshByPath(path)
+        val frag = spark.read.option("basePath", path)
+          .parquet(fragmented.toSeq.map(c => s"$path/cell=$c"): _*)
+        val byCell =
+          Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+        val folded = frag
+          .dropDuplicates(Seq("cell", "cand_id"))
+          .withColumn("cellRank", row_number().over(byCell))
+          .filter($"cellRank" <= cap)
+          .drop("cellRank")
+        PostingsManifest.markDirty(spark, path)
+        val counts = overwriteTouchedCells(spark, path, folded,
+          wantCounts = true)
+        val entries = PostingsManifest.entriesFromDirs(
+          spark, path, fragmented, counts)
+        PostingsManifest.write(spark, path,
+          st.replacingCells(fragmented, entries))
+        PostingsManifest.clearDirty(spark, path)
+        (fragmented.size, filesBefore,
+          filesBefore - fragmented.toSeq.map(pcFiles).sum + fragmented.size)
+
+      // ---- listing route: no manifest, or a stranded dirty flag says
+      // it can't be trusted — fall back to directory truth (the old
+      // O(files) shape), then ADOPT: rebuild a clean manifest from the
+      // just-compacted directory so every later op gets the fast path.
+      case None =>
+        spark.catalog.refreshByPath(path)
+        val postings = spark.read.parquet(path)
+        val (_, cap, _) = postingsParams(postings)
+        val perCellFiles = fs.listStatus(hPath)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+          .map(d => d.getPath.getName.stripPrefix("cell=").toInt ->
+            fs.listStatus(d.getPath)
+              .count(f => f.isFile && f.getPath.getName.startsWith("part-")))
+          .toMap
+        val filesBefore = perCellFiles.values.sum
+        val multiFile = perCellFiles.filter(_._2 > 1).keySet
+        // over-cap detection: row-group-metadata count, not a data scan
+        val overCap =
+          if (cap == Int.MaxValue) Set.empty[Int]
+          else postings.groupBy($"cell").count()
+            .filter($"count" > cap).select($"cell".cast("int"))
+            .as[Int].collect().toSet
+        val fragmented = multiFile ++ overCap
+        val result =
+          if (fragmented.isEmpty) (0, filesBefore, filesBefore)
+          else {
+            val byCell = Window.partitionBy($"cell")
+              .orderBy($"d2".asc, $"cand_id".asc)
+            val folded = postings
+              .filter($"cell".isin(fragmented.toSeq: _*))
+              .dropDuplicates(Seq("cell", "cand_id"))
+              .withColumn("cellRank", row_number().over(byCell))
+              .filter($"cellRank" <= cap)
+              .drop("cellRank")
+            overwriteTouchedCells(spark, path, folded)
+            (fragmented.size, filesBefore,
+              filesBefore - perCellFiles.view.filterKeys(fragmented)
+                .values.sum + fragmented.size)
+          }
+        PostingsManifest.rebuildAndWrite(spark, path)
+        result
+    }
   }
 
   /** Serve top-k for a QUERY set from the persisted postings: queries

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PostingsManifest, Similarity}
+
+/** The postings manifest sidecar's one invariant, pinned through every
+  * lifecycle op: **dirty-flag absent ⟹ manifest ≡ directory truth**
+  * (per-cell file names, byte sizes, and physical row counts — replay
+  * duplicates included). Plus the protocol edges: a stranded dirty flag
+  * demotes every consumer to its listing fallback, compaction recovers
+  * (rebuild + clear), and the sidecar is invisible to plain artifact
+  * readers.
+  */
+class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def fs(path: String) = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Directory truth, gathered independently of PostingsManifest's own
+    * rebuild code: FS listing for names/bytes + a full-read count for
+    * per-file rows. */
+  private def truth(path: String): Set[(Int, String, Long, Long)] = {
+    val f = fs(path)
+    spark.catalog.refreshByPath(path)
+    // keyed by (cell, name): one writer TASK reuses its part-file name
+    // across every cell directory it writes, so names alone collide
+    val rowsPerFile = spark.read.parquet(path)
+      .groupBy(col("cell").cast("int").as("cell"),
+        input_file_name().as("fn")).count()
+      .as[(Int, String, Long)].collect()
+      .map { case (c, fn, n) =>
+        (c, fn.substring(fn.lastIndexOf('/') + 1)) -> n }
+      .toMap
+    f.listStatus(new Path(path))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .flatMap { d =>
+        val cell = d.getPath.getName.stripPrefix("cell=").toInt
+        f.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(s => (cell, s.getPath.getName, s.getLen,
+            rowsPerFile((cell, s.getPath.getName))))
+      }.toSet
+  }
+
+  private def manifestSet(path: String): Set[(Int, String, Long, Long)] = {
+    val st = PostingsManifest.readClean(spark, path)
+    assert(st.nonEmpty, "manifest must be present and clean")
+    st.get.files.map(e => (e.cell, e.file, e.bytes, e.rows)).toSet
+  }
+
+  private def assertManifestIsTruth(path: String, where: String): Unit = {
+    assert(!PostingsManifest.isDirty(spark, path),
+      s"$where: dirty flag must be cleared")
+    assert(manifestSet(path) == truth(path),
+      s"$where: manifest diverged from directory truth")
+  }
+
+  private def freshArtifact(cap: Int = 16): (String,
+      org.apache.spark.ml.clustering.KMeansModel, Array[Array[Double]]) = {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_manifest").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostings(emb.filter($"vec_id" % 4 === 0), model, cap),
+      path)
+    (path, model, model.clusterCenters.map(_.toArray))
+  }
+
+  test("build writes a manifest equal to directory truth, invisible to readers") {
+    val (path, model, _) = freshArtifact()
+    assertManifestIsTruth(path, "after build")
+    val st = PostingsManifest.readClean(spark, path).get
+    assert(st.params.cells == 16 && st.params.cap == 16 &&
+      st.params.ck == Similarity.centroidChecksum(model) &&
+      st.params.gp.isEmpty)
+    // the sidecar must not leak into the artifact's data read: schema
+    // is the postings schema, row count is the manifest's own total
+    val df = spark.read.parquet(path)
+    assert(df.columns.toSet ==
+      Set("cell", "cand_id", "cv", "cn", "d2", "iv_cells", "iv_cap", "iv_ck"))
+    assert(df.count() == st.perCellRows.values.sum)
+  }
+
+  test("fragment appends + replay roll the manifest forward exactly") {
+    val (path, _, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val b2 = emb.filter($"vec_id" % 4 === 2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    assertManifestIsTruth(path, "after fragment append 1")
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // replay
+    // truth counts PHYSICAL rows — the replay's duplicates included
+    assertManifestIsTruth(path, "after replayed fragment append")
+    // and compaction folds it all back to 1-file-per-cell truth
+    val (nFrag, before, after) = Similarity.compactIvfPostings(spark, path)
+    assert(nFrag > 0 && after < before)
+    assertManifestIsTruth(path, "after compaction")
+    assert(PostingsManifest.readClean(spark, path).get
+      .perCellFiles.values.forall(_ == 1))
+  }
+
+  test("recap in-place appends roll the manifest forward exactly") {
+    val (path, model, _) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    (1 to 3).foreach { i =>
+      Similarity.appendIvfPostingsInPlace(spark, path, model,
+        emb.filter($"vec_id" % 4 === i))
+      assertManifestIsTruth(path, s"after recap append $i")
+    }
+  }
+
+  test("a stranded dirty flag demotes consumers and compaction recovers") {
+    val (path, _, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    Similarity.appendIvfPostingsFragment(spark, path, cents,
+      emb.filter($"vec_id" % 4 === 1))
+    // simulate a crash mid-append: a fragment landed that the manifest
+    // never heard about, and the write-ahead flag is still up
+    val f = fs(path)
+    val aCell = f.listStatus(new Path(path))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+      .head.getPath
+    val aFile = f.listStatus(aCell)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-")).head
+    org.apache.hadoop.fs.FileUtil.copy(f, aFile.getPath, f,
+      new Path(aCell, "part-crashed-" + aFile.getPath.getName.drop(5)),
+      false, spark.sparkContext.hadoopConfiguration)
+    PostingsManifest.markDirty(spark, path)
+    // consumers must refuse the (now stale) manifest
+    assert(PostingsManifest.readClean(spark, path).isEmpty)
+    // compaction falls back to directory truth: it must SEE the crashed
+    // duplicate file (the stale manifest didn't), fold it, and leave a
+    // clean rebuilt manifest behind
+    val (nFrag, _, _) = Similarity.compactIvfPostings(spark, path)
+    assert(nFrag > 0, "fallback compaction must fold the crashed file")
+    assertManifestIsTruth(path, "after recovery compaction")
+  }
+
+  test("manifest-less artifacts work end to end and compaction adopts them") {
+    val (path, model, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // legacy artifact: no sidecar at all
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    assert(PostingsManifest.readClean(spark, path).isEmpty)
+    // footer-path params still drive both append families
+    Similarity.appendIvfPostingsFragment(spark, path, cents,
+      emb.filter($"vec_id" % 4 === 1))
+    Similarity.appendIvfPostingsInPlace(spark, path, model,
+      emb.filter($"vec_id" % 4 === 2))
+    assert(PostingsManifest.readClean(spark, path).isEmpty,
+      "appends must not invent a manifest for a legacy artifact")
+    // first compaction adopts: directory-truth fold + fresh manifest
+    Similarity.compactIvfPostings(spark, path)
+    assertManifestIsTruth(path, "after adopting compaction")
+    // from here on, appends maintain it
+    Similarity.appendIvfPostingsFragment(spark, path, cents,
+      emb.filter($"vec_id" % 4 === 3))
+    assertManifestIsTruth(path, "after post-adoption append")
+  }
+
+  test("manifest-route compaction rows equal the from-scratch rebuild") {
+    // the same append≡rebuild law SimilaritySpec pins, but explicitly
+    // through the manifest detection path (fresh artifacts all carry
+    // manifests, so this is the route the lifecycle queries take)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_manifest_cmp").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // replay
+    assert(PostingsManifest.readClean(spark, path).nonEmpty,
+      "precondition: compaction below must take the manifest route")
+    Similarity.compactIvfPostings(spark, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostings(old.union(b1), model, cap)),
+      "manifest-route compaction must equal the from-scratch build")
+  }
+}
