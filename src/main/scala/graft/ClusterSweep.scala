@@ -199,7 +199,7 @@ object ClusterSweep {
       .resolve("postings").toString
     graft.operators.Similarity.saveIvfPostings(
       graft.operators.Similarity.ivfPostingsFromGrouped(emb, gcs), dir)
-    val postings = spark.read.parquet(dir)
+    val postings = graft.operators.Similarity.readPostings(spark, dir)
     val queries = emb.filter($"vec_id" % 100 === 0)
     ScaleSweep.digest(graft.operators.Similarity.ivfTopKFromPostingsPruned(
       queries, gcs.flat.cents, postings, probes = 4, k = 10))

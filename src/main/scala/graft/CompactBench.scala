@@ -245,8 +245,7 @@ object PostingsCompactBench {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     def serveSec(dir: String): (Double, ScaleSweep.Digest) = {
-      spark.catalog.refreshByPath(dir)
-      val postings = spark.read.parquet(dir)
+      val postings = Similarity.readPostings(spark, dir)
       val queries = emb.filter(pmod($"vec_id", lit(step)) === 0)
       def go() = Similarity.ivfTopKFromPostingsLargeWithCentroids(
         queries, cents, postings, probes = 8, k = 10)

@@ -198,7 +198,7 @@ object IndexBench {
     graft.operators.Similarity.saveIvfPostings(
       graft.operators.Similarity.ivfPostings(emb, model, cellCap = 4096),
       path)
-    val postings = spark.read.parquet(path)
+    val postings = graft.operators.Similarity.readPostings(spark, path)
     val screen = timeMedian(spark, iters)(
       graft.operators.Similarity.ivfTopKFromPostings(queries, model,
         postings, probes = 12, k = 10))

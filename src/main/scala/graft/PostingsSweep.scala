@@ -108,7 +108,7 @@ object PostingsSweep {
       Similarity.saveIvfPostings(
         Similarity.ivfPostingsFromGrouped(emb, gcs), dir)
       val buildSec = (System.nanoTime() - tBuild0) / 1e9
-      val postings = spark.read.parquet(dir)
+      val postings = Similarity.readPostings(spark, dir)
       def serve(route: String) = route match {
         case "expanded" => Similarity.ivfTopKFromPostingsWithCentroids(
           queries, gcs.flat.cents, postings, probes, k)

@@ -192,7 +192,8 @@ object EmbeddingQueries {
     Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
     Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // redelivery
     Similarity.compactIvfPostings(spark, path)
-    spark.read.parquet(path)
+    // read back through the manifest-backed FileIndex (zero listings)
+    Similarity.readPostings(spark, path)
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
@@ -233,7 +234,8 @@ object EmbeddingQueries {
     Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b2)
     Similarity.appendIvfPostingsFragmentGrouped(spark, path, gcs, b1) // redelivery
     Similarity.compactIvfPostings(spark, path)
-    spark.read.parquet(path)
+    // read back through the manifest-backed FileIndex (zero listings)
+    Similarity.readPostings(spark, path)
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 

@@ -134,6 +134,10 @@ object PostingsManifest {
     val dest = manifestDir(path)
     fs.delete(dest, true)
     require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+    // the swap happened behind Spark's back (FS rename, not a Spark
+    // write) — drop any shared-FileStatusCache listing of the old
+    // manifest so a same-session readClean can't chase deleted files
+    spark.catalog.refreshByPath(dest.toString)
   }
 
   /** Directory truth, the O(files) fallback the manifest exists to make

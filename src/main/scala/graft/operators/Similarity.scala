@@ -912,6 +912,52 @@ object Similarity {
     df.repartition(
       df.sparkSession.sessionState.conf.numShufflePartitions, col("cell"))
 
+  /** The postings data files' schema (partition column excluded) — what
+    * [[ivfPostingsKernelBuilt]]/[[ivfPostingsTwoLevel]] write; the
+    * two-level builds add `iv_gp`. Manifest-served reads derive it from
+    * the manifest params instead of opening a footer. */
+  private def postingsDataSchema(hasGp: Boolean):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq(
+      StructField("cand_id", LongType),
+      StructField("cv", ArrayType(DoubleType)),
+      StructField("cn", DoubleType),
+      StructField("d2", DoubleType),
+      StructField("iv_cells", IntegerType),
+      StructField("iv_cap", IntegerType),
+      StructField("iv_ck", LongType)))
+    if (hasGp) base.add(StructField("iv_gp", IntegerType)) else base
+  }
+
+  /** Open a postings DIRECTORY for serving — the read every
+    * postings-served route should start from. With a clean
+    * [[PostingsManifest]] the scan is planned from a
+    * [[graft.plans.PostingsFileIndex]] snapshot: ZERO filesystem
+    * listings (a `spark.read.parquet(dir)` on a partitioned artifact
+    * lists every file before the first task — the §6.2-measured
+    * serving term at 10⁴⁺ cells), exact byte sizes for the optimizer,
+    * and partition pruning against the manifest's cell values — so
+    * [[ivfTopKFromPostingsPruned]] over this frame touches only probed
+    * cells' FILES, no directory ever opened. Falls back to the
+    * discovering read for manifest-less or dirty artifacts.
+    *
+    * The frame is a SNAPSHOT: maintenance committed after this call is
+    * invisible until the caller re-opens — which is exactly what makes
+    * serving during an overlapped compaction safe (readers hold file
+    * paths; compaction swaps cells only after their replacement file
+    * is in place). */
+  def readPostings(spark: SparkSession, path: String): DataFrame =
+    PostingsManifest.readClean(spark, path) match {
+      case Some(st) =>
+        org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(spark,
+          new graft.plans.PostingsFileIndex(path, st),
+          postingsDataSchema(st.params.gp.nonEmpty))
+      case None =>
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path)
+    }
+
   def saveIvfPostings(postings: DataFrame, path: String): Unit = {
     byCellPinned(postings)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -1384,9 +1430,15 @@ object Similarity {
           else st.perCellRows.filter(_._2 > cap).keySet
         val fragmented = multiFile ++ overCap
         if (fragmented.isEmpty) return (0, filesBefore, filesBefore)
-        spark.catalog.refreshByPath(path)
-        val frag = spark.read.option("basePath", path)
-          .parquet(fragmented.toSeq.map(c => s"$path/cell=$c"): _*)
+        // the fold's input scan is planned from the manifest snapshot
+        // restricted to the fragmented cells — zero listings even here
+        // (safe against the overwrite below: overwriteTouchedCells
+        // materializes the fold before any file is replaced)
+        val frag = org.apache.spark.sql.GraftColumnBridge
+          .parquetOverFileIndex(spark,
+            new graft.plans.PostingsFileIndex(path,
+              st.copy(files = st.files.filter(f => fragmented(f.cell)))),
+            postingsDataSchema(st.params.gp.nonEmpty))
         val byCell =
           Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
         val folded = frag

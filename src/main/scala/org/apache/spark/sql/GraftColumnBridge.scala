@@ -35,6 +35,28 @@ object GraftColumnBridge {
     errors.QueryCompilationErrors.wrongNumArgsError(
       funcName, expected.map(_.toString), actual)
 
+  /** A parquet DataFrame planned over a caller-supplied
+    * [[execution.datasources.FileIndex]] — the relation-construction
+    * seam that lets graft serve its postings artifact from a manifest
+    * snapshot (`graft.plans.PostingsFileIndex`) with zero filesystem
+    * listings, the way Delta's log-backed index plugs into the same
+    * `HadoopFsRelation`. `dataSchema` is the files' schema WITHOUT the
+    * partition columns (those come from `index.partitionSchema`). */
+  def parquetOverFileIndex(
+      spark: SparkSession,
+      index: execution.datasources.FileIndex,
+      dataSchema: types.StructType): Dataset[Row] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(cs)
+    cs.baseRelationToDataFrame(relation)
+  }
+
   /** The optimizer's size estimate for a frame (bytes) — the same
     * statistic the broadcast-join threshold consults; free (no job),
     * upper-bounded by the scan's file sizes. For parallelism

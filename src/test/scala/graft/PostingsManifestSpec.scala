@@ -165,6 +165,58 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     assertManifestIsTruth(path, "after post-adoption append")
   }
 
+  test("readPostings serves from the manifest FileIndex: equal rows, pruned files") {
+    val (path, model, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    Similarity.appendIvfPostingsFragment(spark, path, cents,
+      emb.filter($"vec_id" % 4 === 1))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.refreshByPath(path)
+    val viaIndex = Similarity.readPostings(spark, path)
+    // planned from the manifest, not a discovered listing
+    assert(viaIndex.queryExecution.executedPlan.toString
+      .contains("PostingsFileIndex"),
+      "manifest-backed read must plan over PostingsFileIndex")
+    assert(rows(viaIndex) == rows(spark.read.parquet(path)),
+      "manifest-served read must equal the discovering read")
+    // partition pruning against the manifest's cell values: a cell
+    // filter reads only those cells' files
+    val cellsAll = viaIndex.select($"cell").distinct().as[Int]
+      .collect().sorted
+    val probe = cellsAll.take(2).toSeq
+    val readFiles = viaIndex.filter($"cell".isin(probe: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => probe.exists(c => f.contains(s"cell=$c/"))),
+      s"pruned read touched foreign files: ${readFiles.toSeq}")
+    // serving through the index equals serving through the plain read
+    val k = 3
+    val queries = emb.filter($"vec_id" < 10)
+    def serve(p: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKFromPostingsPruned(queries, cents, p,
+        probes = 2, k = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(serve(viaIndex) == serve(spark.read.parquet(path)))
+    // the two-level artifact carries iv_gp — schema derivation branch
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_manifest_2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(emb, gcs, groupProbes = 2), path2)
+    val via2 = Similarity.readPostings(spark, path2)
+    assert(via2.columns.contains("iv_gp"))
+    assert(rows(via2) == rows(spark.read.parquet(path2)))
+    // fallback: no manifest → discovering read, same rows
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    val fallback = Similarity.readPostings(spark, path)
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("PostingsFileIndex"))
+    assert(rows(fallback) == rows(viaIndex))
+  }
+
   test("manifest-route compaction rows equal the from-scratch rebuild") {
     // the same append≡rebuild law SimilaritySpec pins, but explicitly
     // through the manifest detection path (fresh artifacts all carry
