@@ -227,6 +227,67 @@ object IngestBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // JDBC-ingress-only mode: IB_JDBC=<table|1> (1 → lineitem) loads
+    // the table into an embedded Derby warehouse, then times the
+    // extract single-cursor vs N-striped
+    // (JdbcIngress.readTablePartitioned) — the S1 parallel-ingress
+    // claim with a number attached. Embedded Derby shares this JVM's
+    // cores with Spark, so the measured stripe speedup is a LOWER
+    // bound on a real warehouse's (no network, no server-side
+    // parallelism in the denominator); the stripe BALANCE is the part
+    // that transfers as-is, since it is the partitioning predicate's
+    // own property.
+    sys.env.get("IB_JDBC").foreach { spec =>
+      val table = if (spec == "1") "lineitem" else spec
+      val partCol = Map("lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+        "customer" -> "c_custkey", "part" -> "p_partkey")
+        .getOrElse(table, sys.error(s"no stripe key mapped for $table"))
+      Tables.validate(spark, sfDir, Seq(table))
+      val df = Tables.load(spark, sfDir, table)
+      val url = "jdbc:derby:memory:ibjdbc;create=true"
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, loadSec) = timed(
+        graft.sources.WarehouseWriter.saveJdbc(df, url, table.toUpperCase))
+      val (lo, hi) = {
+        val r = df.agg(org.apache.spark.sql.functions.min(partCol),
+          org.apache.spark.sql.functions.max(partCol)).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val rows = df.count()
+      def ingress(n: Int) =
+        if (n == 1) graft.sources.JdbcIngress.readTable(spark, url,
+          table.toUpperCase)
+        else graft.sources.JdbcIngress.readTablePartitioned(spark, url,
+          table.toUpperCase, partCol, lo, hi, n)
+      def measure(n: Int): Double = {
+        ingress(n).write.format("noop").mode("overwrite").save() // warm
+        timed(ingress(n).write.format("noop").mode("overwrite").save())._2
+      }
+      val stripes = Seq(1, 2, 4, 8, 16)
+      val secs = stripes.map(n => n -> measure(n))
+      // stripe balance at the widest fan: rows per cursor, max/mean —
+      // the striping predicate's own skew, independent of this box
+      val widest = stripes.max
+      val perStripe = ingress(widest)
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id())
+        .count().collect().map(_.getLong(1))
+      val balance =
+        perStripe.max.toDouble / (perStripe.sum.toDouble / perStripe.length)
+      val single = secs.head._2
+      println(f"""{"metric":"ingest_bench_jdbc","sf_dir":"$sfDir",""" +
+        f""""table":"$table","rows":$rows,"load_sec":$loadSec%.2f,""" +
+        secs.map { case (n, s) =>
+          f""""extract_${n}_sec":$s%.2f""" }.mkString(",") + "," +
+        f""""speedup_widest":${single / secs.last._2}%.2f,""" +
+        f""""stripes_widest":$widest,"stripe_balance":$balance%.2f}""")
+      spark.stop()
+      return
+    }
+
     // grouped-seam-only mode: IB_GROUPED_CELLS=<groups>x<cellsPerGroup>
     // [IB_GROUP_PROBES=<gp>] runs ONLY the two-level embedding seam at
     // that cell count and exits — the 2¹⁴-cell flatness row

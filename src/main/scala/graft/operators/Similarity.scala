@@ -1382,6 +1382,108 @@ object Similarity {
     * artifact, or a stranded dirty flag after a crash) it falls back to
     * directory truth and then writes a fresh manifest, so one slow
     * compaction ADOPTS the artifact into the fast path. */
+  /** What [[appendIvfPostingsAuto]] decided and why — returned for
+    * observability (the flip is an economics call an operator will
+    * want in logs). */
+  case class AppendRoute(route: String, batchRows: Long,
+      touchedRows: Long, ratio: Double)
+
+  /** The recap↔fragment REGIME LAW as API (the q76 auto-router pattern
+    * applied to maintenance): route each append by the measured
+    * economics instead of making every caller learn them. The r14 A/B
+    * (SURVEY §6.1) pinned the law — recap cost is ∝ the TOUCHED CELLS'
+    * FULL POPULATIONS (it re-ranks and rewrites them), fragment cost is
+    * ∝ the BATCH alone — so the observable that decides is their ratio:
+    *
+    *   ratio = Σ touched cells' current rows / batch rows
+    *
+    * Measured: ratio ≈ 3 → recap wins (fixture/sf1 postures, 0.85×);
+    * ratio ≈ 7–8 → fragment wins 1.35–1.87× (sf10 postures); at a
+    * mature index (10⁹-row artifact, 10⁵-row batches, ratio 10³⁺) the
+    * recap term is the whole bill. `fragmentThreshold` defaults into
+    * the measured gap (4). Costs of the probe itself: ONE extra
+    * O(batch) assignment pass (a groupBy-count of the delta's home
+    * cells) plus the manifest read the routes already do — the
+    * manifest's per-cell rows make touched populations free, which is
+    * what makes this router practical.
+    *
+    * Both routes land the same logical artifact (spec-pinned: either
+    * path + compaction ≡ rebuild); they differ in WHEN maintenance is
+    * paid — recap now (always-serveable), fragment at the next
+    * compaction (O(batch) trigger, superset serving until then). A
+    * manifest-less or dirty artifact routes to RECAP: without per-cell
+    * rows the ratio is unobservable, and recap is the conservative
+    * always-serveable default. */
+  def appendIvfPostingsAuto(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], newEmb: DataFrame,
+      fragmentThreshold: Double = 4.0): AppendRoute = {
+    import spark.implicits._
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gp) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the postings artifact's")
+    require(gp.isEmpty,
+      "artifact is two-level-built (iv_gp): use appendIvfPostingsAutoGrouped")
+    val delta = ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
+      .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
+    routeAppend(spark, path, delta, cap, state0, fragmentThreshold)
+  }
+
+  /** [[appendIvfPostingsAuto]] for TWO-LEVEL-built artifacts:
+    * assignment rides the artifact's own embedded `iv_gp` (one law per
+    * artifact life), the routing economics are identical. */
+  def appendIvfPostingsAutoGrouped(spark: SparkSession, path: String,
+      gcs: graft.expressions.IvfGroupedCentroidSet, newEmb: DataFrame,
+      fragmentThreshold: Double = 4.0): AppendRoute = {
+    import spark.implicits._
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gpOpt) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
+    require(gcs.flat.numCells == cells &&
+      centroidChecksumOf(gcs.flat.cents) == ck,
+      "grouped index cells differ from the postings artifact's")
+    require(gpOpt.nonEmpty,
+      "artifact is exact-built (no iv_gp): use appendIvfPostingsAuto")
+    val gp = gpOpt.get
+    val delta = homeTwoLevel(newEmb, gcs, gp)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
+      .withColumn("iv_ck", lit(ck))
+      .withColumn("iv_gp", lit(gp))
+    routeAppend(spark, path, delta, cap, state0, fragmentThreshold)
+  }
+
+  /** The shared probe-and-dispatch: one O(batch) pass over the
+    * home-assigned delta yields (touched cells, batch rows); touched
+    * populations come free from the manifest. The chosen route re-runs
+    * the delta's assignment plan — deterministic, O(batch) arithmetic,
+    * the same cost class the routes pay anyway. */
+  private def routeAppend(spark: SparkSession, path: String,
+      delta: DataFrame, cap: Int, state0: Option[PostingsManifest.State],
+      fragmentThreshold: Double): AppendRoute = {
+    import spark.implicits._
+    val perCellBatch = maintStage("route_probe")(
+      delta.groupBy(col("cell").cast("int").as("cell")).count()
+        .as[(Int, Long)].collect())
+    val batchRows = perCellBatch.map(_._2).sum
+    val touchedRows = state0 match {
+      case Some(st) =>
+        val pop = st.perCellRows
+        perCellBatch.map { case (c, _) => pop.getOrElse(c, 0L) }.sum
+      case None => 0L
+    }
+    val ratio =
+      if (batchRows == 0) 0.0 else touchedRows.toDouble / batchRows
+    if (state0.nonEmpty && ratio >= fragmentThreshold) {
+      appendFragmentFiles(spark, path, delta, state0)
+      AppendRoute("fragment", batchRows, touchedRows, ratio)
+    } else {
+      recapTouchedDirsAndOverwrite(spark, path, delta, cap)
+      AppendRoute("recap", batchRows, touchedRows, ratio)
+    }
+  }
+
   /** Delete orphaned fragment-staging siblings (`<artifact>__delta_*`):
     * [[appendFragmentFiles]] removes its temp dir in a finally, so one
     * survives only a DRIVER crash mid-append — but those accumulate
@@ -1499,6 +1601,61 @@ object Similarity {
         PostingsManifest.rebuildAndWrite(spark, path)
         result
     }
+  }
+
+  /** Fragmentation OBSERVABILITY for a postings directory — the report
+    * that tells an operator WHEN to compact, instead of compacting on
+    * cadence: files vs cells (the LSM debt), fragmented and over-cap
+    * cell counts, and optionally the exact replay-duplicate row count.
+    * One row, columns:
+    * `(cells, files, excess_files, fragmented_cells, max_files_per_cell,
+    * overcap_cells, rows, bytes, manifest, dup_rows)`.
+    *
+    * Cost: with a clean manifest this is ONE small read — no artifact
+    * listing at all (the whole point of the sidecar); a manifest-less
+    * or dirty artifact pays one directory-truth pass (listing + a
+    * footer-bounded count job), reported as `manifest = absent|dirty`
+    * so the operator also learns the sidecar needs adopting
+    * ([[compactIvfPostings]] does that). `withDupScan = true` adds one
+    * data scan of the MULTI-FILE cells only (duplicates cannot exist
+    * inside a single fragment — each batch assigns a vector one home —
+    * so single-file cells are skipped): exact dup count, cost ∝
+    * fragmented cells, zero listings (manifest-planned scan). */
+  def postingsFragmentationReport(spark: SparkSession, path: String,
+      withDupScan: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val stateOpt = PostingsManifest.readClean(spark, path)
+    val status =
+      if (stateOpt.nonEmpty) "clean"
+      else if (PostingsManifest.isDirty(spark, path)) "dirty"
+      else "absent"
+    val st = stateOpt.getOrElse(PostingsManifest.rebuild(spark, path))
+    val pcFiles = st.perCellFiles
+    val pcRows = st.perCellRows
+    val cap = st.params.cap
+    val fragmented = pcFiles.filter(_._2 > 1).keySet
+    val overcap =
+      if (cap == Int.MaxValue) Set.empty[Int]
+      else pcRows.filter(_._2 > cap).keySet
+    val dupRows: Option[Long] =
+      if (!withDupScan) None
+      else if (fragmented.isEmpty) Some(0L)
+      else {
+        val frag = org.apache.spark.sql.GraftColumnBridge
+          .parquetOverFileIndex(spark,
+            new graft.plans.PostingsFileIndex(path,
+              st.copy(files = st.files.filter(f => fragmented(f.cell)))),
+            postingsDataSchema(st.params.gp.nonEmpty))
+        Some(frag.count() -
+          frag.dropDuplicates(Seq("cell", "cand_id")).count())
+      }
+    Seq((pcFiles.size.toLong, st.totalFiles.toLong,
+      (st.totalFiles - pcFiles.size).toLong, fragmented.size.toLong,
+      pcFiles.values.foldLeft(0)(math.max).toLong, overcap.size.toLong,
+      pcRows.values.sum, st.files.map(_.bytes).sum, status, dupRows))
+      .toDF("cells", "files", "excess_files", "fragmented_cells",
+        "max_files_per_cell", "overcap_cells", "rows", "bytes",
+        "manifest", "dup_rows")
   }
 
   /** Serve top-k for a QUERY set from the persisted postings: queries

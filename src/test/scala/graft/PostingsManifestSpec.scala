@@ -217,6 +217,110 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     assert(rows(fallback) == rows(viaIndex))
   }
 
+  test("auto append routes by the regime law; both routes land the rebuild") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // posture 1: batch ≈ touched populations (seed and batch are the
+    // same size) → ratio ≈ 1–3 → RECAP, immediately rebuild-equal
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft_auto_r").toString
+    val seed1 = emb.filter($"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 2 === 1)
+    Similarity.saveIvfPostings(Similarity.ivfPostings(seed1, model), p1)
+    val r1 = Similarity.appendIvfPostingsAuto(spark, p1, cents, b1)
+    assert(r1.route == "recap" && r1.ratio < 4.0,
+      s"equal-size batch must recap, got $r1")
+    assertManifestIsTruth(p1, "after auto recap")
+    spark.catalog.refreshByPath(p1)
+    assert(rows(spark.read.parquet(p1)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+
+    // posture 2: populations ≫ batch (a trickle into a mature index)
+    // → FRAGMENT; compaction lands the rebuild
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_auto_f").toString
+    val seed2 = emb.filter($"vec_id" >= 20)
+    val b2 = emb.filter($"vec_id" < 20)
+    Similarity.saveIvfPostings(Similarity.ivfPostings(seed2, model), p2)
+    val r2 = Similarity.appendIvfPostingsAuto(spark, p2, cents, b2)
+    assert(r2.route == "fragment" && r2.ratio >= 4.0,
+      s"trickle into a mature index must fragment, got $r2")
+    assertManifestIsTruth(p2, "after auto fragment")
+    Similarity.compactIvfPostings(spark, p2)
+    spark.catalog.refreshByPath(p2)
+    assert(rows(spark.read.parquet(p2)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+
+    // no manifest → the ratio is unobservable → conservative recap
+    val p3 = java.nio.file.Files
+      .createTempDirectory("graft_auto_n").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(seed2, model), p3)
+    fs(p3).delete(PostingsManifest.manifestDir(p3), true)
+    val r3 = Similarity.appendIvfPostingsAuto(spark, p3, cents, b2)
+    assert(r3.route == "recap" && r3.touchedRows == 0L)
+    spark.catalog.refreshByPath(p3)
+    assert(rows(spark.read.parquet(p3)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+
+    // grouped twin on a two-level artifact: same law, artifact's own gp
+    val gcs = Similarity.fitIvfHierarchical(emb, numGroups = 4,
+      cellsPerGroup = 4, trainFraction = 0.5)
+    val p4 = java.nio.file.Files
+      .createTempDirectory("graft_auto_g").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(seed2, gcs, groupProbes = 2), p4)
+    val r4 = Similarity.appendIvfPostingsAutoGrouped(spark, p4, gcs, b2)
+    assert(r4.route == "fragment", s"got $r4")
+    Similarity.compactIvfPostings(spark, p4)
+    spark.catalog.refreshByPath(p4)
+    assert(rows(spark.read.parquet(p4).drop("iv_gp")) ==
+      rows(Similarity.ivfPostingsTwoLevel(emb, gcs, groupProbes = 2)))
+    // law guards: wrong variant for the artifact kind
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfPostingsAutoGrouped(spark, p2, gcs, b2))
+    intercept[IllegalArgumentException](
+      Similarity.appendIvfPostingsAuto(spark, p4, gcs.flat.cents, b2))
+  }
+
+  test("fragmentation report reads the artifact's health from the manifest") {
+    val (path, _, cents) = freshArtifact(cap = 8)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def report(dupScan: Boolean = false) =
+      Similarity.postingsFragmentationReport(spark, path, dupScan).head()
+    val r0 = report()
+    assert(r0.getAs[Long]("excess_files") == 0L &&
+      r0.getAs[Long]("fragmented_cells") == 0L &&
+      r0.getAs[String]("manifest") == "clean" &&
+      r0.getAs[Long]("files") == r0.getAs[Long]("cells"))
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // replay
+    val r1 = report(dupScan = true)
+    assert(r1.getAs[Long]("fragmented_cells") > 0L &&
+      r1.getAs[Long]("excess_files") ==
+        r1.getAs[Long]("files") - r1.getAs[Long]("cells"))
+    // every replayed row is a duplicate — the dup scan must count it
+    val b1Assigned = Similarity.ivfPostings(b1,
+      Similarity.fitIvfIndex(emb, 16, 42L, trainFraction = 0.5)).count()
+    assert(r1.getAs[Long]("dup_rows") == b1Assigned,
+      s"dup_rows ${r1.getAs[Long]("dup_rows")} != replay size $b1Assigned")
+    Similarity.compactIvfPostings(spark, path)
+    val r2 = report(dupScan = true)
+    assert(r2.getAs[Long]("fragmented_cells") == 0L &&
+      r2.getAs[Long]("dup_rows") == 0L &&
+      r2.getAs[Long]("overcap_cells") == 0L)
+    // manifest-less: the report still answers (directory truth) and
+    // says so
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    assert(report().getAs[String]("manifest") == "absent")
+  }
+
   test("manifest-route compaction rows equal the from-scratch rebuild") {
     // the same append≡rebuild law SimilaritySpec pins, but explicitly
     // through the manifest detection path (fresh artifacts all carry
