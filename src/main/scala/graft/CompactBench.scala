@@ -281,10 +281,29 @@ object PostingsCompactBench {
       timed(Similarity.compactIvfPostings(spark, dirF))
     val (serveCmpSec, digCmp) = serveSec(dirF)
 
-    // uncapped + disjoint batches: all three artifact states serve the
+    // ---- leg A: the AUTO ROUTER (appendIvfPostingsAuto) — every
+    // append routed by the measured regime law (touched populations /
+    // batch); records which way each append flipped at this posture
+    val dirA = newArtifact()
+    val autoRoutes = slices.map { b =>
+      val (route, sec) = timed(gpEnv match {
+        case Some(_) =>
+          Similarity.appendIvfPostingsAutoGrouped(spark, dirA, gcs, b)
+        case None =>
+          Similarity.appendIvfPostingsAuto(spark, dirA, gcs.flat.cents, b)
+      })
+      (route, sec)
+    }
+    val autoSecs = autoRoutes.map(_._2)
+    val routesTaken = autoRoutes.map(_._1.route)
+    Similarity.compactIvfPostings(spark, dirA) // no-op if it recapped all
+    val (_, digAuto) = serveSec(dirA)
+
+    // uncapped + disjoint batches: all four artifact states serve the
     // identical result — the spread is pure layout economics
-    require(digR == digFrag && digFrag == digCmp,
-      s"serve results drifted across maintenance modes: $digR / $digFrag / $digCmp")
+    require(digR == digFrag && digFrag == digCmp && digCmp == digAuto,
+      s"serve results drifted across maintenance modes: " +
+        s"$digR / $digFrag / $digCmp / $digAuto")
     def arr(xs: Seq[Double]) =
       xs.map(s => f"$s%.2f").mkString("[", ",", "]")
     def mean(xs: Seq[Double]) = xs.sum / xs.size
@@ -299,6 +318,9 @@ object PostingsCompactBench {
       f""""serve_recap_sec":$serveRSec%.2f,"serve_fragmented_sec":$serveFragSec%.2f,""" +
       f""""serve_compacted_sec":$serveCmpSec%.2f,""" +
       f""""serve_penalty_fragmented":${serveFragSec / serveCmpSec}%.2f,""" +
+      f""""auto_append_secs":${arr(autoSecs)},""" +
+      f""""auto_routes":${routesTaken.map(r => s""""$r"""").mkString("[", ",", "]")},""" +
+      f""""auto_first_ratio":${autoRoutes.head._1.ratio}%.1f,""" +
       f""""results_identical":true}""")
     require(fBefore == filesFrag && fAfter < fBefore,
       s"compaction did not fold the fragment debt: $fBefore -> $fAfter")

@@ -39,27 +39,48 @@ object PostingsManifest {
 
   /** One data file of the artifact: `file` is the part-file name inside
     * `cell=<cell>/`; `rows` its physical row count (replay duplicates
-    * included — the manifest records truth, not post-dedup logic). */
-  case class FileEntry(cell: Int, file: String, bytes: Long, rows: Long)
+    * included — the manifest records truth, not post-dedup logic).
+    * `retired` marks a file a RETAINED compaction superseded but left
+    * on disk for in-flight snapshot readers (the Delta tombstone move):
+    * still physically present (the truth invariant covers it), no
+    * longer part of the live artifact, deleted by the next retained
+    * compaction's vacuum. */
+  case class FileEntry(cell: Int, file: String, bytes: Long, rows: Long,
+      retired: Boolean = false)
 
   /** The artifact's embedded constants (same values every data row
     * carries as iv_ columns). */
   case class Params(cells: Int, cap: Int, ck: Long, gp: Option[Int])
 
   case class State(params: Params, files: Seq[FileEntry]) {
+    /** The serving artifact: every consumer (reads, population stats,
+      * fragmented detection) reasons over LIVE entries; retired files
+      * exist only for snapshot readers that planned before the
+      * compaction that retired them. */
+    def live: Seq[FileEntry] = files.filterNot(_.retired)
     def perCellFiles: Map[Int, Int] =
-      files.groupBy(_.cell).view.mapValues(_.size).toMap
+      live.groupBy(_.cell).view.mapValues(_.size).toMap
     def perCellRows: Map[Int, Long] =
-      files.groupBy(_.cell).view.mapValues(_.map(_.rows).sum).toMap
-    def totalFiles: Int = files.size
+      live.groupBy(_.cell).view.mapValues(_.map(_.rows).sum).toMap
+    def totalFiles: Int = live.size
     /** Replace every entry of `cells` with `entries` (the post-rewrite
       * truth for those cells) — the roll-forward all overwrite-style
-      * maintenance shares. */
+      * maintenance shares. Retired entries of those cells drop too: the
+      * dynamic partition overwrite that triggers this replaced the
+      * whole cell DIRECTORY, retired files included (an overwrite-style
+      * op ends any retention window for the cells it touches). */
     def replacingCells(cells: Set[Int], entries: Seq[FileEntry]): State =
       copy(files = files.filterNot(f => cells(f.cell)) ++ entries)
     /** Add fragment entries (one new file per touched cell). */
     def adding(entries: Seq[FileEntry]): State =
       copy(files = files ++ entries)
+    /** The retained-compaction roll-forward: `folded` cells' live
+      * entries become retired (files stay on disk for in-flight
+      * snapshots), `entries` are their compacted replacements. */
+    def retiringCells(folded: Set[Int], entries: Seq[FileEntry]): State =
+      copy(files = files.map(f =>
+        if (!f.retired && folded(f.cell)) f.copy(retired = true) else f)
+        ++ entries)
   }
 
   def manifestDir(path: String): Path =
@@ -94,6 +115,7 @@ object PostingsManifest {
     if (fs.exists(dirtyFlag(path)) || !fs.exists(manifestDir(path))) None
     else {
       val df = spark.read.parquet(manifestDir(path).toString)
+      val hasRetired = df.columns.contains("retired")
       val rows = df.collect()
       if (rows.isEmpty) None
       else {
@@ -109,7 +131,8 @@ object PostingsManifest {
             r.getInt(r.fieldIndex("cell")),
             r.getString(r.fieldIndex("file")),
             r.getLong(r.fieldIndex("bytes")),
-            r.getLong(r.fieldIndex("rows"))))))
+            r.getLong(r.fieldIndex("rows")),
+            hasRetired && r.getBoolean(r.fieldIndex("retired"))))))
       }
     }
   }
@@ -123,7 +146,7 @@ object PostingsManifest {
     val fs = fsOf(spark, path)
     val tmp = new Path(path.stripSuffix("/"),
       "_manifest.tmp-" + java.util.UUID.randomUUID().toString)
-    state.files.toDF("cell", "file", "bytes", "rows")
+    state.files.toDF("cell", "file", "bytes", "rows", "retired")
       .withColumn("iv_cells", lit(state.params.cells))
       .withColumn("iv_cap", lit(state.params.cap))
       .withColumn("iv_ck", lit(state.params.ck))

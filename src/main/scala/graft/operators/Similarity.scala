@@ -943,10 +943,15 @@ object Similarity {
     * discovering read for manifest-less or dirty artifacts.
     *
     * The frame is a SNAPSHOT: maintenance committed after this call is
-    * invisible until the caller re-opens — which is exactly what makes
-    * serving during an overlapped compaction safe (readers hold file
-    * paths; compaction swaps cells only after their replacement file
-    * is in place). */
+    * invisible until the caller re-opens. Whether the snapshot SURVIVES
+    * overlapped maintenance depends on the maintenance mode: the
+    * overwrite-style ops ([[appendIvfPostingsInPlace]],
+    * [[compactIvfPostings]]) DELETE the files they replace at commit,
+    * so they keep the between-serving-epochs contract;
+    * [[compactIvfPostingsRetained]] retires superseded files instead of
+    * deleting them, which is the compact-WHILE-serve mode — a snapshot
+    * opened before it keeps serving correctly through it
+    * (StreamingSpec-pinned). */
   def readPostings(spark: SparkSession, path: String): DataFrame =
     PostingsManifest.readClean(spark, path) match {
       case Some(st) =>
@@ -1261,6 +1266,47 @@ object Similarity {
     }
   }
 
+  /** Land `df`'s one-file-per-touched-cell layout INSIDE the artifact
+    * without listing it: partitioned write into a fresh sibling staging
+    * dir (nothing to list there), then per-file FS renames into the
+    * cell directories — metadata operations ∝ touched cells, nothing ∝
+    * the artifact. Part-file names carry the write job's UUID, so
+    * renames cannot collide with prior files. Returns the landed
+    * (cell, name, bytes) — captured from the staging listing the rename
+    * pass walks anyway, so manifest bookkeeping costs no extra FS
+    * calls. */
+  private def stageIntoCells(spark: SparkSession, path: String,
+      df: DataFrame): Seq[(Int, String, Long)] = {
+    val tmp = path.stripSuffix("/") +
+      "__delta_" + java.util.UUID.randomUUID().toString
+    maintStage("stage_write_tmp") {
+      byCellPinned(df)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long)]
+    try maintStage("stage_rename") {
+      fs.listStatus(hTmp)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+        .foreach { d =>
+          val cell = d.getPath.getName.stripPrefix("cell=").toInt
+          val dest = new org.apache.hadoop.fs.Path(path, d.getPath.getName)
+          fs.mkdirs(dest) // no-op when the cell directory already exists
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .foreach { f =>
+              require(fs.rename(f.getPath,
+                new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
+                s"staging rename failed: ${f.getPath} -> $dest")
+              staged += ((cell, f.getPath.getName, f.getLen))
+            }
+        }
+    } finally maintStage("stage_cleanup")(fs.delete(hTmp, true))
+    staged.toSeq
+  }
+
   private def appendFragmentFiles(spark: SparkSession, path: String,
       delta0: DataFrame,
       state0: Option[PostingsManifest.State]): Unit = {
@@ -1271,48 +1317,17 @@ object Similarity {
     val delta =
       if (state0.isEmpty) delta0
       else maintStage("frag_delta_ckpt")(delta0.localCheckpoint(true))
-    // the staging dir is a SIBLING of the artifact — same filesystem,
-    // so the per-file renames are valid (and cheap metadata ops there)
-    val tmp = path.stripSuffix("/") +
-      "__delta_" + java.util.UUID.randomUUID().toString
     try {
-      maintStage("frag_write_tmp") {
-        byCellPinned(delta)
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      }
-      val hTmp = new org.apache.hadoop.fs.Path(tmp)
-      val fs = hTmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // capture (cell, name, bytes) from the STAGING listing — the same
-      // statuses the rename pass walks, so the manifest entries cost no
-      // extra FS calls
-      val staged = scala.collection.mutable.ArrayBuffer
-        .empty[(Int, String, Long)]
       // write-ahead intent: from the first rename on, the manifest no
       // longer matches the directory until rolled forward below
       if (state0.nonEmpty) PostingsManifest.markDirty(spark, path)
-      try maintStage("frag_rename") {
-        fs.listStatus(hTmp)
-          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
-          .foreach { d =>
-            val cell = d.getPath.getName.stripPrefix("cell=").toInt
-            val dest = new org.apache.hadoop.fs.Path(path, d.getPath.getName)
-            fs.mkdirs(dest) // no-op when the cell directory already exists
-            fs.listStatus(d.getPath)
-              .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-              .foreach { f =>
-                require(fs.rename(f.getPath,
-                  new org.apache.hadoop.fs.Path(dest, f.getPath.getName)),
-                  s"fragment rename failed: ${f.getPath} -> $dest")
-                staged += ((cell, f.getPath.getName, f.getLen))
-              }
-          }
-      } finally maintStage("frag_cleanup")(fs.delete(hTmp, true))
+      val staged = stageIntoCells(spark, path, delta)
       state0.foreach { st =>
         maintStage("frag_manifest_roll") {
           val rowsPerCell = delta
             .groupBy(col("cell").cast("int").as("cell")).count()
             .as[(Int, Long)].collect().toMap
-          val entries = staged.toSeq.map { case (c, name, bytes) =>
+          val entries = staged.map { case (c, name, bytes) =>
             PostingsManifest.FileEntry(c, name, bytes,
               rowsPerCell.getOrElse(c, 0L))
           }
@@ -1603,6 +1618,96 @@ object Similarity {
     }
   }
 
+  /** COMPACT-WHILE-SERVE: the retained variant of [[compactIvfPostings]]
+    * for manifest-backed artifacts — a reader that opened
+    * [[readPostings]] BEFORE this compaction keeps serving correctly
+    * THROUGH it, because nothing that snapshot references is deleted:
+    *
+    *  1. vacuum files a PREVIOUS retained compaction marked retired
+    *     (their retention window ends here — one maintenance epoch);
+    *  2. fold the fragmented cells exactly as [[compactIvfPostings]]
+    *     does, but land the compacted files as NEW uniquely-named files
+    *     next to the fragments they replace ([[stageIntoCells]], no
+    *     dynamic-partition-overwrite delete);
+    *  3. swap the manifest: compacted entries live, superseded
+    *     fragments RETIRED (on disk, invisible to new
+    *     [[readPostings]] snapshots — the Delta tombstone move).
+    *
+    * New snapshots opened after the swap see exactly the compacted
+    * artifact; old snapshots keep their files until the NEXT retained
+    * compaction's vacuum. The costs, stated: the directory temporarily
+    * holds old+new files (bytes, not correctness), and a PLAIN
+    * `spark.read.parquet(dir)` during the retention window double-reads
+    * the superseded fragments — retained compaction is for deployments
+    * whose readers resolve through the manifest ([[readPostings]]),
+    * which is also why it REQUIRES a clean manifest (falls back to the
+    * classic overwrite compaction otherwise, which has no retention to
+    * offer). The dirty flag brackets the whole operation: a crash
+    * anywhere leaves dirty → readers fall back to directory truth and
+    * the next compaction rebuilds; resurrection of retired rows by that
+    * rebuild is ABSORBED — they are exact (cell, cand_id) duplicates or
+    * capped-out rows of the live state, so the very next fold converges
+    * back (cap-over-union is idempotent; spec-pinned).
+    * Returns (fragmented cells folded, live files before, live after). */
+  def compactIvfPostingsRetained(spark: SparkSession,
+      path: String): (Int, Int, Int) = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleDeltas(fs, hPath)
+    PostingsManifest.readClean(spark, path) match {
+      case None => compactIvfPostings(spark, path)
+      case Some(st0) =>
+        PostingsManifest.markDirty(spark, path)
+        // vacuum the previous epoch's tombstones
+        st0.files.filter(_.retired).foreach { e =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
+        }
+        val st = st0.copy(files = st0.live)
+        val cap = st.params.cap
+        val pcFiles = st.perCellFiles
+        val filesBefore = st.totalFiles
+        val fragmented = pcFiles.filter(_._2 > 1).keySet ++
+          (if (cap == Int.MaxValue) Set.empty[Int]
+           else st.perCellRows.filter(_._2 > cap).keySet)
+        if (fragmented.isEmpty) {
+          PostingsManifest.write(spark, path, st)
+          PostingsManifest.clearDirty(spark, path)
+          return (0, filesBefore, filesBefore)
+        }
+        val frag = org.apache.spark.sql.GraftColumnBridge
+          .parquetOverFileIndex(spark,
+            new graft.plans.PostingsFileIndex(path,
+              st.copy(files = st.files.filter(f => fragmented(f.cell)))),
+            postingsDataSchema(st.params.gp.nonEmpty))
+        val byCell =
+          Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+        val folded = frag
+          .dropDuplicates(Seq("cell", "cand_id"))
+          .withColumn("cellRank", row_number().over(byCell))
+          .filter($"cellRank" <= cap)
+          .drop("cellRank")
+          .localCheckpoint(true)
+        try {
+          val counts = folded
+            .groupBy(col("cell").cast("int").as("cell")).count()
+            .as[(Int, Long)].collect().toMap
+          val staged = stageIntoCells(spark, path, folded)
+          val entries = staged.map { case (c, name, bytes) =>
+            PostingsManifest.FileEntry(c, name, bytes,
+              counts.getOrElse(c, 0L))
+          }
+          PostingsManifest.write(spark, path,
+            st.retiringCells(fragmented, entries))
+          PostingsManifest.clearDirty(spark, path)
+          (fragmented.size, filesBefore,
+            filesBefore - fragmented.toSeq.map(pcFiles).sum + fragmented.size)
+        } finally org.apache.spark.sql.GraftColumnBridge
+          .unpersistLocalCheckpoint(folded)
+    }
+  }
+
   /** Fragmentation OBSERVABILITY for a postings directory — the report
     * that tells an operator WHEN to compact, instead of compacting on
     * cadence: files vs cells (the LSM debt), fragmented and over-cap
@@ -1652,10 +1757,12 @@ object Similarity {
     Seq((pcFiles.size.toLong, st.totalFiles.toLong,
       (st.totalFiles - pcFiles.size).toLong, fragmented.size.toLong,
       pcFiles.values.foldLeft(0)(math.max).toLong, overcap.size.toLong,
-      pcRows.values.sum, st.files.map(_.bytes).sum, status, dupRows))
+      pcRows.values.sum, st.live.map(_.bytes).sum, status,
+      st.files.count(_.retired).toLong,
+      st.files.filter(_.retired).map(_.bytes).sum, dupRows))
       .toDF("cells", "files", "excess_files", "fragmented_cells",
         "max_files_per_cell", "overcap_cells", "rows", "bytes",
-        "manifest", "dup_rows")
+        "manifest", "retired_files", "retired_bytes", "dup_rows")
   }
 
   /** Serve top-k for a QUERY set from the persisted postings: queries

@@ -25,12 +25,14 @@ import graft.operators.PostingsManifest
   *
   * The index is an immutable SNAPSHOT of the manifest at construction —
   * maintenance that runs after it is built is invisible until the
-  * caller re-reads ([[graft.operators.Similarity.readPostings]]), which
-  * is also what makes an overlapped compaction safe for a reader
-  * holding one: the fragment files it references are replaced only
-  * AFTER the new cell file is in place, and parquet readers hold paths,
-  * not directory states. `sizeInBytes` feeds the optimizer's broadcast
-  * decision the manifest's exact byte total.
+  * caller re-reads ([[graft.operators.Similarity.readPostings]]). A
+  * snapshot survives an overlapped
+  * [[graft.operators.Similarity.compactIvfPostingsRetained]] (it
+  * retires superseded files instead of deleting them — the Delta
+  * tombstone move); the overwrite-style maintenance ops delete what
+  * they replace, so under them the snapshot is only valid between
+  * serving epochs. `sizeInBytes` feeds the optimizer's broadcast
+  * decision the manifest's exact live byte total.
   */
 final class PostingsFileIndex(
     basePath: String,
@@ -41,12 +43,14 @@ final class PostingsFileIndex(
   override val partitionSchema: StructType =
     StructType(Seq(StructField("cell", IntegerType, nullable = true)))
 
-  /** One PartitionDirectory per cell, built once: FileStatus carries
-    * the manifest's exact byte length (the parquet reader seeks the
-    * footer at length − 8, so this must be — and is — the length the
-    * write-time listing recorded). */
+  /** One PartitionDirectory per cell, built once over the manifest's
+    * LIVE entries (files a retained compaction superseded stay on disk
+    * for older snapshots but are invisible to new ones): FileStatus
+    * carries the manifest's exact byte length (the parquet reader seeks
+    * the footer at length − 8, so this must be — and is — the length
+    * the write-time listing recorded). */
   private val partitions: Seq[PartitionDirectory] =
-    state.files.groupBy(_.cell).toSeq.sortBy(_._1).map { case (cell, fs) =>
+    state.live.groupBy(_.cell).toSeq.sortBy(_._1).map { case (cell, fs) =>
       PartitionDirectory(
         InternalRow(cell),
         fs.map { e =>
@@ -79,9 +83,9 @@ final class PostingsFileIndex(
 
   override def refresh(): Unit = ()
 
-  override val sizeInBytes: Long = state.files.map(_.bytes).sum
+  override val sizeInBytes: Long = state.live.map(_.bytes).sum
 
   override def toString: String =
-    s"PostingsFileIndex($basePath, ${state.files.size} files, " +
+    s"PostingsFileIndex($basePath, ${state.live.size} files, " +
       s"${partitions.size} cells)"
 }

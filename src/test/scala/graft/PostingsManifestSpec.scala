@@ -321,6 +321,91 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     assert(report().getAs[String]("manifest") == "absent")
   }
 
+  test("retained compaction serves an open snapshot THROUGH the fold") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_retained").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // replay
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // a reader opens a snapshot of the FRAGMENTED state and does NOT
+    // re-open; the compaction runs; the snapshot must still execute
+    // correctly afterwards (nothing it references was deleted)
+    val snapshot = Similarity.readPostings(spark, path)
+    val expectFragmented = rows(spark.read.parquet(path))
+
+    val (nFrag, before, after) =
+      Similarity.compactIvfPostingsRetained(spark, path)
+    assert(nFrag > 0 && after < before)
+    assert(rows(snapshot) == expectFragmented,
+      "a pre-compaction snapshot must serve THROUGH a retained compaction")
+
+    // a NEW snapshot sees exactly the compacted artifact (= rebuild),
+    // while the directory still holds the retired fragments
+    val rebuilt = rows(Similarity.ivfPostings(old.union(b1), model, cap))
+    assert(rows(Similarity.readPostings(spark, path)) == rebuilt)
+    assertManifestIsTruth(path, "during the retention window")
+    val rep = Similarity.postingsFragmentationReport(spark, path).head()
+    assert(rep.getAs[Long]("retired_files") > 0L &&
+      rep.getAs[Long]("fragmented_cells") == 0L)
+    // ...and a plain discovering read DOES double-count during the
+    // window — the documented cost that makes this mode manifest-only
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() >
+      Similarity.readPostings(spark, path).count())
+
+    // the artifact stays maintainable DURING the retention window:
+    // fragment appends roll the manifest with tombstones present
+    val b3 = emb.filter($"vec_id" % 4 === 2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b3)
+    assertManifestIsTruth(path, "fragment append inside a retention window")
+    val rebuilt3 = rows(Similarity.ivfPostings(
+      old.union(b1).union(b3), model, cap))
+
+    // the next retained compaction vacuums the old tombstones AND folds
+    // the new fragments (tombstoning those in turn)
+    val (n2, _, _) = Similarity.compactIvfPostingsRetained(spark, path)
+    assert(n2 > 0)
+    assertManifestIsTruth(path, "after the second retained epoch")
+    assert(rows(Similarity.readPostings(spark, path)) == rebuilt3)
+
+    // a no-op retained pass closes the last window: directory back to
+    // 1 file/cell, nothing retired, plain reads clean again
+    val (n3, b3f, a3f) = Similarity.compactIvfPostingsRetained(spark, path)
+    assert(n3 == 0 && b3f == a3f)
+    assertManifestIsTruth(path, "after the vacuum epoch")
+    assert(Similarity.postingsFragmentationReport(spark, path).head()
+      .getAs[Long]("retired_files") == 0L)
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) == rebuilt3)
+    assert(PostingsManifest.readClean(spark, path).get
+      .perCellFiles.values.forall(_ == 1))
+
+    // crash-resurrection convergence: a dirty-flag rebuild DURING a
+    // retention window resurrects retired rows as live; the next fold
+    // converges back to the rebuild (cap-over-union is idempotent)
+    val b4 = emb.filter($"vec_id" % 4 === 3)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b4)
+    Similarity.compactIvfPostingsRetained(spark, path) // opens a window
+    PostingsManifest.markDirty(spark, path) // simulate a crash
+    PostingsManifest.rebuildAndWrite(spark, path) // resurrects tombstones
+    Similarity.compactIvfPostings(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostings(emb, model, cap)),
+      "resurrected tombstones must fold back to the rebuild")
+  }
+
   test("manifest-route compaction rows equal the from-scratch rebuild") {
     // the same append≡rebuild law SimilaritySpec pins, but explicitly
     // through the manifest detection path (fresh artifacts all carry

@@ -939,10 +939,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(beforeF.count() >
       beforeF.dropDuplicates(Seq("cell", "cand_id")).count(),
       "replayed micro-batch must double-append between compactions")
-    assert(Similarity.compactIvfPostings(spark, flatPath)._1 > 0)
-    assert(rows(spark.read.parquet(flatPath)) ==
+    // COMPACT WHILE SERVING: a consumer that opened its snapshot while
+    // the stream was still fragmenting is NOT interrupted by the
+    // maintenance that folds it — compactIvfPostingsRetained tombstones
+    // the superseded fragments instead of deleting them, so the
+    // pre-compaction snapshot serves through the fold and only a
+    // re-opened reader sees the compacted (= from-scratch) state. This
+    // upgrades the seam's contract from compact-BEFORE-serve to
+    // compact-DURING-serve for manifest-resolved readers.
+    val servingSnapshot = Similarity.readPostings(spark, flatPath)
+    val fragmentedRows = rows(beforeF)
+    assert(Similarity.compactIvfPostingsRetained(spark, flatPath)._1 > 0)
+    assert(rows(servingSnapshot) == fragmentedRows,
+      "open snapshot must serve through the overlapped compaction")
+    assert(rows(Similarity.readPostings(spark, flatPath)) ==
       rows(Similarity.ivfPostings(emb, model, cellCap = 16)),
       "compacted fragment-mode stream must equal the from-scratch build")
+    // the follow-up pass vacuums the tombstones; plain reads are clean
+    assert(Similarity.compactIvfPostingsRetained(spark, flatPath)._1 == 0)
+    spark.catalog.refreshByPath(flatPath)
+    assert(rows(spark.read.parquet(flatPath)) ==
+      rows(Similarity.ivfPostings(emb, model, cellCap = 16)))
 
     // two-level artifact through the grouped fragment seam (assignment
     // rides the artifact's own embedded iv_gp)
