@@ -1017,6 +1017,54 @@ object DocumentQueries {
             $"n_docs", $"n_splits", $"splits"))
   }
 
+  // ---------------------------------------------------------------- q81
+  /** Reference M6 (ct_estimator.py:106-114) — the vocabulary-file
+    * embedding feature, ORACLE-CHECKED: each document's `source` (the
+    * reference's institution column) is looked up in a fixed positional
+    * vocabulary ([[graft.ml.VocabEmbedding.indexColumn]], OOV/NULL →
+    * -1) and mapped through the seeded projection matrix
+    * ([[graft.ml.VocabEmbedding.embeddingColumn]], OOV → zero vector);
+    * the result groups by (index, first two embedding components) with
+    * doc/char tallies. The oracle SQL interpolates the SAME seeded
+    * matrix as literals, so index semantics, matrix lookup, and the
+    * OOV zero leg are all DuckDB-checked — the trainability divergence
+    * (TF's embedding learns; this projection is fixed) is documented
+    * on the operator. Vocab includes a term with no corpus rows
+    * (`srcX`) to pin that empty vocab slots simply don't appear. */
+  private val q81Vocab = Seq("src3", "src7", "src11", "src15", "srcX")
+  private val q81Dim = 4
+
+  def q81VocabEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ml.VocabEmbedding
+    val e = VocabEmbedding.embeddingColumn($"source", q81Vocab, q81Dim)
+    docs(spark, dir)
+      .select(
+        VocabEmbedding.indexColumn($"source", q81Vocab).as("vocab_idx"),
+        element_at(e, 1).as("e0"), element_at(e, 2).as("e1"),
+        $"n_chars")
+      .groupBy($"vocab_idx", $"e0", $"e1")
+      .agg(count(lit(1)).as("doc_count"),
+        sum($"n_chars").as("total_chars"))
+  }
+
+  private def q81OracleSql: String = {
+    val mat = graft.ml.VocabEmbedding.embeddingMatrix(q81Vocab.size, q81Dim, 42L)
+    val idxCase = q81Vocab.zipWithIndex
+      .map { case (t, i) => s"WHEN '$t' THEN $i" }.mkString(" ")
+    def embCase(d: Int) = q81Vocab.indices
+      .map(i => s"WHEN $i THEN ${mat(i)(d)}").mkString(" ")
+    s"""WITH v AS (
+         SELECT CASE source $idxCase ELSE -1 END AS vocab_idx, n_chars
+         FROM documents)
+       SELECT vocab_idx,
+         CASE vocab_idx ${embCase(0)} ELSE 0.0 END AS e0,
+         CASE vocab_idx ${embCase(1)} ELSE 0.0 END AS e1,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+       FROM v GROUP BY 1, 2, 3"""
+  }
+
   // ================================================================ maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_dedup_exact" -> (q17DedupExact _),
@@ -1052,7 +1100,8 @@ object DocumentQueries {
     "q73_token_budget" -> (q73TokenBudget _),
     "q74_quality_keep" -> (q74QualityKeep _),
     "q75_curation_pipeline" -> (q75CurationPipeline _),
-    "q76_neardup_auto" -> (q76NearDupAuto _))
+    "q76_neardup_auto" -> (q76NearDupAuto _),
+    "q81_vocab_embed" -> (q81VocabEmbed _))
 
   val oracle: Map[String, String] = Map(
     // same synthesized batch as the Spark side; the anti-join + min-per-
@@ -1209,6 +1258,7 @@ object DocumentQueries {
     "q20_ngram_jaccard" -> ngramJaccardSql,
     "q21_minhash_lsh" -> ngramJaccardSql,
     "q76_neardup_auto" -> ngramJaccardSql,
+    "q81_vocab_embed" -> q81OracleSql,
     "q60_neardup_index_screen" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
          WHERE doc_a % 3 = 0 OR doc_b % 3 = 0""",
