@@ -1,14 +1,21 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, input_file_name}
 
-/** The postings artifact's MANIFEST SIDECAR — a tiny parquet file inside
-  * the artifact (`<artifact>/_manifest`, invisible to readers: Spark's
-  * partition discovery skips `_`-prefixed paths) recording every data
-  * file: `(cell, file, bytes, rows)` plus the embedded artifact
-  * parameters. It exists to kill the engine's last
+/** The postings artifact's MANIFEST SIDECAR — a tiny driver-written
+  * text file inside the artifact (`<artifact>/_manifest`, invisible to
+  * readers: Spark's partition discovery skips `_`-prefixed paths)
+  * recording every data file: `(cell, file, bytes, rows)` plus the
+  * embedded artifact parameters. Storage is one tab-separated file
+  * written and parsed DRIVER-SIDE through the Hadoop FS API — the
+  * Delta-log shape (JSON text actions, no Spark job): a manifest
+  * roll-forward must not cost a cluster job, because it rides EVERY
+  * maintenance op and its payload is file-level metadata the driver
+  * already holds. (The first cut stored it as a one-task parquet
+  * write; that Spark job was pure fixed overhead per append —
+  * measured at fixture scale as the dominant term of q79's wall.) It exists to kill the engine's last
   * artifact-metadata-proportional costs: before it, every compaction
   * LISTED the whole artifact (183 s over 67 918 files at the r14
   * trickle posture — §6.1), every full-scan serve re-listed every cell
@@ -105,62 +112,75 @@ object PostingsManifest {
   def clearDirty(spark: SparkSession, path: String): Unit =
     fsOf(spark, path).delete(dirtyFlag(path), false)
 
+  private val FormatHeader = "graft-postings-manifest\t2"
+
   /** The manifest iff it is trustworthy: present AND not dirty. Every
     * consumer goes through here — a stranded dirty flag silently
     * degrades consumers to their listing fallbacks instead of serving
     * them a manifest that may omit files a half-finished append already
-    * renamed in. */
+    * renamed in. A v1 (parquet-directory) manifest from an older build
+    * also returns None — its artifact re-adopts through the same
+    * rebuild path a manifest-less one does. A MALFORMED v2 file throws:
+    * tmp+rename makes partial writes impossible, so malformed means a
+    * bug, not a crash window. */
   def readClean(spark: SparkSession, path: String): Option[State] = {
     val fs = fsOf(spark, path)
-    if (fs.exists(dirtyFlag(path)) || !fs.exists(manifestDir(path))) None
+    val dest = manifestDir(path)
+    if (fs.exists(dirtyFlag(path)) || !fs.exists(dest)) None
+    else if (fs.getFileStatus(dest).isDirectory) None // legacy v1 layout
     else {
-      val df = spark.read.parquet(manifestDir(path).toString)
-      val hasRetired = df.columns.contains("retired")
-      val rows = df.collect()
-      if (rows.isEmpty) None
+      val in = fs.open(dest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      if (lines.isEmpty) None
       else {
-        val h = rows.head
-        val gp =
-          if (h.isNullAt(h.fieldIndex("iv_gp"))) None
-          else Some(h.getInt(h.fieldIndex("iv_gp")))
-        Some(State(
-          Params(h.getInt(h.fieldIndex("iv_cells")),
-            h.getInt(h.fieldIndex("iv_cap")),
-            h.getLong(h.fieldIndex("iv_ck")), gp),
-          rows.toSeq.map(r => FileEntry(
-            r.getInt(r.fieldIndex("cell")),
-            r.getString(r.fieldIndex("file")),
-            r.getLong(r.fieldIndex("bytes")),
-            r.getLong(r.fieldIndex("rows")),
-            hasRetired && r.getBoolean(r.fieldIndex("retired"))))))
+        require(lines.head == FormatHeader,
+          s"unrecognized manifest header at $dest: '${lines.head}'")
+        val p = lines(1).split('\t')
+        require(p.length == 5 && p(0) == "params",
+          s"malformed manifest params line at $dest: '${lines(1)}'")
+        val gp = if (p(4) == "-") None else Some(p(4).toInt)
+        val files = lines.drop(2).map { l =>
+          val f = l.split('\t')
+          require(f.length == 6 && f(0) == "file",
+            s"malformed manifest file line at $dest: '$l'")
+          FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong,
+            f(5) == "1")
+        }
+        Some(State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp), files))
       }
     }
   }
 
-  /** Persist `state` with a tmp-dir + rename swap (the brief
+  /** Persist `state` with a tmp-file + rename swap (the brief
     * no-manifest window between delete and rename degrades readers to
-    * their listing fallback, never to a wrong manifest). Does NOT touch
-    * the dirty flag — the caller owns the protocol ordering. */
+    * their listing fallback, never to a wrong manifest). Driver-side
+    * FS write — no Spark job rides the maintenance path. Does NOT
+    * touch the dirty flag — the caller owns the protocol ordering. */
   def write(spark: SparkSession, path: String, state: State): Unit = {
-    import spark.implicits._
     val fs = fsOf(spark, path)
     val tmp = new Path(path.stripSuffix("/"),
       "_manifest.tmp-" + java.util.UUID.randomUUID().toString)
-    state.files.toDF("cell", "file", "bytes", "rows", "retired")
-      .withColumn("iv_cells", lit(state.params.cells))
-      .withColumn("iv_cap", lit(state.params.cap))
-      .withColumn("iv_ck", lit(state.params.ck))
-      .withColumn("iv_gp",
-        state.params.gp.map(lit(_)).getOrElse(lit(null).cast("int")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val out = fs.create(tmp, true)
+    try {
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(out, "UTF-8"))
+      w.write(FormatHeader); w.newLine()
+      w.write(Seq("params", state.params.cells, state.params.cap,
+        state.params.ck, state.params.gp.map(_.toString).getOrElse("-"))
+        .mkString("\t")); w.newLine()
+      state.files.foreach { f =>
+        require(!f.file.contains('\t') && !f.file.contains('\n'),
+          s"unencodable file name in manifest: '${f.file}'")
+        w.write(Seq("file", f.cell, f.file, f.bytes, f.rows,
+          if (f.retired) "1" else "0").mkString("\t")); w.newLine()
+      }
+      w.flush()
+    } finally out.close()
     val dest = manifestDir(path)
-    fs.delete(dest, true)
+    fs.delete(dest, true) // recursive: also clears a legacy v1 directory
     require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
-    // the swap happened behind Spark's back (FS rename, not a Spark
-    // write) — drop any shared-FileStatusCache listing of the old
-    // manifest so a same-session readClean can't chase deleted files
-    spark.catalog.refreshByPath(dest.toString)
   }
 
   /** Directory truth, the O(files) fallback the manifest exists to make
