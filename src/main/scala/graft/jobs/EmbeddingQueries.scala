@@ -239,6 +239,44 @@ object EmbeddingQueries {
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
+  // ---------------------------------------------------------------- q82
+  /** The SNAPSHOT-SAFE (MVCC) maintenance lifecycle, oracle-checked:
+    * every mutation runs under the tombstone-retention contract — a
+    * reader that planned before any of them keeps serving its own
+    * consistent state (spec-pinned in PostingsManifestSpec; an oracle
+    * can only see the final state, which is what this declares). Seed
+    * 80%, [[Similarity.appendIvfPostingsRetained]] the first 10% batch
+    * TWICE (an at-least-once redelivery folded by the recap's
+    * (cell, cand_id) dedup — new files each epoch, old ones retired,
+    * prior epoch vacuumed), fragment-append the second batch into the
+    * open retention window, then
+    * [[Similarity.compactIvfPostingsRetained]] folds the fragments the
+    * same retained way. The oracle is the from-scratch REBUILD over
+    * the whole corpus with the binding cap — so retention, vacuuming,
+    * epoch turnover, and mode composition inside one artifact life all
+    * land EXACTLY the rebuild, checked against an independent engine. */
+  def q82PostingsRetained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_q82")
+      .resolve("postings").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsWithCentroids(seed, cents, q78CellCap), path)
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1) // redelivery
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.compactIvfPostingsRetained(spark, path)
+    Similarity.readPostings(spark, path)
+      .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -328,7 +366,8 @@ object EmbeddingQueries {
     "q77_ann_ivf_2l" -> (q77AnnIvf2l _),
     "q78_postings_roll" -> (q78PostingsRoll _),
     "q79_postings_compact" -> (q79PostingsCompact _),
-    "q80_postings_compact_2l" -> (q80PostingsCompact2l _))
+    "q80_postings_compact_2l" -> (q80PostingsCompact2l _),
+    "q82_postings_retained" -> (q82PostingsRetained _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -427,6 +466,7 @@ object EmbeddingQueries {
   val oracle: Map[String, String] = Map(
     "q79_postings_compact" -> postingsRebuildSql,
     "q80_postings_compact_2l" -> postingsRebuild2lSql,
+    "q82_postings_retained" -> postingsRebuildSql,
     "q78_postings_roll" -> postingsRebuildSql,
     // same deterministic degradation of the embeddings side, same
     // distinct-ref + full-outer-join + per-source rollup semantics

@@ -1201,6 +1201,139 @@ object Similarity {
     recapTouchedDirsAndOverwrite(spark, path, delta, cap)
   }
 
+  /** RETAINED recap append — [[appendIvfPostingsInPlace]]'s semantics
+    * under [[compactIvfPostingsRetained]]'s serving contract: the
+    * touched cells' recapped state lands as NEW uniquely-named files
+    * and the superseded ones are RETIRED in the manifest instead of
+    * overwritten, so a [[readPostings]] snapshot opened before the
+    * append keeps serving its own consistent state THROUGH it (the
+    * in-place route's dynamic partition overwrite deletes files under
+    * such a reader). With this, EVERY maintenance mode is
+    * snapshot-safe for manifest-resolved readers: fragment appends are
+    * append-only, compaction has its retained variant, and the recap —
+    * the always-serveable default — gets one here. Same costs and
+    * protocol as retained compaction: one epoch of tombstone retention
+    * (vacuumed by the next retained op), old+new bytes in the touched
+    * directories meanwhile, plain discovering reads double-count
+    * during the window, clean manifest REQUIRED (falls back to the
+    * classic in-place overwrite otherwise — correct, just not
+    * snapshot-isolated), dirty-flag bracket with directory-truth
+    * recovery (a rebuild resurrects tombstones as live rows; the next
+    * compaction's cap-over-union fold converges them back —
+    * spec-pinned for the compaction twin, same law here). */
+  def appendIvfPostingsRetained(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], newEmb: DataFrame): Unit = {
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gpOpt) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the postings artifact's")
+    require(gpOpt.isEmpty,
+      "artifact is two-level-built (iv_gp): the exact recap would mix " +
+        "assignment laws — use appendIvfPostingsRetainedGrouped")
+    val delta = assignedHome(prepared(newEmb),
+      centroidTableOf(spark, cents), cap)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap))
+      .withColumn("iv_ck", lit(ck))
+    state0 match {
+      case Some(st) => recapRetained(spark, path, delta, cap, st)
+      case None => recapTouchedDirsAndOverwrite(spark, path, delta, cap)
+    }
+  }
+
+  /** [[appendIvfPostingsRetained]] for two-level-built artifacts; the
+    * assignment law rides the artifact's own embedded `iv_gp`
+    * (one law per artifact life, as everywhere). */
+  def appendIvfPostingsRetainedGrouped(spark: SparkSession, path: String,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      newEmb: DataFrame): Unit = {
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, gpOpt) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
+    require(gcs.flat.numCells == cells &&
+      centroidChecksumOf(gcs.flat.cents) == ck,
+      "grouped index cells differ from the postings artifact's")
+    require(gpOpt.nonEmpty,
+      "artifact is exact-built (no iv_gp): use appendIvfPostingsRetained")
+    val gp = gpOpt.get
+    val delta = homeTwoLevel(newEmb, gcs, gp)
+      .withColumn("iv_cells", lit(cells))
+      .withColumn("iv_cap", lit(cap))
+      .withColumn("iv_ck", lit(ck))
+      .withColumn("iv_gp", lit(gp))
+    state0 match {
+      case Some(st) => recapRetained(spark, path, delta, cap, st)
+      case None => recapTouchedDirsAndOverwrite(spark, path, delta, cap)
+    }
+  }
+
+  /** The retained recap's write half: vacuum the previous epoch's
+    * tombstones, fold old∪delta per touched cell (byte-identical
+    * union–dedup–cap to the in-place route), stage the result as new
+    * files, and swap the manifest with the touched cells' old live
+    * entries RETIRED. Reads the old side through the manifest-planned
+    * [[graft.plans.PostingsFileIndex]] restricted to the touched
+    * cells' LIVE files — zero listings, and retired files from a prior
+    * epoch are never re-read (a directory read would double-count
+    * them). */
+  private def recapRetained(spark: SparkSession, path: String,
+      delta0: DataFrame, cap: Int,
+      st0: PostingsManifest.State): Unit = {
+    import spark.implicits._
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleDeltas(fs, hPath)
+    PostingsManifest.markDirty(spark, path)
+    st0.files.filter(_.retired).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
+    }
+    val st = st0.copy(files = st0.live)
+    val delta = maintStage("recapr_delta_ckpt")(delta0.localCheckpoint(true))
+    try {
+      val touched = maintStage("recapr_touched")(
+        delta.select($"cell").distinct().as[Int].collect()).toSet
+      val touchedExisting = touched.intersect(st.perCellFiles.keySet)
+      val old =
+        if (touchedExisting.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], delta.schema)
+        else org.apache.spark.sql.GraftColumnBridge
+          .parquetOverFileIndex(spark,
+            new graft.plans.PostingsFileIndex(path,
+              st.copy(files = st.files.filter(f => touchedExisting(f.cell)))),
+            postingsDataSchema(st.params.gp.nonEmpty))
+      val byCell =
+        Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+      val recapped = maintStage("recapr_fold")(
+        old.select(delta.columns.map(col): _*)
+          .unionByName(delta)
+          .dropDuplicates(Seq("cell", "cand_id"))
+          .withColumn("cellRank", row_number().over(byCell))
+          .filter($"cellRank" <= cap)
+          .drop("cellRank")
+          .localCheckpoint(true))
+      try {
+        val counts = recapped
+          .groupBy(col("cell").cast("int").as("cell")).count()
+          .as[(Int, Long)].collect().toMap
+        val staged = stageIntoCells(spark, path, recapped)
+        val entries = staged.map { case (c, name, bytes) =>
+          PostingsManifest.FileEntry(c, name, bytes,
+            counts.getOrElse(c, 0L))
+        }
+        maintStage("recapr_manifest_roll") {
+          PostingsManifest.write(spark, path,
+            st.retiringCells(touched, entries))
+          PostingsManifest.clearDirty(spark, path)
+        }
+      } finally org.apache.spark.sql.GraftColumnBridge
+        .unpersistLocalCheckpoint(recapped)
+    } finally org.apache.spark.sql.GraftColumnBridge
+      .unpersistLocalCheckpoint(delta)
+  }
+
   /** FRAGMENT append — the O(batch)-per-trigger maintenance mode: the
     * batch is home-assigned (exact kernel scan, no row expansion) and
     * APPENDED into the touched cells' directories, with no recap and

@@ -406,6 +406,107 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       "resurrected tombstones must fold back to the rebuild")
   }
 
+  test("retained recap append serves an open snapshot THROUGH the roll-forward") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val b2 = emb.filter($"vec_id" % 4 === 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_retained_recap").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // a reader opens the PRE-append state and does not re-open
+    val snapshot = Similarity.readPostings(spark, path)
+    val expect0 = rows(spark.read.parquet(path))
+
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    assert(rows(snapshot) == expect0,
+      "a pre-append snapshot must serve THROUGH a retained recap")
+    // a new reader sees exactly the in-place/rebuild state
+    val rebuilt1 = rows(Similarity.ivfPostings(old.union(b1), model, cap))
+    assert(rows(Similarity.readPostings(spark, path)) == rebuilt1)
+    assertManifestIsTruth(path, "retained recap retention window")
+    assert(Similarity.postingsFragmentationReport(spark, path).head()
+      .getAs[Long]("retired_files") > 0L)
+    // the discovering read double-counts during the window — the
+    // documented cost that makes retention manifest-reader-only
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() >
+      Similarity.readPostings(spark, path).count())
+
+    // an at-least-once REDELIVERY through the retained route converges
+    // (the fold dedups on (cell, cand_id)) and vacuums the prior epoch
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    assert(rows(Similarity.readPostings(spark, path)) == rebuilt1)
+    assertManifestIsTruth(path, "after replayed retained recap")
+
+    // composes with the other modes inside one artifact life: a
+    // fragment append lands in the window, the retained compaction
+    // folds it and the final state is the from-scratch rebuild
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.compactIvfPostingsRetained(spark, path)
+    Similarity.compactIvfPostingsRetained(spark, path) // vacuum epoch
+    assert(rows(Similarity.readPostings(spark, path)) ==
+      rows(Similarity.ivfPostings(old.union(b1).union(b2), model, cap)))
+    assertManifestIsTruth(path, "after the closing vacuum")
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.readPostings(spark, path)),
+      "plain reads must be clean once every window is vacuumed")
+
+    // manifest-less artifacts fall back to the classic in-place
+    // overwrite: correct rows, no snapshot isolation claimed
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    val b3 = emb.filter($"vec_id" % 4 === 3)
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b3)
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.ivfPostings(emb, model, cap)),
+      "manifest-less retained append must land the classic recap")
+  }
+
+  test("retained recap append, two-level law: snapshot-safe and ≡ rebuild") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    // q77's fixed geometry: 32 cells in groups of 4, a real group prune
+    val cents = emb.filter($"vec_id" < 32)
+      .select($"vec_id",
+        graft.functions.VectorOps.asDouble($"embedding").as("v"))
+      .orderBy($"vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val gcs = graft.expressions.IvfAssignKernel
+      .fixedGroupedCentroidSet(cents, 4)
+    val gp = 3
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_retained_recap_2l").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsTwoLevel(old, gcs, gp, cap), path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val snapshot = Similarity.readPostings(spark, path)
+    val expect0 = rows(spark.read.parquet(path))
+    Similarity.appendIvfPostingsRetainedGrouped(spark, path, gcs, b1)
+    assert(rows(snapshot) == expect0)
+    assert(rows(Similarity.readPostings(spark, path)) ==
+      rows(Similarity.ivfPostingsTwoLevel(old.union(b1), gcs, gp, cap)),
+      "grouped retained recap must equal the two-level rebuild")
+    assertManifestIsTruth(path, "grouped retained recap window")
+    // law guards: the exact retained route refuses an iv_gp artifact
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    }
+    assert(ex.getMessage.contains("two-level"))
+  }
+
   test("manifest-route compaction rows equal the from-scratch rebuild") {
     // the same append≡rebuild law SimilaritySpec pins, but explicitly
     // through the manifest detection path (fresh artifacts all carry
