@@ -215,6 +215,44 @@ object CorpusIngest {
       finally batch.unpersist()
     }
 
+  /** SERVE-WHILE-INGEST — [[embeddingIngest]] under the tombstone
+    * contract ([[Similarity.appendIvfPostingsRetained]]): each
+    * micro-batch's recap lands as new files with the superseded ones
+    * retired in the manifest, so a query path holding a
+    * [[Similarity.readPostings]] snapshot keeps serving its own
+    * consistent state through every trigger — the live-index shape,
+    * where the recap seam swaps files under an in-flight reader and
+    * the fragment seam serves replay duplicates until compaction.
+    * Requires the artifact's manifest clean (per-batch fallback is the
+    * classic in-place recap — convergence identical, isolation not
+    * claimed); replayed micro-batches converge by the recap's
+    * (cell, cand_id) dedup exactly as the in-place seam's do. Retention
+    * is one epoch: each trigger vacuums the previous trigger's
+    * tombstones, so a reader should re-resolve (re-open) at least once
+    * per trigger interval or it may outlive its files — the same
+    * contract Delta readers have under VACUUM. */
+  def embeddingIngestRetained(embStream: DataFrame,
+      cents: Array[Array[Double]],
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPostingsRetained(batch.sparkSession,
+        postingsPath, cents, batch)
+      finally batch.unpersist()
+    }
+
+  /** [[embeddingIngestRetained]] for two-level-built artifacts (the
+    * assignment law rides the embedded `iv_gp`). */
+  def embeddingIngestRetainedGrouped(embStream: DataFrame,
+      gcs: graft.expressions.IvfGroupedCentroidSet,
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPostingsRetainedGrouped(batch.sparkSession,
+        postingsPath, gcs, batch)
+      finally batch.unpersist()
+    }
+
   /** Parquet-directory convenience sink: kept docs append to
     * `corpusPath`, the index delta appends to `indexPath` (which must
     * hold a non-empty [[Dedup.minhashBandIndex]] before the stream

@@ -900,6 +900,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("retained streaming ingest serves an open snapshot through each trigger") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    // the SERVE-WHILE-INGEST seam: per-trigger retained recap — a
+    // reader's snapshot survives the trigger that lands after it (one
+    // epoch of retention), convergence matches the in-place seam
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    def embRows(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[EmbRow].collect().toIndexedSeq
+    val b1 = embRows($"vec_id" % 3 === 1)
+    val b2 = embRows($"vec_id" % 3 === 2)
+
+    val path = Files.createTempDirectory("graft_emb_ingest_ret").toString
+    val p0 = Similarity.ivfPostings(seed, model, cellCap = 16)
+    Similarity.saveIvfPostings(p0, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val snap0 = Similarity.readPostings(spark, path)
+    val want0 = rows(spark.read.parquet(path))
+
+    val ms = MemoryStream[EmbRow](spark)
+    val q = CorpusIngest.embeddingIngestRetained(ms.toDF(), cents, path)
+      .start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      // the pre-stream snapshot serves THROUGH the trigger that
+      // superseded its files
+      assert(rows(snap0) == want0,
+        "a pre-trigger snapshot must serve through a retained trigger")
+      val p1 = Similarity.appendToIvfPostings(p0, model, b1.toDF())
+      assert(rows(Similarity.readPostings(spark, path)) == rows(p1))
+      // a snapshot re-resolved once per trigger interval also survives
+      // the NEXT trigger (whose vacuum clears only the epoch before it)
+      val snap1 = Similarity.readPostings(spark, path)
+      val want1 = rows(snap1)
+      ms.addData(b2); q.processAllAvailable()
+      assert(rows(snap1) == want1,
+        "a per-trigger-refreshed snapshot must survive the next trigger")
+      ms.addData(b1); q.processAllAvailable() // replay converges
+      val want = Similarity.appendToIvfPostings(p1, model, b2.toDF())
+      assert(rows(Similarity.readPostings(spark, path)) == rows(want),
+        "retained streamed postings must equal sequential appends, replay absorbed")
+    } finally q.stop()
+
+    // closing the windows: retained compactions vacuum the tombstones
+    // and plain discovering reads come back clean
+    Similarity.compactIvfPostingsRetained(spark, path)
+    Similarity.compactIvfPostingsRetained(spark, path)
+    spark.catalog.refreshByPath(path)
+    assert(rows(spark.read.parquet(path)) ==
+      rows(Similarity.readPostings(spark, path)))
+  }
+
   test("fragment-mode streaming ingest compacts to the from-scratch build") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
