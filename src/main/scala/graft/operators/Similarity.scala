@@ -1561,10 +1561,20 @@ object Similarity {
     * compaction (O(batch) trigger, superset serving until then). A
     * manifest-less or dirty artifact routes to RECAP: without per-cell
     * rows the ratio is unobservable, and recap is the conservative
-    * always-serveable default. */
+    * always-serveable default.
+    *
+    * `retained = true` makes the chosen route SNAPSHOT-SAFE for
+    * manifest-resolved readers: the recap leg runs as
+    * [[appendIvfPostingsRetained]]'s tombstone roll-forward
+    * (route reported as `recap_retained`), and the fragment leg is
+    * append-only — snapshot-safe by construction — so a live-serving
+    * deployment gets routing AND isolation from the one call.
+    * Manifest-less artifacts ignore the flag (no manifest, no
+    * snapshot contract to keep). */
   def appendIvfPostingsAuto(spark: SparkSession, path: String,
       cents: Array[Array[Double]], newEmb: DataFrame,
-      fragmentThreshold: Double = 4.0): AppendRoute = {
+      fragmentThreshold: Double = 4.0,
+      retained: Boolean = false): AppendRoute = {
     import spark.implicits._
     val state0 = PostingsManifest.readClean(spark, path)
     val (cells, cap, ck, gp) =
@@ -1575,7 +1585,8 @@ object Similarity {
       "artifact is two-level-built (iv_gp): use appendIvfPostingsAutoGrouped")
     val delta = ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
       .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
-    routeAppend(spark, path, delta, cap, state0, fragmentThreshold)
+    routeAppend(spark, path, delta, cap, state0, fragmentThreshold,
+      retained)
   }
 
   /** [[appendIvfPostingsAuto]] for TWO-LEVEL-built artifacts:
@@ -1583,7 +1594,8 @@ object Similarity {
     * artifact life), the routing economics are identical. */
   def appendIvfPostingsAutoGrouped(spark: SparkSession, path: String,
       gcs: graft.expressions.IvfGroupedCentroidSet, newEmb: DataFrame,
-      fragmentThreshold: Double = 4.0): AppendRoute = {
+      fragmentThreshold: Double = 4.0,
+      retained: Boolean = false): AppendRoute = {
     import spark.implicits._
     val state0 = PostingsManifest.readClean(spark, path)
     val (cells, cap, ck, gpOpt) =
@@ -1599,7 +1611,8 @@ object Similarity {
       .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
       .withColumn("iv_ck", lit(ck))
       .withColumn("iv_gp", lit(gp))
-    routeAppend(spark, path, delta, cap, state0, fragmentThreshold)
+    routeAppend(spark, path, delta, cap, state0, fragmentThreshold,
+      retained)
   }
 
   /** The shared probe-and-dispatch: one O(batch) pass over the
@@ -1609,7 +1622,7 @@ object Similarity {
     * the same cost class the routes pay anyway. */
   private def routeAppend(spark: SparkSession, path: String,
       delta: DataFrame, cap: Int, state0: Option[PostingsManifest.State],
-      fragmentThreshold: Double): AppendRoute = {
+      fragmentThreshold: Double, retained: Boolean = false): AppendRoute = {
     import spark.implicits._
     val perCellBatch = maintStage("route_probe")(
       delta.groupBy(col("cell").cast("int").as("cell")).count()
@@ -1624,8 +1637,12 @@ object Similarity {
     val ratio =
       if (batchRows == 0) 0.0 else touchedRows.toDouble / batchRows
     if (state0.nonEmpty && ratio >= fragmentThreshold) {
+      // append-only: snapshot-safe by construction, retained or not
       appendFragmentFiles(spark, path, delta, state0)
       AppendRoute("fragment", batchRows, touchedRows, ratio)
+    } else if (retained && state0.nonEmpty) {
+      recapRetained(spark, path, delta, cap, state0.get)
+      AppendRoute("recap_retained", batchRows, touchedRows, ratio)
     } else {
       recapTouchedDirsAndOverwrite(spark, path, delta, cap)
       AppendRoute("recap", batchRows, touchedRows, ratio)

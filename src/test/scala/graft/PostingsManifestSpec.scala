@@ -286,6 +286,22 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       Similarity.appendIvfPostingsAutoGrouped(spark, p2, gcs, b2))
     intercept[IllegalArgumentException](
       Similarity.appendIvfPostingsAuto(spark, p4, gcs.flat.cents, b2))
+
+    // retained routing: the recap regime under retained=true runs the
+    // tombstone roll-forward — an open snapshot serves through it
+    val p5 = java.nio.file.Files
+      .createTempDirectory("graft_auto_rr").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(seed1, model), p5)
+    val snap = Similarity.readPostings(spark, p5)
+    val want0 = rows(spark.read.parquet(p5))
+    val r5 = Similarity.appendIvfPostingsAuto(spark, p5, cents, b1,
+      retained = true)
+    assert(r5.route == "recap_retained", s"got $r5")
+    assert(rows(snap) == want0,
+      "a snapshot must serve through a retained auto append")
+    assert(rows(Similarity.readPostings(spark, p5)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+    assertManifestIsTruth(p5, "after retained auto recap")
   }
 
   test("fragmentation report reads the artifact's health from the manifest") {
