@@ -91,6 +91,32 @@ object GraftColumnBridge {
       case _ => ()
     }
 
+  /** Per-file parquet ROW COUNTS from footers alone, as one
+    * parallelized job over the file list: each task opens footers with
+    * `ParquetFileReader` and sums block row counts — no column readers,
+    * no `FileSourceScanExec` per-file setup, no rows materialized. A
+    * DataFrame `groupBy(input_file_name).count()` over a 15 k-file
+    * artifact pays ~10 ms of reader initialization per file
+    * (measured: 23.6 s of a 74 s postings build, SURVEY §6.1 r15);
+    * this job does the same accounting at footer-metadata cost. Lives
+    * on the bridge for `SerializableConfiguration` (private[spark]) —
+    * executors need the driver's Hadoop conf to open the files. */
+  def parquetFooterRowCounts(spark: SparkSession,
+      files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        sc.hadoopConfiguration))
+    val parts = math.max(1, math.min(sc.defaultParallelism * 2, files.size))
+    sc.parallelize(files, parts).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), bc.value.value)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (p, reader.getRecordCount) finally reader.close()
+    }.collect().toMap
+  }
+
   /** Register a function builder on an already-running session (the
     * programmatic twin of `spark.sql.extensions=graft.GraftExtensions`,
     * for sessions the library does not construct itself). */
