@@ -281,6 +281,24 @@ object PostingsCompactBench {
       timed(Similarity.compactIvfPostings(spark, dirF))
     val (serveCmpSec, digCmp) = serveSec(dirF)
 
+    // ---- leg RR: RETAINED recap appends — the same recap semantics
+    // under the tombstone contract (new files + manifest retire +
+    // prior-epoch vacuum instead of dynamic partition overwrite).
+    // The spread vs leg R is the measured PRICE OF SNAPSHOT SAFETY:
+    // staging renames + tombstone bookkeeping per append, and the
+    // one-epoch storage overhang (filesRR - cells retired files).
+    val dirRR = newArtifact()
+    val retainedSecs = slices.map { b =>
+      timed(gpEnv match {
+        case Some(_) =>
+          Similarity.appendIvfPostingsRetainedGrouped(spark, dirRR, gcs, b)
+        case None =>
+          Similarity.appendIvfPostingsRetained(spark, dirRR, gcs.flat.cents, b)
+      })._2
+    }
+    val filesRR = fileCount(dirRR) // live + one epoch of tombstones
+    val (serveRRSec, digRR) = serveSec(dirRR)
+
     // ---- leg A: the AUTO ROUTER (appendIvfPostingsAuto) — every
     // append routed by the measured regime law (touched populations /
     // batch); records which way each append flipped at this posture
@@ -301,9 +319,10 @@ object PostingsCompactBench {
 
     // uncapped + disjoint batches: all four artifact states serve the
     // identical result — the spread is pure layout economics
-    require(digR == digFrag && digFrag == digCmp && digCmp == digAuto,
+    require(digR == digFrag && digFrag == digCmp && digCmp == digAuto &&
+      digAuto == digRR,
       s"serve results drifted across maintenance modes: " +
-        s"$digR / $digFrag / $digCmp / $digAuto")
+        s"$digR / $digFrag / $digCmp / $digAuto / $digRR")
     def arr(xs: Seq[Double]) =
       xs.map(s => f"$s%.2f").mkString("[", ",", "]")
     def mean(xs: Seq[Double]) = xs.sum / xs.size
@@ -311,6 +330,9 @@ object PostingsCompactBench {
       f""""cells":${gcs.flat.numCells},"appends":$nAppends,""" +
       f""""gp":${gpEnv.map(_.toString).getOrElse("null")},""" +
       f""""recap_append_secs":${arr(recapSecs)},"frag_append_secs":${arr(fragSecs)},""" +
+      f""""retained_append_secs":${arr(retainedSecs)},""" +
+      f""""retained_overhead":${mean(retainedSecs) / mean(recapSecs)}%.2f,""" +
+      f""""files_retained":$filesRR,"serve_retained_sec":$serveRRSec%.2f,""" +
       f""""append_speedup":${mean(recapSecs) / mean(fragSecs)}%.2f,""" +
       f""""files_recap":$filesR,"files_fragmented":$filesFrag,""" +
       f""""files_compacted":$fAfter,"cells_folded":$nFolded,""" +
