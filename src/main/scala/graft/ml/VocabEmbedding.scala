@@ -78,16 +78,26 @@ object VocabEmbedding {
   /** The same index via a broadcast join — the >10⁵-entry-vocab shape
     * where a plan-literal map stops being appropriate. Returns `df`
     * with `outCol` appended; row count and order contract identical to
-    * [[indexColumn]] (left join, OOV/NULL → -1). */
+    * [[indexColumn]] (left join, OOV/NULL → -1). Duplicate vocab terms
+    * are rejected up front — a dup would duplicate every matching input
+    * row, the silent row-fan [[indexColumn]] also refuses — and the
+    * vocab columns join under internal aliases, so a caller whose `df`
+    * already carries `term`/`idx` columns keeps them untouched. */
   def indexByJoin(spark: SparkSession, df: DataFrame, col: String,
       vocab: DataFrame, outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol, count => fcount}
     // vocab: (term STRING, idx INT); broadcast — vocabularies are the
-    // small side by definition
-    df.join(broadcast(vocab).hint("broadcast"),
-        df(col) === vocab("term"), "left_outer")
-      .drop("term")
-      .withColumn(outCol, coalesce(vocab("idx"), lit(-1)))
-      .drop("idx")
+    // small side by definition, so the dup probe is one tiny job
+    val v = vocab.select(vocab("term").as("__graft_vocab_term"),
+      vocab("idx").as("__graft_vocab_idx"))
+    val dup = v.groupBy(fcol("__graft_vocab_term"))
+      .agg(fcount(lit(1)).as("n")).filter(fcol("n") > 1).take(1)
+    require(dup.isEmpty,
+      s"vocabulary has duplicate terms (e.g. '${dup.headOption.map(_.getString(0)).getOrElse("")}') — " +
+        "positional lookup would be ambiguous and the join would fan rows")
+    df.join(broadcast(v), df(col) === v("__graft_vocab_term"), "left_outer")
+      .withColumn(outCol, coalesce(fcol("__graft_vocab_idx"), lit(-1)))
+      .drop("__graft_vocab_term", "__graft_vocab_idx")
   }
 
   /** `<col>_emb`: the dense embedding as `array<double>` of length

@@ -47,19 +47,33 @@ object PostingsManifest {
   /** One data file of the artifact: `file` is the part-file name inside
     * `cell=<cell>/`; `rows` its physical row count (replay duplicates
     * included — the manifest records truth, not post-dedup logic).
-    * `retired` marks a file a RETAINED compaction superseded but left
-    * on disk for in-flight snapshot readers (the Delta tombstone move):
+    * `retiredAt >= 0` marks a file a RETAINED op superseded but left on
+    * disk for in-flight snapshot readers (the Delta tombstone move):
     * still physically present (the truth invariant covers it), no
     * longer part of the live artifact, deleted by the next retained
-    * compaction's vacuum. */
+    * op's vacuum or a standalone
+    * [[graft.operators.Similarity.vacuumPostings]]. The value is the
+    * manifest EPOCH of the op that retired it — what lets a vacuum
+    * honor a declared retention window instead of the all-or-nothing
+    * sweep. `-1` = live. */
   case class FileEntry(cell: Int, file: String, bytes: Long, rows: Long,
-      retired: Boolean = false)
+      retiredAt: Long = -1L) {
+    def retired: Boolean = retiredAt >= 0L
+  }
 
   /** The artifact's embedded constants (same values every data row
     * carries as iv_ columns). */
   case class Params(cells: Int, cap: Int, ck: Long, gp: Option[Int])
 
-  case class State(params: Params, files: Seq[FileEntry]) {
+  /** `epoch` counts manifest roll-forwards that CHANGED the live file
+    * set (every append/compact bumps it; a vacuum, which only sheds
+    * tombstones, does not) — the clock retirement windows are declared
+    * against. A directory-truth rebuild resets it to 0: the rebuild
+    * also resurrects any tombstones as live rows (documented,
+    * converged by the next fold), so no retirement arithmetic survives
+    * it anyway. */
+  case class State(params: Params, files: Seq[FileEntry],
+      epoch: Long = 0L) {
     /** The serving artifact: every consumer (reads, population stats,
       * fragmented detection) reasons over LIVE entries; retired files
       * exist only for snapshot readers that planned before the
@@ -77,17 +91,29 @@ object PostingsManifest {
       * whole cell DIRECTORY, retired files included (an overwrite-style
       * op ends any retention window for the cells it touches). */
     def replacingCells(cells: Set[Int], entries: Seq[FileEntry]): State =
-      copy(files = files.filterNot(f => cells(f.cell)) ++ entries)
+      copy(files = files.filterNot(f => cells(f.cell)) ++ entries,
+        epoch = epoch + 1)
     /** Add fragment entries (one new file per touched cell). */
     def adding(entries: Seq[FileEntry]): State =
-      copy(files = files ++ entries)
-    /** The retained-compaction roll-forward: `folded` cells' live
-      * entries become retired (files stay on disk for in-flight
-      * snapshots), `entries` are their compacted replacements. */
-    def retiringCells(folded: Set[Int], entries: Seq[FileEntry]): State =
+      copy(files = files ++ entries, epoch = epoch + 1)
+    /** The retained roll-forward: `folded` cells' live entries become
+      * retired AT THE NEW EPOCH (files stay on disk for in-flight
+      * snapshots), `entries` are their replacements. */
+    def retiringCells(folded: Set[Int], entries: Seq[FileEntry]): State = {
+      val e = epoch + 1
       copy(files = files.map(f =>
-        if (!f.retired && folded(f.cell)) f.copy(retired = true) else f)
-        ++ entries)
+        if (!f.retired && folded(f.cell)) f.copy(retiredAt = e) else f)
+        ++ entries, epoch = e)
+    }
+    /** Shed retired entries older than `retentionEpochs` (their FILES
+      * are the caller's to delete first — see
+      * [[graft.operators.Similarity.vacuumPostings]]); the live set and
+      * the epoch are untouched. */
+    def vacuumed(retentionEpochs: Long): (State, Seq[FileEntry]) = {
+      val (drop, keep) = files.partition(f =>
+        f.retired && epoch - f.retiredAt >= retentionEpochs)
+      (copy(files = keep), drop)
+    }
   }
 
   def manifestDir(path: String): Path =
@@ -112,7 +138,8 @@ object PostingsManifest {
   def clearDirty(spark: SparkSession, path: String): Unit =
     fsOf(spark, path).delete(dirtyFlag(path), false)
 
-  private val FormatHeader = "graft-postings-manifest\t2"
+  private val FormatHeaderV3 = "graft-postings-manifest\t3"
+  private val FormatHeaderV2 = "graft-postings-manifest\t2"
 
   /** The manifest iff it is trustworthy: present AND not dirty. Every
     * consumer goes through here — a stranded dirty flag silently
@@ -120,9 +147,17 @@ object PostingsManifest {
     * them a manifest that may omit files a half-finished append already
     * renamed in. A v1 (parquet-directory) manifest from an older build
     * also returns None — its artifact re-adopts through the same
-    * rebuild path a manifest-less one does. A MALFORMED v2 file throws:
-    * tmp+rename makes partial writes impossible, so malformed means a
-    * bug, not a crash window. */
+    * rebuild path a manifest-less one does. A v2 text manifest (no
+    * epochs; retired as a 0/1 flag) reads compatibly: epoch 0,
+    * retirements stamped at 0 — the next roll-forward writes v3. A
+    * MALFORMED file returns None for the shapes a consumer can sanely
+    * degrade from (truncated to fewer than header+params, or zero file
+    * lines — a postings artifact always has files, so an empty list
+    * means the writer never finished reasoning, and planning zero
+    * files would silently serve EMPTY results where the listing
+    * fallback serves truth) and throws for the rest: tmp+rename makes
+    * partial writes impossible, so a garbled line means a bug, not a
+    * crash window. */
   def readClean(spark: SparkSession, path: String): Option[State] = {
     val fs = fsOf(spark, path)
     val dest = manifestDir(path)
@@ -133,22 +168,30 @@ object PostingsManifest {
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
         finally in.close()
-      if (lines.isEmpty) None
+      if (lines.length < 3) None // header + params + at least one file
       else {
-        require(lines.head == FormatHeader,
-          s"unrecognized manifest header at $dest: '${lines.head}'")
+        val v3 = lines.head match {
+          case FormatHeaderV3 => true
+          case FormatHeaderV2 => false
+          case other => throw new IllegalArgumentException(
+            s"unrecognized manifest header at $dest: '$other'")
+        }
         val p = lines(1).split('\t')
-        require(p.length == 5 && p(0) == "params",
+        require(p.length == (if (v3) 6 else 5) && p(0) == "params",
           s"malformed manifest params line at $dest: '${lines(1)}'")
         val gp = if (p(4) == "-") None else Some(p(4).toInt)
+        val epoch = if (v3) p(5).toLong else 0L
         val files = lines.drop(2).map { l =>
           val f = l.split('\t')
           require(f.length == 6 && f(0) == "file",
             s"malformed manifest file line at $dest: '$l'")
-          FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong,
-            f(5) == "1")
+          val retiredAt =
+            if (v3) { if (f(5) == "-") -1L else f(5).toLong }
+            else { if (f(5) == "1") 0L else -1L }
+          FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong, retiredAt)
         }
-        Some(State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp), files))
+        Some(State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp),
+          files, epoch))
       }
     }
   }
@@ -157,30 +200,113 @@ object PostingsManifest {
     * no-manifest window between delete and rename degrades readers to
     * their listing fallback, never to a wrong manifest). Driver-side
     * FS write — no Spark job rides the maintenance path. Does NOT
-    * touch the dirty flag — the caller owns the protocol ordering. */
+    * touch the dirty flag — the caller owns the protocol ordering. A
+    * failed write deletes its own tmp file; one stranded by a process
+    * CRASH is swept by the next [[rebuild]] (which lists the root
+    * anyway — no listing is added to the fast paths for garbage that
+    * only a crash can create). */
   def write(spark: SparkSession, path: String, state: State): Unit = {
     val fs = fsOf(spark, path)
     val tmp = new Path(path.stripSuffix("/"),
       "_manifest.tmp-" + java.util.UUID.randomUUID().toString)
-    val out = fs.create(tmp, true)
     try {
-      val w = new java.io.BufferedWriter(
-        new java.io.OutputStreamWriter(out, "UTF-8"))
-      w.write(FormatHeader); w.newLine()
-      w.write(Seq("params", state.params.cells, state.params.cap,
-        state.params.ck, state.params.gp.map(_.toString).getOrElse("-"))
-        .mkString("\t")); w.newLine()
-      state.files.foreach { f =>
-        require(!f.file.contains('\t') && !f.file.contains('\n'),
-          s"unencodable file name in manifest: '${f.file}'")
-        w.write(Seq("file", f.cell, f.file, f.bytes, f.rows,
-          if (f.retired) "1" else "0").mkString("\t")); w.newLine()
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        w.write(FormatHeaderV3); w.newLine()
+        w.write(Seq("params", state.params.cells, state.params.cap,
+          state.params.ck, state.params.gp.map(_.toString).getOrElse("-"),
+          state.epoch).mkString("\t")); w.newLine()
+        state.files.foreach { f =>
+          require(!f.file.contains('\t') && !f.file.contains('\n'),
+            s"unencodable file name in manifest: '${f.file}'")
+          w.write(Seq("file", f.cell, f.file, f.bytes, f.rows,
+            if (f.retired) f.retiredAt.toString else "-")
+            .mkString("\t")); w.newLine()
+        }
+        w.flush()
+      } finally out.close()
+      val dest = manifestDir(path)
+      fs.delete(dest, true) // recursive: also clears a legacy v1 directory
+      require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  // ------------------------------------------------------------ lease
+
+  /** A second maintenance writer was detected — the fail-fast that
+    * turns concurrent-maintenance manifest corruption into an error.
+    * Carries the holder's own description of itself. */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The writer lease lives as a SIBLING of the artifact
+    * (`<artifact>__maint_lease`, like the `__delta_*` staging dirs) so
+    * it survives even a full-overwrite rebuild of the directory — a
+    * lease inside the artifact would be deleted by the very
+    * `mode("overwrite")` build it is guarding. */
+  def leasePath(path: String): Path =
+    new Path(path.stripSuffix("/") + "__maint_lease")
+
+  /** Enforce the single-writer contract with the filesystem's one CAS
+    * primitive — `create(path, overwrite = false)` — the same move
+    * Delta Lake's log commit makes (reference analogue: the DB catalog
+    * serializing DDL, init-user-db.sh:119-120). Exactly one concurrent
+    * caller wins the create; every other gets a
+    * [[ConcurrentMaintenanceException]] naming the holder, BEFORE its
+    * first artifact mutation. The lease is released in the op's
+    * `finally` (held across failed ops only for the body's duration —
+    * the dirty flag, not the lease, is what records an incomplete
+    * mutation), so a lease that persists means a writer is live or its
+    * PROCESS crashed mid-op. Crash recovery is explicit and operator-
+    * owned: [[breakLease]], then let the next compaction's
+    * directory-truth rebuild absorb whatever the dead writer left
+    * (spec-pinned) — a TTL would guess, and a wrong guess corrupts. */
+  def acquireLease(spark: SparkSession, path: String, op: String): Unit = {
+    val fs = fsOf(spark, path)
+    val lp = leasePath(path)
+    val token = s"$op\t${java.time.Instant.now()}\t${
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+    val out =
+      try fs.create(lp, false)
+      catch {
+        case _: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lp)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            } catch { case _: Throwable => "<unreadable>" }
+          throw new ConcurrentMaintenanceException(
+            s"another maintenance writer holds the lease on $path " +
+              s"[$holder] — postings maintenance is single-writer; if " +
+              "that writer is dead, PostingsManifest.breakLease and " +
+              "compact to recover")
       }
-      w.flush()
-    } finally out.close()
-    val dest = manifestDir(path)
-    fs.delete(dest, true) // recursive: also clears a legacy v1 directory
-    require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+    try { out.write(token.getBytes("UTF-8")) } finally out.close()
+  }
+
+  def releaseLease(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(leasePath(path), false)
+
+  /** Operator-explicit recovery from a writer that died holding the
+    * lease. Returns whether a lease file existed. */
+  def breakLease(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).delete(leasePath(path), false)
+
+  /** Acquire the writer lease, run one maintenance op, release. The
+    * release sits in `finally`: an op that THROWS has already recorded
+    * its incompleteness in the dirty flag (readers degrade to listing
+    * truth), so holding the lease past it would only block recovery. */
+  def withLease[A](spark: SparkSession, path: String, op: String)(
+      body: => A): A = {
+    acquireLease(spark, path, op)
+    try body finally releaseLease(spark, path)
   }
 
   /** Directory truth, the O(files) fallback the manifest exists to make
@@ -204,7 +330,14 @@ object PostingsManifest {
     import spark.implicits._
     val fs = fsOf(spark, path)
     val root = new Path(path)
-    val listed = stage("rebuild_list")(fs.listStatus(root)
+    val rootListing = fs.listStatus(root)
+    // sweep manifest tmp files stranded by a process crash mid-write
+    // (a FAILED write deletes its own tmp) — here, not on the fast
+    // paths: the rebuild pays this listing anyway
+    rootListing
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_manifest.tmp-"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val listed = stage("rebuild_list")(rootListing
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
       .flatMap { d =>
         val cell = d.getPath.getName.stripPrefix("cell=").toInt

@@ -963,18 +963,22 @@ object Similarity {
         spark.read.parquet(path)
     }
 
-  def saveIvfPostings(postings: DataFrame, path: String): Unit = {
-    byCellPinned(postings)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    // Born with a manifest: one listing + one footer-bounded count job
-    // at build time (the overwrite just wiped any prior sidecar along
-    // with the data) buys every later append/compact/serve its
-    // zero-listing path. Build is the one moment an O(artifact)
-    // metadata pass is already being paid — the write itself created
-    // exactly these files.
-    maintStage("save_manifest")(
-      PostingsManifest.rebuildAndWrite(postings.sparkSession, path))
-  }
+  def saveIvfPostings(postings: DataFrame, path: String): Unit =
+    // The lease is a SIBLING file, so it survives the full overwrite
+    // below — a rebuild of a live artifact fails fast against a
+    // concurrent maintainer instead of wiping the files under it.
+    PostingsManifest.withLease(postings.sparkSession, path, "build") {
+      byCellPinned(postings)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      // Born with a manifest: one listing + one footer-bounded count job
+      // at build time (the overwrite just wiped any prior sidecar along
+      // with the data) buys every later append/compact/serve its
+      // zero-listing path. Build is the one moment an O(artifact)
+      // metadata pass is already being paid — the write itself created
+      // exactly these files.
+      maintStage("save_manifest")(
+        PostingsManifest.rebuildAndWrite(postings.sparkSession, path))
+    }
 
   /** Roll a cell-partitioned postings DIRECTORY forward in place:
     * dynamic partition overwrite rewrites ONLY the touched cells'
@@ -1024,7 +1028,8 @@ object Similarity {
     * identical to [[recapFromDelta]] (spec-pinned: in-place ≡ the
     * DataFrame append route ≡ a from-scratch rebuild). */
   private def recapTouchedDirsAndOverwrite(spark: SparkSession,
-      path: String, delta0: DataFrame, cap: Int): Unit = {
+      path: String, delta0: DataFrame, cap: Int): Unit =
+    PostingsManifest.withLease(spark, path, "recap") {
     import spark.implicits._
     val state0 = PostingsManifest.readClean(spark, path)
     val delta = maintStage("recap_delta_ckpt")(delta0.localCheckpoint(true))
@@ -1279,7 +1284,8 @@ object Similarity {
     * them). */
   private def recapRetained(spark: SparkSession, path: String,
       delta0: DataFrame, cap: Int,
-      st0: PostingsManifest.State): Unit = {
+      st0: PostingsManifest.State): Unit =
+    PostingsManifest.withLease(spark, path, "recap_retained") {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1442,7 +1448,8 @@ object Similarity {
 
   private def appendFragmentFiles(spark: SparkSession, path: String,
       delta0: DataFrame,
-      state0: Option[PostingsManifest.State]): Unit = {
+      state0: Option[PostingsManifest.State]): Unit =
+    PostingsManifest.withLease(spark, path, "fragment_append") {
     import spark.implicits._
     // Manifest bookkeeping needs the delta twice (write + per-cell row
     // counts) — materialize ONCE so assignment arithmetic doesn't
@@ -1673,7 +1680,17 @@ object Similarity {
     }
   }
 
-  def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) = {
+  def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) =
+    PostingsManifest.withLease(spark, path, "compact")(
+      compactIvfPostingsLocked(spark, path))
+
+  /** [[compactIvfPostings]]'s body with the writer lease ALREADY HELD —
+    * shared with [[compactIvfPostingsRetained]]'s manifest-less
+    * fallback, which runs under its own lease and must not
+    * re-acquire (the lease is deliberately non-reentrant: a second
+    * acquire is exactly the corruption signal it exists to raise). */
+  private def compactIvfPostingsLocked(spark: SparkSession,
+      path: String): (Int, Int, Int) = {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1804,57 +1821,120 @@ object Similarity {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sweepStaleDeltas(fs, hPath)
-    PostingsManifest.readClean(spark, path) match {
-      case None => compactIvfPostings(spark, path)
-      case Some(st0) =>
+    PostingsManifest.withLease(spark, path, "compact_retained") {
+      sweepStaleDeltas(fs, hPath)
+      PostingsManifest.readClean(spark, path) match {
+        case None => compactIvfPostingsLocked(spark, path)
+        case Some(st0) =>
+          PostingsManifest.markDirty(spark, path)
+          // vacuum the previous epochs' tombstones
+          st0.files.filter(_.retired).foreach { e =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
+          }
+          val st = st0.copy(files = st0.live)
+          val cap = st.params.cap
+          val pcFiles = st.perCellFiles
+          val filesBefore = st.totalFiles
+          val fragmented = pcFiles.filter(_._2 > 1).keySet ++
+            (if (cap == Int.MaxValue) Set.empty[Int]
+             else st.perCellRows.filter(_._2 > cap).keySet)
+          if (fragmented.isEmpty) {
+            PostingsManifest.write(spark, path, st)
+            PostingsManifest.clearDirty(spark, path)
+            (0, filesBefore, filesBefore)
+          } else {
+            val frag = org.apache.spark.sql.GraftColumnBridge
+              .parquetOverFileIndex(spark,
+                new graft.plans.PostingsFileIndex(path,
+                  st.copy(files = st.files.filter(f => fragmented(f.cell)))),
+                postingsDataSchema(st.params.gp.nonEmpty))
+            val byCell =
+              Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+            val folded = frag
+              .dropDuplicates(Seq("cell", "cand_id"))
+              .withColumn("cellRank", row_number().over(byCell))
+              .filter($"cellRank" <= cap)
+              .drop("cellRank")
+              .localCheckpoint(true)
+            try {
+              val counts = folded
+                .groupBy(col("cell").cast("int").as("cell")).count()
+                .as[(Int, Long)].collect().toMap
+              val staged = stageIntoCells(spark, path, folded)
+              val entries = staged.map { case (c, name, bytes) =>
+                PostingsManifest.FileEntry(c, name, bytes,
+                  counts.getOrElse(c, 0L))
+              }
+              PostingsManifest.write(spark, path,
+                st.retiringCells(fragmented, entries))
+              PostingsManifest.clearDirty(spark, path)
+              (fragmented.size, filesBefore,
+                filesBefore - fragmented.toSeq.map(pcFiles).sum +
+                  fragmented.size)
+            } finally org.apache.spark.sql.GraftColumnBridge
+              .unpersistLocalCheckpoint(folded)
+          }
+      }
+    }
+  }
+
+  /** STANDALONE tombstone vacuum — bounded retention debt for an
+    * artifact whose ingest went quiet. The retained ops vacuum the
+    * prior epochs' tombstones only as a side-effect of the NEXT
+    * retained op; an artifact that stops ingesting would otherwise
+    * carry its last epoch's retired files forever (measured at the
+    * §6.1 r15 posture: 1 689–3 400 tombstone files, ~19% of artifact
+    * bytes, parked indefinitely). This completes the MVCC story:
+    * retire (retained op) → retention window (`retentionEpochs`
+    * maintenance epochs, declared by the DEPLOYMENT's snapshot-lifetime
+    * policy, same contract as Delta's `VACUUM ... RETAIN`) → vacuum.
+    *
+    * Semantics: drops exactly the retired entries whose retirement is
+    * at least `retentionEpochs` maintenance epochs old
+    * (`manifest epoch − retiredAt ≥ retentionEpochs`); live files and
+    * the epoch itself are untouched, so a vacuum never changes what any
+    * NEW snapshot serves. `retentionEpochs = 1` (default) keeps the
+    * current epoch's tombstones — snapshots opened before the latest
+    * retained op keep serving; `0` sweeps everything (only safe when no
+    * snapshot is in flight — the same judgement call Delta documents
+    * for `RETAIN 0 HOURS`).
+    *
+    * REFUSES a dirty or manifest-less artifact (the retired set IS
+    * manifest state: a dirty flag means it cannot be trusted, and
+    * directory truth cannot distinguish a tombstone from a live file —
+    * recover via compaction first). Crash-safe by the same WAL bracket
+    * as every maintenance op: dirty → delete files → manifest
+    * roll-forward → clear; a crash mid-vacuum strands the dirty flag
+    * and the next compaction rebuilds from directory truth. Cost:
+    * one manifest read + one FS delete per dropped file — no Spark
+    * job, no listing, nothing ∝ artifact size.
+    * Returns (files dropped, bytes freed). */
+  def vacuumPostings(spark: SparkSession, path: String,
+      retentionEpochs: Long = 1L): (Int, Long) = {
+    require(retentionEpochs >= 0, s"retentionEpochs=$retentionEpochs")
+    PostingsManifest.withLease(spark, path, "vacuum") {
+      val st = PostingsManifest.readClean(spark, path).getOrElse {
+        val why =
+          if (PostingsManifest.isDirty(spark, path)) "is dirty"
+          else "has no manifest"
+        throw new IllegalStateException(
+          s"vacuum refused: $path $why — the retired set is manifest " +
+            "state; run compactIvfPostings to recover/adopt first")
+      }
+      val (kept, drop) = st.vacuumed(retentionEpochs)
+      if (drop.isEmpty) (0, 0L)
+      else {
+        val fs = PostingsManifest.fsOf(spark, path)
         PostingsManifest.markDirty(spark, path)
-        // vacuum the previous epoch's tombstones
-        st0.files.filter(_.retired).foreach { e =>
+        drop.foreach { e =>
           fs.delete(new org.apache.hadoop.fs.Path(
             path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
         }
-        val st = st0.copy(files = st0.live)
-        val cap = st.params.cap
-        val pcFiles = st.perCellFiles
-        val filesBefore = st.totalFiles
-        val fragmented = pcFiles.filter(_._2 > 1).keySet ++
-          (if (cap == Int.MaxValue) Set.empty[Int]
-           else st.perCellRows.filter(_._2 > cap).keySet)
-        if (fragmented.isEmpty) {
-          PostingsManifest.write(spark, path, st)
-          PostingsManifest.clearDirty(spark, path)
-          return (0, filesBefore, filesBefore)
-        }
-        val frag = org.apache.spark.sql.GraftColumnBridge
-          .parquetOverFileIndex(spark,
-            new graft.plans.PostingsFileIndex(path,
-              st.copy(files = st.files.filter(f => fragmented(f.cell)))),
-            postingsDataSchema(st.params.gp.nonEmpty))
-        val byCell =
-          Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
-        val folded = frag
-          .dropDuplicates(Seq("cell", "cand_id"))
-          .withColumn("cellRank", row_number().over(byCell))
-          .filter($"cellRank" <= cap)
-          .drop("cellRank")
-          .localCheckpoint(true)
-        try {
-          val counts = folded
-            .groupBy(col("cell").cast("int").as("cell")).count()
-            .as[(Int, Long)].collect().toMap
-          val staged = stageIntoCells(spark, path, folded)
-          val entries = staged.map { case (c, name, bytes) =>
-            PostingsManifest.FileEntry(c, name, bytes,
-              counts.getOrElse(c, 0L))
-          }
-          PostingsManifest.write(spark, path,
-            st.retiringCells(fragmented, entries))
-          PostingsManifest.clearDirty(spark, path)
-          (fragmented.size, filesBefore,
-            filesBefore - fragmented.toSeq.map(pcFiles).sum + fragmented.size)
-        } finally org.apache.spark.sql.GraftColumnBridge
-          .unpersistLocalCheckpoint(folded)
+        PostingsManifest.write(spark, path, kept)
+        PostingsManifest.clearDirty(spark, path)
+        (drop.size, drop.map(_.bytes).sum)
+      }
     }
   }
 

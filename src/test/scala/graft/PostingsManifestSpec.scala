@@ -523,6 +523,139 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     assert(ex.getMessage.contains("two-level"))
   }
 
+  test("writer lease: second writer fails fast, crash recovery is explicit") {
+    val (path, model, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    // a writer (us, here) holds the lease — EVERY maintenance family
+    // must fail fast BEFORE mutating anything, naming the holder
+    PostingsManifest.acquireLease(spark, path, "spec-writer")
+    val truthBefore = truth(path)
+    val exs = Seq(
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.appendIvfPostingsFragment(spark, path, cents, b1)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.appendIvfPostingsInPlace(spark, path, model, b1)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.appendIvfPostingsRetained(spark, path, cents, b1)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.compactIvfPostings(spark, path)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.compactIvfPostingsRetained(spark, path)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.vacuumPostings(spark, path)),
+      intercept[PostingsManifest.ConcurrentMaintenanceException](
+        Similarity.saveIvfPostings(
+          Similarity.ivfPostings(b1, model), path)))
+    assert(exs.forall(_.getMessage.contains("spec-writer")),
+      "the refusal must name the live holder")
+    assert(truth(path) == truthBefore,
+      "a refused op must not have touched the artifact")
+    assert(!PostingsManifest.isDirty(spark, path),
+      "a refused op must not have marked dirty")
+    // the holder's own op path stays open: release → ops proceed
+    PostingsManifest.releaseLease(spark, path)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    assertManifestIsTruth(path, "after the lease was released")
+    // crash recovery: a lease stranded by a dead writer blocks until
+    // the OPERATOR breaks it (no TTL guessing), then compaction's
+    // directory-truth path absorbs whatever the dead writer left
+    PostingsManifest.acquireLease(spark, path, "dead-writer")
+    PostingsManifest.markDirty(spark, path) // died mid-op
+    intercept[PostingsManifest.ConcurrentMaintenanceException](
+      Similarity.compactIvfPostings(spark, path))
+    assert(PostingsManifest.breakLease(spark, path))
+    Similarity.compactIvfPostings(spark, path)
+    assertManifestIsTruth(path, "after break-lease recovery")
+    // ...and an op that merely FAILS releases its lease itself: the
+    // next writer is not blocked (the dirty flag, not the lease, is
+    // what records the incomplete mutation)
+    val boom = intercept[RuntimeException](
+      PostingsManifest.withLease(spark, path, "failing-op") {
+        throw new RuntimeException("op body failed")
+      })
+    assert(boom.getMessage == "op body failed")
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    assertManifestIsTruth(path, "after a failed op released its lease")
+  }
+
+  test("standalone vacuum honors the retention window exactly") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_vacuum").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    // vacuum refuses a manifest-less artifact...
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    val ex0 = intercept[IllegalStateException](
+      Similarity.vacuumPostings(spark, path))
+    assert(ex0.getMessage.contains("no manifest"))
+    Similarity.compactIvfPostings(spark, path) // re-adopt
+    // ...and a dirty one
+    PostingsManifest.markDirty(spark, path)
+    val ex1 = intercept[IllegalStateException](
+      Similarity.vacuumPostings(spark, path))
+    assert(ex1.getMessage.contains("dirty"))
+    PostingsManifest.clearDirty(spark, path)
+
+    // open a retention window: fragment + retained compact retires the
+    // fragments at the CURRENT epoch
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    val snapshot = Similarity.readPostings(spark, path)
+    val expectFragmented = snapshot.count()
+    Similarity.compactIvfPostingsRetained(spark, path)
+    val stW = PostingsManifest.readClean(spark, path).get
+    val retiredNow = stW.files.filter(_.retired)
+    assert(retiredNow.nonEmpty &&
+      retiredNow.forall(_.retiredAt == stW.epoch),
+      "retained compaction must stamp tombstones with the new epoch")
+
+    // retention 1: the current epoch's tombstones are INSIDE the
+    // window — nothing dropped, the pre-compaction snapshot still serves
+    assert(Similarity.vacuumPostings(spark, path) == ((0, 0L)))
+    assert(snapshot.count() == expectFragmented,
+      "a snapshot inside the retention window must keep serving")
+    assertManifestIsTruth(path, "after a no-op vacuum")
+
+    // one more maintenance epoch ages them out: now retention 1 drops
+    // EXACTLY the retired set, live files untouched
+    val b2 = emb.filter($"vec_id" % 4 === 2)
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    val st2 = PostingsManifest.readClean(spark, path).get
+    val aged = st2.files.filter(_.retired)
+    val liveSet = st2.live.map(e => (e.cell, e.file)).toSet
+    val (dropped, bytes) = Similarity.vacuumPostings(spark, path)
+    assert(dropped == aged.size && bytes == aged.map(_.bytes).sum,
+      s"vacuum must drop exactly the aged retired set ($aged)")
+    val st3 = PostingsManifest.readClean(spark, path).get
+    assert(st3.files.map(e => (e.cell, e.file)).toSet == liveSet,
+      "vacuum must keep exactly the live set")
+    assert(st3.epoch == st2.epoch,
+      "a vacuum is not a maintenance epoch — new snapshots are unchanged")
+    assertManifestIsTruth(path, "after the aging vacuum")
+    assert(Similarity.postingsFragmentationReport(spark, path).head()
+      .getAs[Long]("retired_files") == 0L, "retired debt must read 0")
+
+    // retention 0 = sweep everything immediately (the RETAIN-0 mode):
+    // a fresh window closes in one standalone call
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    assert(PostingsManifest.readClean(spark, path).get
+      .files.exists(_.retired), "precondition: a window is open")
+    val (d2, _) = Similarity.vacuumPostings(spark, path,
+      retentionEpochs = 0L)
+    assert(d2 > 0)
+    assertManifestIsTruth(path, "after the retain-0 vacuum")
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() ==
+      Similarity.readPostings(spark, path).count(),
+      "plain reads must be clean once the window is vacuumed")
+  }
+
   test("manifest-route compaction rows equal the from-scratch rebuild") {
     // the same append≡rebuild law SimilaritySpec pins, but explicitly
     // through the manifest detection path (fresh artifacts all carry

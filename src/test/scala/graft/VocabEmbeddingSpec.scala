@@ -77,5 +77,21 @@ class VocabEmbeddingSpec extends AnyFunSuite with SparkSpec {
         .select(VocabEmbedding.indexColumn($"s", Seq("a", "a"))).collect()
     }
     assert(ex.getMessage.contains("duplicate"))
+    // the join route holds the same contract (a dup would FAN rows)
+    val ex2 = intercept[IllegalArgumentException] {
+      VocabEmbedding.indexByJoin(spark, Seq("a").toDF("s"), "s",
+        Seq(("a", 0), ("a", 1)).toDF("term", "idx"), "vidx")
+    }
+    assert(ex2.getMessage.contains("duplicate"))
+  }
+
+  test("indexByJoin leaves a caller's own term/idx columns untouched") {
+    val df = Seq(("mayo", "my-term", 99), ("nope", "t2", 98))
+      .toDF("source", "term", "idx")
+    val vocabDf = vocab.zipWithIndex.toDF("term", "idx")
+    val got = VocabEmbedding.indexByJoin(spark, df, "source", vocabDf, "vidx")
+      .select($"source", $"term", $"idx", $"vidx")
+      .as[(String, String, Int, Int)].collect().toSet
+    assert(got == Set(("mayo", "my-term", 99, 0), ("nope", "t2", 98, -1)))
   }
 }
