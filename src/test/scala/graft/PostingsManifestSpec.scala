@@ -227,18 +227,32 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
         .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
 
     // posture 1: batch ≈ touched populations (seed and batch are the
-    // same size) → ratio ≈ 1–3 → RECAP, immediately rebuild-equal
+    // same size) → ratio ≈ 1–3 → RECAP — and the DEFAULT recap is the
+    // RETAINED one (manifest present ⟹ retained: measured faster AND
+    // snapshot-safe), immediately rebuild-equal through readPostings
     val p1 = java.nio.file.Files
       .createTempDirectory("graft_auto_r").toString
     val seed1 = emb.filter($"vec_id" % 2 === 0)
     val b1 = emb.filter($"vec_id" % 2 === 1)
     Similarity.saveIvfPostings(Similarity.ivfPostings(seed1, model), p1)
     val r1 = Similarity.appendIvfPostingsAuto(spark, p1, cents, b1)
-    assert(r1.route == "recap" && r1.ratio < 4.0,
-      s"equal-size batch must recap, got $r1")
+    assert(r1.route == "recap_retained" && r1.ratio < 4.0,
+      s"equal-size batch must recap (retained by default), got $r1")
     assertManifestIsTruth(p1, "after auto recap")
-    spark.catalog.refreshByPath(p1)
-    assert(rows(spark.read.parquet(p1)) ==
+    assert(rows(Similarity.readPostings(spark, p1)) ==
+      rows(Similarity.ivfPostings(emb, model)))
+
+    // the plain-reader escape hatch: retained = false lands the classic
+    // overwrite recap — no retention window, raw directory reads clean
+    val p1c = java.nio.file.Files
+      .createTempDirectory("graft_auto_rc").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(seed1, model), p1c)
+    val r1c = Similarity.appendIvfPostingsAuto(spark, p1c, cents, b1,
+      retained = false)
+    assert(r1c.route == "recap", s"escape hatch must land classic, got $r1c")
+    assertManifestIsTruth(p1c, "after classic auto recap")
+    spark.catalog.refreshByPath(p1c)
+    assert(rows(spark.read.parquet(p1c)) ==
       rows(Similarity.ivfPostings(emb, model)))
 
     // posture 2: populations ≫ batch (a trickle into a mature index)
