@@ -179,6 +179,74 @@ object IndexBench {
     Comparison(screen, full)
   }}
 
+  final case class Drift(screen0Sec: Double, screenAppendedSec: Double,
+      screenCompactedSec: Double, files0: Int, filesAppended: Int,
+      filesCompacted: Int) {
+    /** appended-screen cost relative to the pristine layout — the
+      * "flat across N appends" claim as one number. */
+    def drift: Double = screenAppendedSec / screen0Sec
+  }
+
+  /** The exact-index APPEND-DRIFT claim measured: per-ingest screen
+    * cost against the artifact at three lifecycle points — pristine
+    * [[Dedup.saveExactIndex]] layout, after 10
+    * [[Dedup.appendExactIndexDelta]] rounds (each ∝ its own batch; the
+    * artifact accrues one full-hash-range file per round, so
+    * FILE-level zone pruning erodes while each delta's own row-group
+    * stats stay tight), and after [[Dedup.compactExactIndex]] restores
+    * the global sorted layout. The claim under test: the screen stays
+    * ~flat across appends (row-group pruning inside sorted delta files
+    * carries the point-lookup economics; the per-file footer overhead
+    * of +10 files is noise), and compaction returns it to baseline —
+    * i.e. delta-append maintenance does NOT silently degrade the
+    * screened route to a full scan, the r15-flagged soft spot. The
+    * bloom rolls forward per round ([[Dedup.appendToExactBloom]],
+    * untimed like every index-maintenance cost here). */
+  def exactAppendDrift(spark: SparkSession, sfDir: String,
+      iters: Int = 3, appends: Int = 10): Drift =
+    withTempDir("graft_ex_drift") { idxPath =>
+    import spark.implicits._
+    val batch = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val n = 2000000L
+    val deltaRows = 50000L
+    Dedup.saveExactIndex(
+      spark.range(n)
+        .select(md5(concat(lit("corpus-"), col("id"))).as("text_hash")),
+      idxPath, files = 16)
+    def fileCount: Int = {
+      val h = new org.apache.hadoop.fs.Path(idxPath)
+      h.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(h)
+        .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    }
+    val files0 = fileCount
+    var bloom = Dedup.exactIndexBloom(spark.read.parquet(idxPath),
+      expectedItems = n + appends * deltaRows)
+    val screen0 = timeMedian(spark, iters)(
+      Dedup.dedupAgainstIndexScreened(batch,
+        spark.read.parquet(idxPath), bloom))
+    (0 until appends).foreach { i =>
+      val delta = spark.range(i * deltaRows, (i + 1) * deltaRows)
+        .select((col("id") + 10000000L).as("doc_id"),
+          concat(lit(s"novel-append-$i-"), col("id")).as("text"))
+      Dedup.appendExactIndexDelta(spark, idxPath, delta)
+      bloom = Dedup.appendToExactBloom(bloom, delta)
+    }
+    spark.catalog.refreshByPath(idxPath)
+    val filesAppended = fileCount
+    val screenN = timeMedian(spark, iters)(
+      Dedup.dedupAgainstIndexScreened(batch,
+        spark.read.parquet(idxPath), bloom))
+    Dedup.compactExactIndex(spark, idxPath)
+    spark.catalog.refreshByPath(idxPath)
+    val filesCompacted = fileCount
+    val screenC = timeMedian(spark, iters)(
+      Dedup.dedupAgainstIndexScreened(batch,
+        spark.read.parquet(idxPath), bloom))
+    Drift(screen0, screenN, screenC, files0, filesAppended, filesCompacted)
+  }
+
   /** IVF serving side: a 100-query top-k served from the PERSISTED
     * cell-partitioned postings ([[graft.operators.Similarity
     * .ivfTopKFromPostings]]) vs the same queries paying the corpus
@@ -237,8 +305,9 @@ object IndexBench {
     val nd = nearDup(spark, sfDir)
     val ct = contamination(spark, sfDir)
     val ex = exactDedup(spark, sfDir)
+    val dr = exactAppendDrift(spark, sfDir)
     val iv = ivfServe(spark, sfDir)
-    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f,"sf":"$sfDir"}""")
+    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"exact_screen0_sec":${dr.screen0Sec}%.3f,"exact_screen_appended_sec":${dr.screenAppendedSec}%.3f,"exact_screen_compacted_sec":${dr.screenCompactedSec}%.3f,"exact_append_drift":${dr.drift}%.2f,"exact_files":[${dr.files0},${dr.filesAppended},${dr.filesCompacted}],"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

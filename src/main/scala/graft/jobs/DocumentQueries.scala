@@ -650,6 +650,42 @@ object DocumentQueries {
       .select($"doc_id", length($"text").cast("bigint").as("text_len"))
   }
 
+  // ---------------------------------------------------------------- q84
+  /** The exact-hash index's ARTIFACT lifecycle, oracle-checked: seed a
+    * third of the corpus into a [[Dedup.saveExactIndex]] range-sorted
+    * parquet directory, run two ingest rounds through
+    * [[Dedup.dedupAgainstIndex]] + [[Dedup.appendExactIndexDelta]]
+    * (each append ∝ its own batch — no index scan, no `union().
+    * distinct()` full-index shuffle), re-append the second delta (an
+    * at-least-once redelivery), then [[Dedup.compactExactIndex]] folds
+    * the replay and restores the global sorted zone-map layout the
+    * screened route's IN-pushdown depends on (row-group census
+    * spec-pinned in DedupSpec; the drift number rides IndexBench). The
+    * oracle is the from-scratch rebuild — `DISTINCT md5(text)` over the
+    * whole corpus — so the hash match proves delta-append maintenance
+    * + replay + compaction land exactly the index a fresh build would:
+    * the postings family's append≡rebuild contract, on the second
+    * artifact family. */
+  def q84ExactIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val seed = d.filter($"doc_id" % 3 === 0)
+    val b1 = d.filter($"doc_id" % 3 === 1)
+    val b2 = d.filter($"doc_id" % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_q84")
+      .resolve("index").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path)
+    val k1 = Dedup.dedupAgainstIndex(b1, spark.read.parquet(path))
+    Dedup.appendExactIndexDelta(spark, path, k1)
+    spark.catalog.refreshByPath(path)
+    val k2 = Dedup.dedupAgainstIndex(b2, spark.read.parquet(path))
+    Dedup.appendExactIndexDelta(spark, path, k2)
+    Dedup.appendExactIndexDelta(spark, path, k2) // redelivery
+    Dedup.compactExactIndex(spark, path)
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path)
+  }
+
   // ---------------------------------------------------------------- q64
   /** Deterministic epoch shuffle — the data-loader ordering step: each
     * training epoch re-orders the corpus by `md5(epoch:doc_id)`, so
@@ -1090,6 +1126,7 @@ object DocumentQueries {
     "q61_sequence_packing" -> (q61SequencePacking _),
     "q62_pii_scrub" -> (q62PiiScrub _),
     "q63_exact_index_screen" -> (q63ExactIndexScreen _),
+    "q84_exact_index_artifact" -> (q84ExactIndexLifecycle _),
     "q64_epoch_shuffle" -> (q64EpochShuffle _),
     "q65_bigram_surprise" -> (q65BigramSurprise _),
     "q66_eval_sample" -> (q66EvalSample _),
@@ -1104,6 +1141,11 @@ object DocumentQueries {
     "q81_vocab_embed" -> (q81VocabEmbed _))
 
   val oracle: Map[String, String] = Map(
+    // the lifecycle's from-scratch rebuild: delta appends + replayed
+    // delta + compaction must land exactly the distinct hash set a
+    // fresh build over the whole corpus produces
+    "q84_exact_index_artifact" ->
+      "SELECT DISTINCT md5(text) AS text_hash FROM documents",
     // same synthesized batch as the Spark side; the anti-join + min-per-
     // hash mirrors dedupAgainstIndex's semantics generically, so the
     // oracle holds even if the fixture ever grows organic duplicates

@@ -277,6 +277,51 @@ object EmbeddingQueries {
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
+  // ---------------------------------------------------------------- q83
+  /** The tombstone RETENTION lifecycle end-to-end, oracle-checked
+    * against the from-scratch rebuild — q82's MVCC composition plus
+    * the round-16 additions: every maintenance op runs under the
+    * writer LEASE (acquired/released inside each call — the lifecycle
+    * itself proves single-writer ops interleave cleanly), and the
+    * retention windows are closed by STANDALONE
+    * [[Similarity.vacuumPostings]] calls instead of waiting for a next
+    * retained op — the quiesced-artifact debt bound. The sequence
+    * exercises both vacuum regimes: an in-window no-op (retention 1
+    * with tombstones retired at the current epoch — drops nothing, a
+    * snapshot opened before the retained append must still serve), an
+    * aged drop after the next maintenance epoch, and a final
+    * `retentionEpochs = 0` sweep. The declared frame is the PLAIN
+    * discovering read — the strongest close: after the last vacuum the
+    * DIRECTORY physically equals the live state (no tombstones left to
+    * double-count), and the hash match against the rebuild oracle pins
+    * retire → window → vacuum landing exactly the from-scratch build. */
+  def q83PostingsVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_q83")
+      .resolve("postings").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsWithCentroids(seed, cents, q78CellCap), path)
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    // window just opened (tombstones at the current epoch): retention 1
+    // keeps them — in-flight snapshots stay serveable
+    Similarity.vacuumPostings(spark, path) // no-op by the window law
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
+    Similarity.vacuumPostings(spark, path) // drops the aged tombstones
+    Similarity.compactIvfPostingsRetained(spark, path) // folds b2's fragments
+    Similarity.vacuumPostings(spark, path, retentionEpochs = 0L) // full close
+    spark.catalog.refreshByPath(path)
+    spark.read.parquet(path)
+      .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -367,7 +412,8 @@ object EmbeddingQueries {
     "q78_postings_roll" -> (q78PostingsRoll _),
     "q79_postings_compact" -> (q79PostingsCompact _),
     "q80_postings_compact_2l" -> (q80PostingsCompact2l _),
-    "q82_postings_retained" -> (q82PostingsRetained _))
+    "q82_postings_retained" -> (q82PostingsRetained _),
+    "q83_postings_vacuum" -> (q83PostingsVacuum _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -467,6 +513,7 @@ object EmbeddingQueries {
     "q79_postings_compact" -> postingsRebuildSql,
     "q80_postings_compact_2l" -> postingsRebuild2lSql,
     "q82_postings_retained" -> postingsRebuildSql,
+    "q83_postings_vacuum" -> postingsRebuildSql,
     "q78_postings_roll" -> postingsRebuildSql,
     // same deterministic degradation of the embeddings side, same
     // distinct-ref + full-outer-join + per-source rollup semantics

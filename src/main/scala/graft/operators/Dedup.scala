@@ -63,8 +63,9 @@ object Dedup {
     * copies (keep the lowest doc_id) are dropped in one pass. The
     * index side joins as a left-anti on the 16-byte hash (broadcast
     * when small, hash-shuffle otherwise — never a corpus scan);
-    * `exactHashIndex(kept).union(index).distinct()` is the updated
-    * index to persist for the next ingest. */
+    * [[appendToExactIndex]] (in memory) or [[appendExactIndexDelta]]
+    * (persisted artifact, ∝ batch) rolls the index forward with the
+    * kept rows for the next ingest. */
   def dedupAgainstIndex(newDocs: DataFrame, index: DataFrame): DataFrame = {
     val spark = newDocs.sparkSession
     import spark.implicits._
@@ -304,6 +305,74 @@ object Dedup {
       hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
         .drop("maybe_dup"))
   }
+
+  // ---------------------------------------------------- exact-index artifact
+
+  /** Just the rows an index append would ADD — the ingest round's
+    * index delta, mirroring [[minhashIndexDelta]]: the distinct hashes
+    * of `keptDocs`, which are the rows [[dedupAgainstIndex]] /
+    * [[dedupAgainstIndexScreened]] KEPT, so their hashes are not in
+    * the index by construction and no index scan (let alone the old
+    * `union().distinct()` full-index shuffle) is ever needed — cost
+    * and bytes ∝ batch. An at-least-once caller that replays a batch
+    * appends duplicate hashes; they are harmless to every screen
+    * (anti/semi-join and IN semantics are set semantics) and are folded
+    * by [[compactExactIndex]] — the same posture as the postings
+    * fragment route. */
+  def exactIndexDelta(keptDocs: DataFrame): DataFrame =
+    exactHashIndex(keptDocs)
+
+  /** The in-memory/spec composition form: standing index ∪ delta. For
+    * a parquet-deployed index use [[appendExactIndexDelta]] — this
+    * union's lazy lineage re-reads the whole standing index when
+    * materialized. */
+  def appendToExactIndex(index: DataFrame, keptDocs: DataFrame): DataFrame =
+    index.unionByName(exactIndexDelta(keptDocs))
+
+  /** Persist an [[exactHashIndex]] as a range-sorted parquet DIRECTORY
+    * — the artifact layout [[dedupAgainstIndexScreened]]'s point-lookup
+    * route depends on: range partitioning + in-file sort keep every
+    * row group's min/max stats tight, so a pushed-down IN predicate
+    * reads ∝ candidates, not ∝ index (the
+    * [[graft.sources.WarehouseWriter.saveSorted]] physics, applied to
+    * a path-addressed artifact). */
+  def saveExactIndex(index: DataFrame, path: String, files: Int = 8): Unit =
+    index
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("overwrite").parquet(path)
+
+  /** Roll a persisted [[saveExactIndex]] directory forward with an
+    * ingest round's kept rows — cost ∝ BATCH, nothing ∝ the index:
+    * the delta lands as `files` new part-files (sorted within
+    * themselves, so their OWN row-group stats stay tight), and a flat
+    * path append never lists the standing artifact (unlike a
+    * partitioned append — the measured fragment-route lesson). The
+    * LSM debt this accrues is bounded and OBSERVABLE, not silent:
+    * every appended file spans ~the full hash range, so file-level
+    * zone pruning erodes with append count (row-group pruning inside
+    * each sorted file survives) and the footer count grows by `files`
+    * per ingest — [[compactExactIndex]] restores the global sorted
+    * layout, exactly like the postings family's compaction settles its
+    * fragments. */
+  def appendExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, keptDocs: DataFrame, files: Int = 1): Unit =
+    exactIndexDelta(keptDocs)
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("text_hash"))
+      .sortWithinPartitions("text_hash")
+      .write.mode("append").parquet(path)
+
+  /** Fold a delta-appended [[saveExactIndex]] directory back to the
+    * pristine layout: distinct (replayed deltas fold away) + global
+    * range-sort, so file-level AND row-group zone pruning both hold
+    * again. Same swap discipline and concurrency stance as
+    * [[graft.sources.WarehouseWriter.compactParquet]] (which does the
+    * work — this names the dedup+sort recipe for the exact-index
+    * artifact). Returns (files before, files after, input bytes). */
+  def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): (Int, Int, Long) =
+    graft.sources.WarehouseWriter.compactParquet(spark, path,
+      targetFileBytes, sortCol = Some("text_hash"), dedup = true)
 
   /** Distinct k-token shingles per doc (docs shorter than k dropped). */
   def shingleTable(docs: DataFrame, k: Int): DataFrame = {

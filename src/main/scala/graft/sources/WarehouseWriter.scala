@@ -132,7 +132,8 @@ object WarehouseWriter {
     * (files before, files after, input bytes). */
   def compactParquet(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      sortCol: Option[String] = None): (Int, Int, Long) = {
+      sortCol: Option[String] = None,
+      dedup: Boolean = false): (Int, Int, Long) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +142,14 @@ object WarehouseWriter {
     if (files.isEmpty) return (0, 0, 0L) // nothing to fold — no-op, not a failed read
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(path)
+    // dedup = fold whole-row duplicates (an at-least-once sink's
+    // replayed deltas) while the directory is being rewritten anyway —
+    // the exact-index artifact's compaction
+    // ([[graft.operators.Dedup.compactExactIndex]]); nOut stays sized
+    // from INPUT bytes (upper bound — dedup only shrinks files below
+    // target, never above)
+    val df0 = spark.read.parquet(path)
+    val df = if (dedup) df0.distinct() else df0
     val out = sortCol match {
       case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
       case None    => df.repartition(nOut)

@@ -117,6 +117,23 @@ object GraftColumnBridge {
     }.collect().toMap
   }
 
+  /** The stripe WHERE clauses `spark.read.jdbc(url, table, partCol,
+    * lower, upper, n, ...)` hands each of its n cursors — rendered by
+    * Spark's own `JDBCRelation.columnPartition` (private[sql], hence
+    * the bridge) from the SAME options the real read would carry, so a
+    * spec can pin the per-stripe predicate SQL a given dialect/url
+    * produces without a live server. `schema` must contain the
+    * partition column (the renderer resolves and type-checks it
+    * there). */
+  def jdbcStripePredicates(schema: types.StructType, timeZoneId: String,
+      options: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.execution.datasources.jdbc.{JDBCOptions, JDBCPartition, JDBCRelation}
+    JDBCRelation.columnPartition(schema,
+      org.apache.spark.sql.catalyst.analysis.caseInsensitiveResolution,
+      timeZoneId, new JDBCOptions(options))
+      .map(_.asInstanceOf[JDBCPartition].whereClause).toSeq
+  }
+
   /** Register a function builder on an already-running session (the
     * programmatic twin of `spark.sql.extensions=graft.GraftExtensions`,
     * for sessions the library does not construct itself). */

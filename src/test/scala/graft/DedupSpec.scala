@@ -353,6 +353,109 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.dedupAgainstIndex(replay, index2).count() == 0)
   }
 
+  test("exact-index artifact: delta appends ≡ rebuild, pruning survives, compaction restores") {
+    import java.nio.file.Files
+    val all = docs.select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" % 3 === 0)
+    val b1 = all.filter($"doc_id" % 3 === 1)
+    val b2 = all.filter($"doc_id" % 3 === 2)
+    val path = Files.createTempDirectory("graft_exact_art")
+      .resolve("index").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path, files = 2)
+
+    // two ingest rounds + an at-least-once replay, each append ∝ batch
+    val k1 = Dedup.dedupAgainstIndex(b1, spark.read.parquet(path))
+    Dedup.appendExactIndexDelta(spark, path, k1)
+    spark.catalog.refreshByPath(path)
+    val k2 = Dedup.dedupAgainstIndex(b2, spark.read.parquet(path))
+    Dedup.appendExactIndexDelta(spark, path, k2)
+    Dedup.appendExactIndexDelta(spark, path, k2) // replayed delta
+    spark.catalog.refreshByPath(path)
+
+    // delta-appended ≡ rebuilt (set semantics; the replay is physical)
+    val rebuilt = Dedup.exactHashIndex(all).as[String].collect().toSet
+    val loaded = spark.read.parquet(path)
+    assert(loaded.distinct().as[String].collect().toSet == rebuilt,
+      "appended artifact must hold exactly the rebuilt hash set")
+    assert(loaded.count() > rebuilt.size,
+      "precondition: the replayed delta left physical duplicates")
+
+    // screens stay correct against the REPLAY-DUPLICATED artifact:
+    // a mixed batch (all-dup texts + novel twins) keeps only the novel
+    val novel = b2.withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" NOVEL-TWIN")))
+    val mixed = b2.unionByName(novel)
+    val bloom = Dedup.exactIndexBloom(loaded, expectedItems = rebuilt.size)
+    val keptScreened = Dedup.dedupAgainstIndexScreened(mixed, loaded, bloom)
+      .select($"doc_id").as[Long].collect().toSet
+    val keptPlain = Dedup.dedupAgainstIndex(mixed, loaded)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptScreened == keptPlain &&
+      keptScreened == novel.select($"doc_id").as[Long].collect().toSet)
+
+    // the IN predicate still reaches the scan after N appends...
+    val probes = loaded.distinct().orderBy($"text_hash")
+      .as[String].collect().toIndexedSeq
+    val probeSet = (0 until 4).map(i => probes(i * probes.length / 4))
+    val plan = spark.read.parquet(path)
+      .filter($"text_hash".isin(probeSet: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(text_hash"),
+      s"IN must stay pushed into the index scan after appends:\n$plan")
+    // ...but each full-range delta file is a row-group CANDIDATE for
+    // every probe — the observable erosion compaction exists to settle
+    val census0 = hashRowGroupCandidates(path, probeSet)
+    assert(census0 >= probeSet.size * 3,
+      s"expected the delta-blurred layout to multi-match, census=$census0")
+
+    // compaction: folds the replay, restores global zone-map pruning
+    val (nb, na, _) = Dedup.compactExactIndex(spark, path,
+      targetFileBytes = 8L << 10)
+    assert(nb > na, s"compaction must fold files: $nb -> $na")
+    spark.catalog.refreshByPath(path)
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() == rebuilt.size,
+      "compaction must fold the replayed delta's duplicates")
+    assert(compacted.as[String].collect().toSet == rebuilt)
+    assert(hashRowGroupCandidates(path, probeSet) == probeSet.size,
+      "restored layout must match exactly one row group per probe")
+    // and the artifact keeps ingesting after compaction
+    val k3 = Dedup.dedupAgainstIndex(novel, compacted)
+    Dedup.appendExactIndexDelta(spark, path, k3)
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).distinct().count() ==
+      rebuilt.size + k3.count())
+  }
+
+  /** Row groups in `dir` whose text_hash [min,max] could contain a
+    * probe, summed over probes — the same footer census
+    * StreamingSpec's compactParquet leg uses: a range-sorted layout
+    * prunes to one candidate row group per probe; appended full-range
+    * delta files are candidates for every probe. */
+  private def hashRowGroupCandidates(dir: String, probes: Seq[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getFooter.getBlocks.asScala.map { block =>
+          val st = block.getColumns.asScala
+            .find(_.getPath.toDotString == "text_hash").get.getStatistics
+          val mn = st.genericGetMin
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          val mx = st.genericGetMax
+            .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+          probes.count(p => p >= mn && p <= mx)
+        }.sum
+        finally r.close()
+      }.sum
+  }
+
   test("bloom-screened incremental dedup equals the plain left-anti path") {
     import java.nio.file.Files
     val corpus = docs.filter($"doc_id" % 2 === 0).select($"doc_id", $"text")
