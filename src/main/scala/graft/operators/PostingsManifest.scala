@@ -272,23 +272,43 @@ object PostingsManifest {
     val lp = leasePath(path)
     val token = s"$op\t${java.time.Instant.now()}\t${
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-    val out =
-      try fs.create(lp, false)
-      catch {
-        case _: java.io.IOException =>
-          val holder =
-            try {
-              val in = fs.open(lp)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
-            } catch { case _: Throwable => "<unreadable>" }
-          throw new ConcurrentMaintenanceException(
-            s"another maintenance writer holds the lease on $path " +
-              s"[$holder] — postings maintenance is single-writer; if " +
-              "that writer is dead, PostingsManifest.breakLease and " +
-              "compact to recover")
-      }
-    try { out.write(token.getBytes("UTF-8")) } finally out.close()
+    val won = fs match {
+      // Hadoop's LOCAL create(overwrite=false) is exists-check-then-
+      // create — a TOCTOU window two same-box writers can both slip
+      // through. POSIX O_CREAT|O_EXCL (java.io createNewFile) is the
+      // real atomic primitive there; HDFS/object-store filesystems
+      // implement the exclusive create atomically server-side, so the
+      // Hadoop call IS the CAS for them.
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(lp.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile()) false
+        else {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      case _ =>
+        try {
+          val out = fs.create(lp, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+    if (!won) {
+      val holder =
+        try {
+          val in = fs.open(lp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new ConcurrentMaintenanceException(
+        s"another maintenance writer holds the lease on $path " +
+          s"[$holder] — postings maintenance is single-writer; if " +
+          "that writer is dead, PostingsManifest.breakLease and " +
+          "compact to recover")
+    }
   }
 
   def releaseLease(spark: SparkSession, path: String): Unit =

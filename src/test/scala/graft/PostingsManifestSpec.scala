@@ -593,6 +593,58 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     assertManifestIsTruth(path, "after a failed op released its lease")
   }
 
+  test("lease acquisition is a true CAS: one winner under a 16-way race") {
+    // the sequential interleave above pins the protocol; this pins the
+    // PRIMITIVE — on the local filesystem Hadoop's create(overwrite =
+    // false) is exists-check-then-create, so acquireLease routes
+    // through POSIX O_CREAT|O_EXCL there. 16 threads race the same
+    // artifact; exactly one must win, every loser must see the
+    // fail-fast (not a corrupted/second lease).
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lease_race").resolve("artifact").toString
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 16
+    val ready = new CountDownLatch(n)
+    val go = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val outcomes = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      (0 until n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            ready.countDown(); go.await(10, TimeUnit.SECONDS)
+            try {
+              PostingsManifest.acquireLease(spark, path, s"racer-$i")
+              wins.incrementAndGet(); outcomes.add(s"win-$i")
+            } catch {
+              case _: PostingsManifest.ConcurrentMaintenanceException =>
+                outcomes.add(s"lose-$i")
+              case e: Throwable => outcomes.add(s"error-$i-${e.getClass}")
+            }
+          }
+        })
+      }
+      ready.await(10, TimeUnit.SECONDS); go.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(wins.get() == 1,
+      s"exactly one racer must win the lease, got ${wins.get()}: $outcomes")
+    assert(!outcomes.toString.contains("error"),
+      s"losers must fail fast with the typed exception: $outcomes")
+    // the winner's lease is intact and names it
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(PostingsManifest.leasePath(path))
+    val holder =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(holder.startsWith("racer-"), s"lease token corrupted: '$holder'")
+    PostingsManifest.breakLease(spark, path)
+  }
+
   test("standalone vacuum honors the retention window exactly") {
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
