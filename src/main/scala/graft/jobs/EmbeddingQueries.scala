@@ -247,8 +247,9 @@ object EmbeddingQueries {
     * can only see the final state, which is what this declares). Seed
     * 80%, [[Similarity.appendIvfPostingsRetained]] the first 10% batch
     * TWICE (an at-least-once redelivery folded by the recap's
-    * (cell, cand_id) dedup — new files each epoch, old ones retired,
-    * prior epoch vacuumed), fragment-append the second batch into the
+    * (cell, cand_id) dedup — new files each epoch, old ones retired
+    * under the one-full-epoch window law), fragment-append the second
+    * batch into the
     * open retention window, then
     * [[Similarity.compactIvfPostingsRetained]] folds the fragments the
     * same retained way. The oracle is the from-scratch REBUILD over

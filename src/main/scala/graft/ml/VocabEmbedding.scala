@@ -82,19 +82,28 @@ object VocabEmbedding {
     * are rejected up front — a dup would duplicate every matching input
     * row, the silent row-fan [[indexColumn]] also refuses — and the
     * vocab columns join under internal aliases, so a caller whose `df`
-    * already carries `term`/`idx` columns keeps them untouched. */
+    * already carries `term`/`idx` columns keeps them untouched.
+    *
+    * The duplicate probe is one EAGER job over the (small, broadcast-
+    * sized) vocab at call time — correctness-first for the one-shot
+    * shape. A per-micro-batch caller re-indexing against the SAME
+    * already-validated vocab passes `checkDuplicates = false` to keep
+    * the call purely plan-building (zero jobs until materialization). */
   def indexByJoin(spark: SparkSession, df: DataFrame, col: String,
-      vocab: DataFrame, outCol: String): DataFrame = {
+      vocab: DataFrame, outCol: String,
+      checkDuplicates: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col => fcol, count => fcount}
     // vocab: (term STRING, idx INT); broadcast — vocabularies are the
     // small side by definition, so the dup probe is one tiny job
     val v = vocab.select(vocab("term").as("__graft_vocab_term"),
       vocab("idx").as("__graft_vocab_idx"))
-    val dup = v.groupBy(fcol("__graft_vocab_term"))
-      .agg(fcount(lit(1)).as("n")).filter(fcol("n") > 1).take(1)
-    require(dup.isEmpty,
-      s"vocabulary has duplicate terms (e.g. '${dup.headOption.map(_.getString(0)).getOrElse("")}') — " +
-        "positional lookup would be ambiguous and the join would fan rows")
+    if (checkDuplicates) {
+      val dup = v.groupBy(fcol("__graft_vocab_term"))
+        .agg(fcount(lit(1)).as("n")).filter(fcol("n") > 1).take(1)
+      require(dup.isEmpty,
+        s"vocabulary has duplicate terms (e.g. '${dup.headOption.map(_.getString(0)).getOrElse("")}') — " +
+          "positional lookup would be ambiguous and the join would fan rows")
+    }
     df.join(broadcast(v), df(col) === v("__graft_vocab_term"), "left_outer")
       .withColumn(outCol, coalesce(fcol("__graft_vocab_idx"), lit(-1)))
       .drop("__graft_vocab_term", "__graft_vocab_idx")

@@ -50,9 +50,9 @@ object PostingsManifest {
     * `retiredAt >= 0` marks a file a RETAINED op superseded but left on
     * disk for in-flight snapshot readers (the Delta tombstone move):
     * still physically present (the truth invariant covers it), no
-    * longer part of the live artifact, deleted by the next retained
-    * op's vacuum or a standalone
-    * [[graft.operators.Similarity.vacuumPostings]]. The value is the
+    * longer part of the live artifact, deleted once at least one full
+    * maintenance epoch old — by the next retained op of a LATER epoch
+    * or a standalone [[graft.operators.Similarity.vacuumPostings]]. The value is the
     * manifest EPOCH of the op that retired it — what lets a vacuum
     * honor a declared retention window instead of the all-or-nothing
     * sweep. `-1` = live. */
@@ -253,13 +253,24 @@ object PostingsManifest {
   def leasePath(path: String): Path =
     new Path(path.stripSuffix("/") + "__maint_lease")
 
-  /** Enforce the single-writer contract with the filesystem's one CAS
-    * primitive — `create(path, overwrite = false)` — the same move
-    * Delta Lake's log commit makes (reference analogue: the DB catalog
-    * serializing DDL, init-user-db.sh:119-120). Exactly one concurrent
-    * caller wins the create; every other gets a
-    * [[ConcurrentMaintenanceException]] naming the holder, BEFORE its
-    * first artifact mutation. The lease is released in the op's
+  /** Enforce the single-writer contract with the filesystem's
+    * exclusive-create primitive — the same move Delta Lake's log
+    * commit makes (reference analogue: the DB catalog serializing DDL,
+    * init-user-db.sh:119-120). Exactly one concurrent caller wins the
+    * create; every other gets a [[ConcurrentMaintenanceException]]
+    * naming the holder, BEFORE its first artifact mutation.
+    *
+    * Atomicity boundary, stated honestly (Delta documents the same
+    * one): the guard is as strong as the store's create-if-absent.
+    * Local filesystems route through POSIX `O_CREAT|O_EXCL` here
+    * (Hadoop's local `create(overwrite=false)` is check-then-create —
+    * race-pinned by spec); HDFS enforces the exclusive create in the
+    * NameNode; ABFS/GCS via conditional-create preconditions. Plain
+    * S3A's `create(overwrite=false)` is historically a client-side
+    * HEAD + PUT — deployments there need a coordination layer with a
+    * real conditional write (the reason Delta on S3 requires
+    * `S3DynamoDBLogStore`), or a Hadoop build whose S3A conditional
+    * create is enabled. The lease is released in the op's
     * `finally` (held across failed ops only for the body's duration —
     * the dirty flag, not the lease, is what records an incomplete
     * mutation), so a lease that persists means a writer is live or its
@@ -276,25 +287,46 @@ object PostingsManifest {
       // Hadoop's LOCAL create(overwrite=false) is exists-check-then-
       // create — a TOCTOU window two same-box writers can both slip
       // through. POSIX O_CREAT|O_EXCL (java.io createNewFile) is the
-      // real atomic primitive there; HDFS/object-store filesystems
-      // implement the exclusive create atomically server-side, so the
-      // Hadoop call IS the CAS for them.
+      // real atomic primitive there. Remote filesystems take the
+      // Hadoop call — see the scaladoc for which stores make it a
+      // true server-side CAS and which (plain S3A) do not.
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
         val f = new java.io.File(lp.toUri.getPath)
         Option(f.getParentFile).foreach(_.mkdirs())
         if (!f.createNewFile()) false
         else {
-          val out = new java.io.FileOutputStream(f)
-          try out.write(token.getBytes("UTF-8")) finally out.close()
+          // won the create; a FAILED token write must not strand an
+          // unreadable lease that blocks every writer until a manual
+          // breakLease — release what we just took, then rethrow
+          try {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: Throwable =>
+              try f.delete() catch { case _: Throwable => () }
+              throw e
+          }
           true
         }
       case _ =>
         try {
           val out = fs.create(lp, false)
-          try out.write(token.getBytes("UTF-8")) finally out.close()
+          try {
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: Throwable => // as above: release the won lease
+              try fs.delete(lp, false) catch { case _: Throwable => () }
+              throw e
+          }
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          // the Hadoop FS contract's exists signal (a create failing
+          // for OTHER reasons — network, quota — propagates: it is an
+          // error, not a lost race)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
     }
     if (!won) {
       val holder =

@@ -1217,8 +1217,11 @@ object Similarity {
     * snapshot-safe for manifest-resolved readers: fragment appends are
     * append-only, compaction has its retained variant, and the recap —
     * the always-serveable default — gets one here. Same costs and
-    * protocol as retained compaction: one epoch of tombstone retention
-    * (vacuumed by the next retained op), old+new bytes in the touched
+    * protocol as retained compaction: tombstones survive at least one
+    * FULL maintenance epoch (the next retained op vacuums only those
+    * older than the current epoch — the same window law as
+    * [[vacuumPostings]]'s default; a quiesced artifact's last window
+    * closes via that standalone vacuum), old+new bytes in the touched
     * directories meanwhile, plain discovering reads double-count
     * during the window, clean manifest REQUIRED (falls back to the
     * classic in-place overwrite otherwise — correct, just not
@@ -1242,7 +1245,7 @@ object Similarity {
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
     state0 match {
-      case Some(st) => recapRetained(spark, path, delta, cap, st)
+      case Some(_) => recapRetained(spark, path, delta, cap)
       case None => recapTouchedDirsAndOverwrite(spark, path, delta, cap)
     }
   }
@@ -1268,34 +1271,47 @@ object Similarity {
       .withColumn("iv_ck", lit(ck))
       .withColumn("iv_gp", lit(gp))
     state0 match {
-      case Some(st) => recapRetained(spark, path, delta, cap, st)
+      case Some(_) => recapRetained(spark, path, delta, cap)
       case None => recapTouchedDirsAndOverwrite(spark, path, delta, cap)
     }
   }
 
-  /** The retained recap's write half: vacuum the previous epoch's
-    * tombstones, fold old∪delta per touched cell (byte-identical
-    * union–dedup–cap to the in-place route), stage the result as new
-    * files, and swap the manifest with the touched cells' old live
-    * entries RETIRED. Reads the old side through the manifest-planned
-    * [[graft.plans.PostingsFileIndex]] restricted to the touched
-    * cells' LIVE files — zero listings, and retired files from a prior
-    * epoch are never re-read (a directory read would double-count
-    * them). */
+  /** The retained recap's write half: vacuum tombstones at least one
+    * full maintenance epoch old (the SAME window law as
+    * [[vacuumPostings]] at its default — the previous op's own
+    * tombstones, age 0, stay on disk so a snapshot opened before that
+    * op serves through THIS one too), fold old∪delta per touched cell
+    * (byte-identical union–dedup–cap to the in-place route), stage the
+    * result as new files, and swap the manifest with the touched
+    * cells' old live entries RETIRED. Reads the old side through the
+    * manifest-planned [[graft.plans.PostingsFileIndex]] restricted to
+    * the touched cells' LIVE files — zero listings, and retired files
+    * are never re-read (a directory read would double-count them).
+    *
+    * The manifest is re-read INSIDE the lease: the caller's pre-lease
+    * read only chose the route, and rolling forward from that snapshot
+    * would silently drop the commit of any writer that ran between the
+    * probe and the lease — the stale-roll-forward seam the lease
+    * exists to close. */
   private def recapRetained(spark: SparkSession, path: String,
-      delta0: DataFrame, cap: Int,
-      st0: PostingsManifest.State): Unit =
+      delta0: DataFrame, cap: Int): Unit =
     PostingsManifest.withLease(spark, path, "recap_retained") {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sweepStaleDeltas(fs, hPath)
+    val st0 = PostingsManifest.readClean(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"manifest at $path became untrusted between the route probe " +
+          "and the lease (a concurrent writer crashed mid-op?) — " +
+          "run compactIvfPostings to recover, then retry"))
     PostingsManifest.markDirty(spark, path)
-    st0.files.filter(_.retired).foreach { e =>
+    val aged = st0.files.filter(f => f.retired && f.retiredAt < st0.epoch)
+    aged.foreach { e =>
       fs.delete(new org.apache.hadoop.fs.Path(
         path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
     }
-    val st = st0.copy(files = st0.live)
+    val st = st0.copy(files = st0.files.filterNot(aged.toSet))
     val delta = maintStage("recapr_delta_ckpt")(delta0.localCheckpoint(true))
     try {
       val touched = maintStage("recapr_touched")(
@@ -1372,8 +1388,7 @@ object Similarity {
         "appendIvfPostingsFragmentGrouped")
     appendFragmentFiles(spark, path,
       ivfPostingsKernelBuilt(newEmb, cents, Int.MaxValue)
-        .withColumn("iv_cap", lit(cap)), // artifact's cap, not the delta's
-      state0)
+        .withColumn("iv_cap", lit(cap))) // artifact's cap, not the delta's
   }
 
   /** The fragment WRITE: land the delta's one-file-per-touched-cell
@@ -1447,10 +1462,15 @@ object Similarity {
   }
 
   private def appendFragmentFiles(spark: SparkSession, path: String,
-      delta0: DataFrame,
-      state0: Option[PostingsManifest.State]): Unit =
+      delta0: DataFrame): Unit =
     PostingsManifest.withLease(spark, path, "fragment_append") {
     import spark.implicits._
+    // The manifest is re-read INSIDE the lease (the callers' pre-lease
+    // read only derived params and routing): rolling forward from a
+    // pre-lease snapshot would silently drop the commit of a writer
+    // that ran between probe and lease — the stale-roll-forward seam
+    // the lease exists to close.
+    val state0 = PostingsManifest.readClean(spark, path)
     // Manifest bookkeeping needs the delta twice (write + per-cell row
     // counts) — materialize ONCE so assignment arithmetic doesn't
     // rerun; the manifest-less path keeps its single-pass shape.
@@ -1509,8 +1529,7 @@ object Similarity {
         .withColumn("iv_cells", lit(cells))
         .withColumn("iv_cap", lit(cap)) // artifact's cap, not the delta's
         .withColumn("iv_ck", lit(ck))
-        .withColumn("iv_gp", lit(gp)),
-      state0)
+        .withColumn("iv_gp", lit(gp)))
   }
 
   /** Cell-partition-aware compaction of a [[saveIvfPostings]]
@@ -1655,10 +1674,10 @@ object Similarity {
       if (batchRows == 0) 0.0 else touchedRows.toDouble / batchRows
     if (state0.nonEmpty && ratio >= fragmentThreshold) {
       // append-only: snapshot-safe by construction, retained or not
-      appendFragmentFiles(spark, path, delta, state0)
+      appendFragmentFiles(spark, path, delta)
       AppendRoute("fragment", batchRows, touchedRows, ratio)
     } else if (retained && state0.nonEmpty) {
-      recapRetained(spark, path, delta, cap, state0.get)
+      recapRetained(spark, path, delta, cap)
       AppendRoute("recap_retained", batchRows, touchedRows, ratio)
     } else {
       recapTouchedDirsAndOverwrite(spark, path, delta, cap)
@@ -1800,8 +1819,10 @@ object Similarity {
     * [[readPostings]] BEFORE this compaction keeps serving correctly
     * THROUGH it, because nothing that snapshot references is deleted:
     *
-    *  1. vacuum files a PREVIOUS retained compaction marked retired
-    *     (their retention window ends here — one maintenance epoch);
+    *  1. vacuum files a retained op from an EARLIER maintenance epoch
+    *     marked retired (their window — at least one full epoch, the
+    *     same law as [[vacuumPostings]]'s default — ends here; the
+    *     newest epoch's tombstones stay for its in-flight snapshots);
     *  2. fold the fragmented cells exactly as [[compactIvfPostings]]
     *     does, but land the compacted files as NEW uniquely-named files
     *     next to the fragments they replace ([[stageIntoCells]], no
@@ -1811,8 +1832,9 @@ object Similarity {
     *     [[readPostings]] snapshots — the Delta tombstone move).
     *
     * New snapshots opened after the swap see exactly the compacted
-    * artifact; old snapshots keep their files until the NEXT retained
-    * compaction's vacuum. The costs, stated: the directory temporarily
+    * artifact; old snapshots keep their files for at least one full
+    * maintenance epoch (vacuumed by the first retained op of a LATER
+    * epoch, or by [[vacuumPostings]]). The costs, stated: the directory temporarily
     * holds old+new files (bytes, not correctness), and a PLAIN
     * `spark.read.parquet(dir)` during the retention window double-reads
     * the superseded fragments — retained compaction is for deployments
@@ -1837,12 +1859,18 @@ object Similarity {
         case None => compactIvfPostingsLocked(spark, path)
         case Some(st0) =>
           PostingsManifest.markDirty(spark, path)
-          // vacuum the previous epochs' tombstones
-          st0.files.filter(_.retired).foreach { e =>
+          // vacuum tombstones at least one maintenance epoch old — the
+          // same window law as vacuumPostings(1): the latest op's own
+          // tombstones (age 0) survive this op too, so a snapshot
+          // opened before that op serves THROUGH this one. A quiesced
+          // artifact's final window closes via vacuumPostings.
+          val aged = st0.files.filter(f =>
+            f.retired && f.retiredAt < st0.epoch)
+          aged.foreach { e =>
             fs.delete(new org.apache.hadoop.fs.Path(
               path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
           }
-          val st = st0.copy(files = st0.live)
+          val st = st0.copy(files = st0.files.filterNot(aged.toSet))
           val cap = st.params.cap
           val pcFiles = st.perCellFiles
           val filesBefore = st.totalFiles
@@ -1908,7 +1936,9 @@ object Similarity {
     * current epoch's tombstones — snapshots opened before the latest
     * retained op keep serving; `0` sweeps everything (only safe when no
     * snapshot is in flight — the same judgement call Delta documents
-    * for `RETAIN 0 HOURS`).
+    * for `RETAIN 0 HOURS`). The retained ops' own entry-vacuum applies
+    * the IDENTICAL age-≥-1-epoch rule, so the window law is uniform
+    * across every path that deletes tombstones.
     *
     * REFUSES a dirty or manifest-less artifact (the retired set IS
     * manifest state: a dirty flag means it cannot be trusted, and

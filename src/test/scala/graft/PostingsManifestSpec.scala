@@ -402,18 +402,37 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
     val rebuilt3 = rows(Similarity.ivfPostings(
       old.union(b1).union(b3), model, cap))
 
-    // the next retained compaction vacuums the old tombstones AND folds
-    // the new fragments (tombstoning those in turn)
+    // a snapshot opened BEFORE the second retained compaction...
+    val snapshot2 = Similarity.readPostings(spark, path)
+    val expect2 = rows(snapshot2)
+
+    // ...which vacuums only tombstones OLDER than the current epoch
+    // (the compact-1 fragments, aged by b3's append) and folds the new
+    // fragments, tombstoning those in turn
     val (n2, _, _) = Similarity.compactIvfPostingsRetained(spark, path)
     assert(n2 > 0)
     assertManifestIsTruth(path, "after the second retained epoch")
     assert(rows(Similarity.readPostings(spark, path)) == rebuilt3)
+    assert(rows(snapshot2) == expect2,
+      "a pre-compaction snapshot must serve THROUGH the second fold")
 
-    // a no-op retained pass closes the last window: directory back to
-    // 1 file/cell, nothing retired, plain reads clean again
+    // a no-op retained pass PRESERVES the newest window (age-0
+    // tombstones stay — the uniform retention law): the snapshot still
+    // serves, and the retired debt is still visible in the report
     val (n3, b3f, a3f) = Similarity.compactIvfPostingsRetained(spark, path)
     assert(n3 == 0 && b3f == a3f)
-    assertManifestIsTruth(path, "after the vacuum epoch")
+    assertManifestIsTruth(path, "after the no-op retained pass")
+    assert(rows(snapshot2) == expect2,
+      "the snapshot must survive a no-op retained pass too")
+    assert(Similarity.postingsFragmentationReport(spark, path).head()
+      .getAs[Long]("retired_files") > 0L)
+
+    // quiescence closes via the STANDALONE vacuum: directory back to
+    // 1 file/cell, nothing retired, plain reads clean again
+    val (dropped, _) = Similarity.vacuumPostings(spark, path,
+      retentionEpochs = 0L)
+    assert(dropped > 0)
+    assertManifestIsTruth(path, "after the closing vacuum")
     assert(Similarity.postingsFragmentationReport(spark, path).head()
       .getAs[Long]("retired_files") == 0L)
     spark.catalog.refreshByPath(path)
@@ -472,17 +491,23 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       Similarity.readPostings(spark, path).count())
 
     // an at-least-once REDELIVERY through the retained route converges
-    // (the fold dedups on (cell, cand_id)) and vacuums the prior epoch
+    // (the fold dedups on (cell, cand_id)) — and the ORIGINAL snapshot
+    // STILL serves: the redelivery keeps the first append's age-0
+    // tombstones (the uniform window law — a snapshot survives at
+    // least one full maintenance epoch, not just one op)
     Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
     assert(rows(Similarity.readPostings(spark, path)) == rebuilt1)
+    assert(rows(snapshot) == expect0,
+      "the pre-append snapshot must survive the redelivery too")
     assertManifestIsTruth(path, "after replayed retained recap")
 
     // composes with the other modes inside one artifact life: a
-    // fragment append lands in the window, the retained compaction
-    // folds it and the final state is the from-scratch rebuild
+    // fragment append lands in the window (aging the earlier
+    // tombstones out), the retained compaction folds it, and the
+    // standalone vacuum closes the final window
     Similarity.appendIvfPostingsFragment(spark, path, cents, b2)
     Similarity.compactIvfPostingsRetained(spark, path)
-    Similarity.compactIvfPostingsRetained(spark, path) // vacuum epoch
+    Similarity.vacuumPostings(spark, path, retentionEpochs = 0L)
     assert(rows(Similarity.readPostings(spark, path)) ==
       rows(Similarity.ivfPostings(old.union(b1).union(b2), model, cap)))
     assertManifestIsTruth(path, "after the closing vacuum")

@@ -953,10 +953,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "retained streamed postings must equal sequential appends, replay absorbed")
     } finally q.stop()
 
-    // closing the windows: retained compactions vacuum the tombstones
-    // and plain discovering reads come back clean
+    // closing the windows on the now-quiesced artifact: the retained
+    // ops deliberately keep the newest epoch's tombstones (the window
+    // law), so quiescence closes via the STANDALONE vacuum — after it,
+    // plain discovering reads come back clean
     Similarity.compactIvfPostingsRetained(spark, path)
-    Similarity.compactIvfPostingsRetained(spark, path)
+    Similarity.vacuumPostings(spark, path, retentionEpochs = 0L)
     spark.catalog.refreshByPath(path)
     assert(rows(spark.read.parquet(path)) ==
       rows(Similarity.readPostings(spark, path)))
@@ -1017,8 +1019,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(Similarity.readPostings(spark, flatPath)) ==
       rows(Similarity.ivfPostings(emb, model, cellCap = 16)),
       "compacted fragment-mode stream must equal the from-scratch build")
-    // the follow-up pass vacuums the tombstones; plain reads are clean
+    // a follow-up retained pass PRESERVES the newest window (the
+    // uniform age-law) — the snapshot still serves — and quiescence
+    // then closes via the standalone vacuum; plain reads come back clean
     assert(Similarity.compactIvfPostingsRetained(spark, flatPath)._1 == 0)
+    assert(rows(servingSnapshot) == fragmentedRows,
+      "open snapshot must survive the no-op retained pass too")
+    val (droppedF, _) = Similarity.vacuumPostings(spark, flatPath,
+      retentionEpochs = 0L)
+    assert(droppedF > 0)
     spark.catalog.refreshByPath(flatPath)
     assert(rows(spark.read.parquet(flatPath)) ==
       rows(Similarity.ivfPostings(emb, model, cellCap = 16)))
