@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The artifact-AGNOSTIC half of the maintenance protocol — the
+  * write-side twin of [[graft.plans.ManifestFileIndex]]: any
+  * directory-shaped artifact family (postings today; the winnow / band
+  * / bloom / exact-hash indexes as they adopt sidecars) gets the same
+  * two primitives without re-deriving them:
+  *
+  *  - the WRITER LEASE (`<artifact>__maint_lease`, an exclusive-create
+  *    sibling file): single-writer maintenance enforced as a fail-fast
+  *    [[ConcurrentMaintenanceException]] instead of silent sidecar
+  *    corruption;
+  *  - the DIRTY FLAG (`<artifact>/_manifest_dirty`, a write-ahead
+  *    intent marker): consumers trust a sidecar only when the flag is
+  *    absent, so a crashed half-finished op degrades readers to their
+  *    listing fallbacks, never to a stale manifest.
+  *
+  * Neither primitive knows the sidecar's FORMAT — that stays with the
+  * family ([[PostingsManifest]]'s tab-separated v3 file, which
+  * delegates here for both primitives; its scaladoc carries the full
+  * protocol contract, epoch semantics, and atomicity boundary).
+  */
+object MaintenanceProtocol {
+
+  /** A second maintenance writer was detected — the fail-fast that
+    * turns concurrent-maintenance sidecar corruption into an error.
+    * Carries the holder's own description of itself. */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
+
+  def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------- dirty flag
+
+  private def dirtyFlag(path: String): Path =
+    new Path(path.stripSuffix("/"), "_manifest_dirty")
+
+  def isDirty(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).exists(dirtyFlag(path))
+
+  /** Write-ahead intent: call BEFORE the first artifact mutation of a
+    * maintenance op. One create on the artifact's filesystem. */
+  def markDirty(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).create(dirtyFlag(path), true).close()
+
+  def clearDirty(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(dirtyFlag(path), false)
+
+  // ------------------------------------------------------------ lease
+
+  /** The writer lease lives as a SIBLING of the artifact
+    * (`<artifact>__maint_lease`, like the `__delta_*` staging dirs) so
+    * it survives even a full-overwrite rebuild of the directory — a
+    * lease inside the artifact would be deleted by the very
+    * `mode("overwrite")` build it is guarding. */
+  def leasePath(path: String): Path =
+    new Path(path.stripSuffix("/") + "__maint_lease")
+
+  /** Enforce the single-writer contract with the filesystem's
+    * exclusive-create primitive — the same move Delta Lake's log
+    * commit makes. Exactly one concurrent caller wins the create;
+    * every other gets a [[ConcurrentMaintenanceException]] naming the
+    * holder, BEFORE its first artifact mutation. See
+    * [[PostingsManifest]]'s scaladoc for the atomicity boundary per
+    * store (local POSIX O_EXCL here; HDFS/ABFS/GCS server-side; plain
+    * S3A is NOT a CAS) and the crash-recovery contract
+    * ([[breakLease]] + a directory-truth rebuild). */
+  def acquireLease(spark: SparkSession, path: String, op: String): Unit = {
+    val fs = fsOf(spark, path)
+    val lp = leasePath(path)
+    val token = s"$op\t${java.time.Instant.now()}\t${
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+    val won = fs match {
+      // Hadoop's LOCAL create(overwrite=false) is exists-check-then-
+      // create — a TOCTOU window two same-box writers can both slip
+      // through. POSIX O_CREAT|O_EXCL (java.io createNewFile) is the
+      // real atomic primitive there. Remote filesystems take the
+      // Hadoop call — see PostingsManifest's scaladoc for which stores
+      // make it a true server-side CAS and which (plain S3A) do not.
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val f = new java.io.File(lp.toUri.getPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        if (!f.createNewFile()) false
+        else {
+          // won the create; a FAILED token write must not strand an
+          // unreadable lease that blocks every writer until a manual
+          // breakLease — release what we just took, then rethrow
+          try {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: Throwable =>
+              try f.delete() catch { case _: Throwable => () }
+              throw e
+          }
+          true
+        }
+      case _ =>
+        try {
+          val out = fs.create(lp, false)
+          try {
+            try out.write(token.getBytes("UTF-8")) finally out.close()
+          } catch {
+            case e: Throwable => // as above: release the won lease
+              try fs.delete(lp, false) catch { case _: Throwable => () }
+              throw e
+          }
+          true
+        } catch {
+          // the Hadoop FS contract's exists signal (a create failing
+          // for OTHER reasons — network, quota — propagates: it is an
+          // error, not a lost race)
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    }
+    if (!won) {
+      val holder =
+        try {
+          val in = fs.open(lp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      throw new ConcurrentMaintenanceException(
+        s"another maintenance writer holds the lease on $path " +
+          s"[$holder] — artifact maintenance is single-writer; if " +
+          "that writer is dead, breakLease and rebuild/compact to recover")
+    }
+  }
+
+  def releaseLease(spark: SparkSession, path: String): Unit =
+    fsOf(spark, path).delete(leasePath(path), false)
+
+  /** Operator-explicit recovery from a writer that died holding the
+    * lease. Returns whether a lease file existed. */
+  def breakLease(spark: SparkSession, path: String): Boolean =
+    fsOf(spark, path).delete(leasePath(path), false)
+
+  /** Acquire the writer lease, run one maintenance op, release. The
+    * release sits in `finally`: an op that THROWS has already recorded
+    * its incompleteness in the dirty flag (readers degrade to listing
+    * truth), so holding the lease past it would only block recovery. */
+  def withLease[A](spark: SparkSession, path: String, op: String)(
+      body: => A): A = {
+    acquireLease(spark, path, op)
+    try body finally releaseLease(spark, path)
+  }
+}

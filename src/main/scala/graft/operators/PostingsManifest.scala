@@ -118,25 +118,28 @@ object PostingsManifest {
 
   def manifestDir(path: String): Path =
     new Path(path.stripSuffix("/"), "_manifest")
-  private def dirtyFlag(path: String): Path =
-    new Path(path.stripSuffix("/"), "_manifest_dirty")
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    MaintenanceProtocol.fsOf(spark, path)
 
   def exists(spark: SparkSession, path: String): Boolean =
     fsOf(spark, path).exists(manifestDir(path))
 
+  // The dirty-flag and writer-lease primitives are artifact-AGNOSTIC
+  // and live in [[MaintenanceProtocol]] (the write-side twin of
+  // [[graft.plans.ManifestFileIndex]]'s read seam) so other artifact
+  // families adopt them without re-deriving; these delegations keep
+  // the postings family's established call sites and specs stable.
   def isDirty(spark: SparkSession, path: String): Boolean =
-    fsOf(spark, path).exists(dirtyFlag(path))
+    MaintenanceProtocol.isDirty(spark, path)
 
   /** Write-ahead intent: call BEFORE the first artifact mutation of a
     * maintenance op. One create on the artifact's filesystem. */
   def markDirty(spark: SparkSession, path: String): Unit =
-    fsOf(spark, path).create(dirtyFlag(path), true).close()
+    MaintenanceProtocol.markDirty(spark, path)
 
   def clearDirty(spark: SparkSession, path: String): Unit =
-    fsOf(spark, path).delete(dirtyFlag(path), false)
+    MaintenanceProtocol.clearDirty(spark, path)
 
   private val FormatHeaderV3 = "graft-postings-manifest\t3"
   private val FormatHeaderV2 = "graft-postings-manifest\t2"
@@ -161,7 +164,7 @@ object PostingsManifest {
   def readClean(spark: SparkSession, path: String): Option[State] = {
     val fs = fsOf(spark, path)
     val dest = manifestDir(path)
-    if (fs.exists(dirtyFlag(path)) || !fs.exists(dest)) None
+    if (MaintenanceProtocol.isDirty(spark, path) || !fs.exists(dest)) None
     else if (fs.getFileStatus(dest).isDirectory) None // legacy v1 layout
     else {
       val in = fs.open(dest)
@@ -239,127 +242,39 @@ object PostingsManifest {
 
   // ------------------------------------------------------------ lease
 
-  /** A second maintenance writer was detected — the fail-fast that
-    * turns concurrent-maintenance manifest corruption into an error.
-    * Carries the holder's own description of itself. */
-  final class ConcurrentMaintenanceException(msg: String)
-    extends IllegalStateException(msg)
+  /** A second maintenance writer was detected — the postings-facing
+    * name for [[MaintenanceProtocol.ConcurrentMaintenanceException]]
+    * (same class; `intercept`/`catch` either). */
+  type ConcurrentMaintenanceException =
+    MaintenanceProtocol.ConcurrentMaintenanceException
 
-  /** The writer lease lives as a SIBLING of the artifact
-    * (`<artifact>__maint_lease`, like the `__delta_*` staging dirs) so
-    * it survives even a full-overwrite rebuild of the directory — a
-    * lease inside the artifact would be deleted by the very
-    * `mode("overwrite")` build it is guarding. */
+  /** The lease primitives are artifact-agnostic and live in
+    * [[MaintenanceProtocol]] (which carries the full contract: the
+    * sibling-file placement that survives overwrite builds, the
+    * per-store atomicity boundary — POSIX O_EXCL locally, server-side
+    * on HDFS/ABFS/GCS, NOT plain S3A — release-in-finally, and the
+    * explicit breakLease crash recovery; reference analogue: the DB
+    * catalog serializing DDL, init-user-db.sh:119-120). These
+    * delegations keep the postings family's call sites and specs
+    * stable. */
   def leasePath(path: String): Path =
-    new Path(path.stripSuffix("/") + "__maint_lease")
+    MaintenanceProtocol.leasePath(path)
 
-  /** Enforce the single-writer contract with the filesystem's
-    * exclusive-create primitive — the same move Delta Lake's log
-    * commit makes (reference analogue: the DB catalog serializing DDL,
-    * init-user-db.sh:119-120). Exactly one concurrent caller wins the
-    * create; every other gets a [[ConcurrentMaintenanceException]]
-    * naming the holder, BEFORE its first artifact mutation.
-    *
-    * Atomicity boundary, stated honestly (Delta documents the same
-    * one): the guard is as strong as the store's create-if-absent.
-    * Local filesystems route through POSIX `O_CREAT|O_EXCL` here
-    * (Hadoop's local `create(overwrite=false)` is check-then-create —
-    * race-pinned by spec); HDFS enforces the exclusive create in the
-    * NameNode; ABFS/GCS via conditional-create preconditions. Plain
-    * S3A's `create(overwrite=false)` is historically a client-side
-    * HEAD + PUT — deployments there need a coordination layer with a
-    * real conditional write (the reason Delta on S3 requires
-    * `S3DynamoDBLogStore`), or a Hadoop build whose S3A conditional
-    * create is enabled. The lease is released in the op's
-    * `finally` (held across failed ops only for the body's duration —
-    * the dirty flag, not the lease, is what records an incomplete
-    * mutation), so a lease that persists means a writer is live or its
-    * PROCESS crashed mid-op. Crash recovery is explicit and operator-
-    * owned: [[breakLease]], then let the next compaction's
-    * directory-truth rebuild absorb whatever the dead writer left
-    * (spec-pinned) — a TTL would guess, and a wrong guess corrupts. */
-  def acquireLease(spark: SparkSession, path: String, op: String): Unit = {
-    val fs = fsOf(spark, path)
-    val lp = leasePath(path)
-    val token = s"$op\t${java.time.Instant.now()}\t${
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-    val won = fs match {
-      // Hadoop's LOCAL create(overwrite=false) is exists-check-then-
-      // create — a TOCTOU window two same-box writers can both slip
-      // through. POSIX O_CREAT|O_EXCL (java.io createNewFile) is the
-      // real atomic primitive there. Remote filesystems take the
-      // Hadoop call — see the scaladoc for which stores make it a
-      // true server-side CAS and which (plain S3A) do not.
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        val f = new java.io.File(lp.toUri.getPath)
-        Option(f.getParentFile).foreach(_.mkdirs())
-        if (!f.createNewFile()) false
-        else {
-          // won the create; a FAILED token write must not strand an
-          // unreadable lease that blocks every writer until a manual
-          // breakLease — release what we just took, then rethrow
-          try {
-            val out = new java.io.FileOutputStream(f)
-            try out.write(token.getBytes("UTF-8")) finally out.close()
-          } catch {
-            case e: Throwable =>
-              try f.delete() catch { case _: Throwable => () }
-              throw e
-          }
-          true
-        }
-      case _ =>
-        try {
-          val out = fs.create(lp, false)
-          try {
-            try out.write(token.getBytes("UTF-8")) finally out.close()
-          } catch {
-            case e: Throwable => // as above: release the won lease
-              try fs.delete(lp, false) catch { case _: Throwable => () }
-              throw e
-          }
-          true
-        } catch {
-          // the Hadoop FS contract's exists signal (a create failing
-          // for OTHER reasons — network, quota — propagates: it is an
-          // error, not a lost race)
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-    }
-    if (!won) {
-      val holder =
-        try {
-          val in = fs.open(lp)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        } catch { case _: Throwable => "<unreadable>" }
-      throw new ConcurrentMaintenanceException(
-        s"another maintenance writer holds the lease on $path " +
-          s"[$holder] — postings maintenance is single-writer; if " +
-          "that writer is dead, PostingsManifest.breakLease and " +
-          "compact to recover")
-    }
-  }
+  def acquireLease(spark: SparkSession, path: String, op: String): Unit =
+    MaintenanceProtocol.acquireLease(spark, path, op)
 
   def releaseLease(spark: SparkSession, path: String): Unit =
-    fsOf(spark, path).delete(leasePath(path), false)
+    MaintenanceProtocol.releaseLease(spark, path)
 
   /** Operator-explicit recovery from a writer that died holding the
     * lease. Returns whether a lease file existed. */
   def breakLease(spark: SparkSession, path: String): Boolean =
-    fsOf(spark, path).delete(leasePath(path), false)
+    MaintenanceProtocol.breakLease(spark, path)
 
-  /** Acquire the writer lease, run one maintenance op, release. The
-    * release sits in `finally`: an op that THROWS has already recorded
-    * its incompleteness in the dirty flag (readers degrade to listing
-    * truth), so holding the lease past it would only block recovery. */
+  /** Acquire the writer lease, run one maintenance op, release. */
   def withLease[A](spark: SparkSession, path: String, op: String)(
-      body: => A): A = {
-    acquireLease(spark, path, op)
-    try body finally releaseLease(spark, path)
-  }
+      body: => A): A =
+    MaintenanceProtocol.withLease(spark, path, op)(body)
 
   /** Directory truth, the O(files) fallback the manifest exists to make
     * rare: one recursive listing for names/bytes plus one zero-data-
