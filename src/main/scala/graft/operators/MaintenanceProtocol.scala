@@ -25,6 +25,8 @@ import org.apache.spark.sql.SparkSession
   */
 object MaintenanceProtocol {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A second maintenance writer was detected — the fail-fast that
     * turns concurrent-maintenance sidecar corruption into an error.
     * Carries the holder's own description of itself. */
@@ -68,12 +70,31 @@ object MaintenanceProtocol {
     * [[PostingsManifest]]'s scaladoc for the atomicity boundary per
     * store (local POSIX O_EXCL here; HDFS/ABFS/GCS server-side; plain
     * S3A is NOT a CAS) and the crash-recovery contract
-    * ([[breakLease]] + a directory-truth rebuild). */
-  def acquireLease(spark: SparkSession, path: String, op: String): Unit = {
+    * ([[breakLease]] + a directory-truth rebuild).
+    *
+    * Returns the OWNERSHIP TOKEN written into the lease file; pass it
+    * to [[releaseLease]] so the release deletes only a lease this
+    * caller still holds (a breakLease + re-acquire by another writer
+    * must not be un-leased by the first writer's `finally`). */
+  def acquireLease(spark: SparkSession, path: String, op: String): String = {
     val fs = fsOf(spark, path)
     val lp = leasePath(path)
+    // plain S3 object stores make create(overwrite=false) an
+    // exists-check-then-put, not a server-side CAS — the lease is
+    // ADVISORY there (same boundary Delta-on-S3 documents). Say so at
+    // runtime, not only in scaladoc: an operator pointing maintenance
+    // at s3a:// should see the single-writer hole named once per JVM.
+    val scheme = Option(lp.toUri.getScheme).getOrElse("")
+    if (Set("s3", "s3a", "s3n")(scheme.toLowerCase) &&
+        s3aWarned.compareAndSet(false, true))
+      log.warn(s"maintenance lease on $scheme:// is ADVISORY: this " +
+        "store's create(overwrite=false) is not an atomic " +
+        "compare-and-swap, so two concurrent maintainers can both " +
+        "acquire — serialize maintenance externally or use a store " +
+        "with atomic create (HDFS/ABFS/GCS/local)")
     val token = s"$op\t${java.time.Instant.now()}\t${
-      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\t${
+      java.util.UUID.randomUUID()}"
     val won = fs match {
       // Hadoop's LOCAL create(overwrite=false) is exists-check-then-
       // create — a TOCTOU window two same-box writers can both slip
@@ -131,10 +152,44 @@ object MaintenanceProtocol {
           s"[$holder] — artifact maintenance is single-writer; if " +
           "that writer is dead, breakLease and rebuild/compact to recover")
     }
+    token
   }
 
+  private val s3aWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Release a lease UNCONDITIONALLY — the legacy/operator form.
+    * Prefer the token-checked overload from acquire/release pairs;
+    * this one is semantically [[breakLease]] without the return. */
   def releaseLease(spark: SparkSession, path: String): Unit =
     fsOf(spark, path).delete(leasePath(path), false)
+
+  /** Release the lease ONLY if the on-disk token still matches `token`
+    * (the value [[acquireLease]] returned): after a breakLease +
+    * re-acquire by a second writer, the first writer's `finally` must
+    * not delete the NEW holder's lease and reopen the single-writer
+    * hole for a third. A mismatch (or an unreadable lease file) skips
+    * the delete and logs — the current holder's own release will clean
+    * it up. */
+  def releaseLease(spark: SparkSession, path: String, token: String): Unit = {
+    val fs = fsOf(spark, path)
+    val lp = leasePath(path)
+    val onDisk =
+      try {
+        val in = fs.open(lp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch { case _: Throwable => None }
+    onDisk match {
+      case Some(t) if t == token.trim => fs.delete(lp, false)
+      case Some(other) =>
+        log.warn(s"not releasing lease on $path: on-disk token " +
+          s"[$other] is no longer this writer's — it was broken and " +
+          "re-acquired while this op ran; the current holder owns cleanup")
+      case None =>
+        log.warn(s"not releasing lease on $path: lease file absent or " +
+          "unreadable (already broken/released by an operator)")
+    }
+  }
 
   /** Operator-explicit recovery from a writer that died holding the
     * lease. Returns whether a lease file existed. */
@@ -147,7 +202,7 @@ object MaintenanceProtocol {
     * truth), so holding the lease past it would only block recovery. */
   def withLease[A](spark: SparkSession, path: String, op: String)(
       body: => A): A = {
-    acquireLease(spark, path, op)
-    try body finally releaseLease(spark, path)
+    val token = acquireLease(spark, path, op)
+    try body finally releaseLease(spark, path, token)
   }
 }

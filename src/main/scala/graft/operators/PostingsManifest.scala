@@ -260,11 +260,16 @@ object PostingsManifest {
   def leasePath(path: String): Path =
     MaintenanceProtocol.leasePath(path)
 
-  def acquireLease(spark: SparkSession, path: String, op: String): Unit =
+  /** Returns the ownership token — pass it to the token-checked
+    * [[releaseLease]] overload (see [[MaintenanceProtocol]]). */
+  def acquireLease(spark: SparkSession, path: String, op: String): String =
     MaintenanceProtocol.acquireLease(spark, path, op)
 
   def releaseLease(spark: SparkSession, path: String): Unit =
     MaintenanceProtocol.releaseLease(spark, path)
+
+  def releaseLease(spark: SparkSession, path: String, token: String): Unit =
+    MaintenanceProtocol.releaseLease(spark, path, token)
 
   /** Operator-explicit recovery from a writer that died holding the
     * lease. Returns whether a lease file existed. */

@@ -960,7 +960,37 @@ object Similarity {
           postingsDataSchema(st.params.gp.nonEmpty))
       case None =>
         spark.catalog.refreshByPath(path)
-        spark.read.parquet(path)
+        val raw = spark.read.parquet(path)
+        // A DIRTY artifact's directory is not serving truth by itself:
+        // with retained maintenance the directory legitimately holds
+        // tombstoned files (and, after a crash mid-op, possibly
+        // half-staged recap files next to the rows they supersede), so
+        // a raw read double-counts (cell, cand_id) and over-fills
+        // capped cells. Converge with the SAME idempotent law the
+        // compaction fold applies — dedup (cell, cand_id), re-rank,
+        // re-cap — which maps tombstone+live and half-staged+old states
+        // alike onto the canonical artifact (cap-over-union is
+        // idempotent; spec-pinned equal to the clean manifest read).
+        // A manifest-ABSENT artifact skips this: it never ran a
+        // retained op (those require a manifest), so its listing is
+        // truth and the extra shuffle would be pure cost.
+        if (!PostingsManifest.isDirty(spark, path)) raw
+        else {
+          import org.apache.spark.sql.expressions.Window
+          val head = raw.select(col("iv_cap")).take(1)
+          if (head.isEmpty) raw
+          else {
+            val cap = head(0).getInt(0)
+            val deduped = raw.dropDuplicates(Seq("cell", "cand_id"))
+            if (cap == Int.MaxValue) deduped
+            else deduped
+              .withColumn("gr_rank", row_number().over(Window
+                .partitionBy(col("cell"))
+                .orderBy(col("d2").asc, col("cand_id").asc)))
+              .filter(col("gr_rank") <= cap)
+              .drop("gr_rank")
+          }
+        }
     }
 
   def saveIvfPostings(postings: DataFrame, path: String): Unit =
@@ -1346,9 +1376,10 @@ object Similarity {
             counts.getOrElse(c, 0L))
         }
         maintStage("recapr_manifest_roll") {
-          PostingsManifest.write(spark, path,
-            st.retiringCells(touched, entries))
+          val next = st.retiringCells(touched, entries)
+          PostingsManifest.write(spark, path, next)
           PostingsManifest.clearDirty(spark, path)
+          logRetiredDebt(path, next)
         }
       } finally org.apache.spark.sql.GraftColumnBridge
         .unpersistLocalCheckpoint(recapped)
@@ -1409,6 +1440,25 @@ object Similarity {
     * (GRAFT_MAINT_TIMING=1 → one stderr line per stage) — the
     * observability that attributed the fragment-append wall to its
     * stages instead of guessing. */
+  private lazy val maintLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
+  /** Make the open retired-file DEBT visible after every retained
+    * roll-forward: tombstones are billable storage invisible to
+    * manifest-resolved readers, and a quiesced artifact parks its last
+    * epoch's forever unless [[vacuumPostings]] runs — an operator
+    * should see the open balance, not discover it from a storage
+    * bill. */
+  private def logRetiredDebt(path: String,
+      st: PostingsManifest.State): Unit = {
+    val retired = st.files.filter(_.retired)
+    if (retired.nonEmpty) maintLog.info(
+      s"postings artifact $path holds ${retired.size} retired file(s), " +
+        s"${retired.map(_.bytes).sum} bytes, awaiting their retention " +
+        "window — swept by the next retained op of a later epoch, or " +
+        "explicitly by vacuumPostings")
+  }
+
   private def maintStage[A](name: String)(body: => A): A = {
     if (!sys.env.contains("GRAFT_MAINT_TIMING")) body
     else {
@@ -1904,9 +1954,10 @@ object Similarity {
                 PostingsManifest.FileEntry(c, name, bytes,
                   counts.getOrElse(c, 0L))
               }
-              PostingsManifest.write(spark, path,
-                st.retiringCells(fragmented, entries))
+              val next = st.retiringCells(fragmented, entries)
+              PostingsManifest.write(spark, path, next)
               PostingsManifest.clearDirty(spark, path)
+              logRetiredDebt(path, next)
               (fragmented.size, filesBefore,
                 filesBefore - fragmented.toSeq.map(pcFiles).sum +
                   fragmented.size)

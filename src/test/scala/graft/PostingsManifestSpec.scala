@@ -774,4 +774,65 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       rows(Similarity.ivfPostings(old.union(b1), model, cap)),
       "manifest-route compaction must equal the from-scratch build")
   }
+
+  test("dirty fallback read of a TOMBSTONED artifact converges to canon") {
+    // the degrade-to-listing-truth claim, closed for retained
+    // artifacts: a stranded dirty flag during a retention window must
+    // not make readPostings silently serve duplicate (cell, cand_id)
+    // rows — the fallback dedups and re-applies the cap (the same
+    // idempotent fold compaction uses)
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val old = emb.filter($"vec_id" % 4 === 0)
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dirty_fallback").toString
+    Similarity.saveIvfPostings(Similarity.ivfPostings(old, model, cap), path)
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val clean = rows(Similarity.readPostings(spark, path))
+    // precondition: the window is open — a raw directory read
+    // double-counts, which is exactly what the fallback must not serve
+    spark.catalog.refreshByPath(path)
+    assert(spark.read.parquet(path).count() > clean.size)
+    PostingsManifest.markDirty(spark, path) // simulate a crashed writer
+    assert(rows(Similarity.readPostings(spark, path)) == clean,
+      "the dirty fallback must serve the canonical (deduped, capped) rows")
+    PostingsManifest.clearDirty(spark, path)
+    // a manifest-ABSENT artifact (never retained) skips the fold — the
+    // raw listing is truth there; count equality pins no behavior drift
+    Similarity.vacuumPostings(spark, path, retentionEpochs = 0L)
+    fs(path).delete(PostingsManifest.manifestDir(path), true)
+    assert(rows(Similarity.readPostings(spark, path)) == clean,
+      "a manifest-less artifact's listing read stays truth")
+  }
+
+  test("release is token-checked: a broken-and-reacquired lease survives") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lease_token").resolve("artifact").toString
+    val t1 = PostingsManifest.acquireLease(spark, path, "slow-writer")
+    // an operator decides slow-writer is dead and breaks the lease; a
+    // second writer acquires
+    assert(PostingsManifest.breakLease(spark, path))
+    PostingsManifest.acquireLease(spark, path, "writer-2")
+    // slow-writer's finally fires — it must NOT delete writer-2's lease
+    PostingsManifest.releaseLease(spark, path, t1)
+    val f = fs(path)
+    assert(f.exists(PostingsManifest.leasePath(path)),
+      "a token-mismatched release must not delete the new holder's lease")
+    val in = f.open(PostingsManifest.leasePath(path))
+    val holder =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(holder.startsWith("writer-2"))
+    // ...and a third writer still fails fast against writer-2
+    intercept[PostingsManifest.ConcurrentMaintenanceException](
+      PostingsManifest.acquireLease(spark, path, "writer-3"))
+    PostingsManifest.breakLease(spark, path)
+  }
 }
