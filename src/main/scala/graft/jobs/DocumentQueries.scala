@@ -665,7 +665,12 @@ object DocumentQueries {
     * whole corpus — so the hash match proves delta-append maintenance
     * + replay + compaction land exactly the index a fresh build would:
     * the postings family's append≡rebuild contract, on the second
-    * artifact family. */
+    * artifact family. Since r17 every read in the lifecycle —
+    * screens between appends and the declared read-back — resolves
+    * through [[Dedup.readExactIndex]], the [[graft.operators
+    * .ArtifactManifest]]-planned route (zero directory listings; the
+    * sidecar the build wrote plans each scan), so the oracle hash also
+    * certifies the manifest read path end to end. */
   def q84ExactIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val d = docs(spark, dir).select($"doc_id", $"text")
@@ -675,15 +680,13 @@ object DocumentQueries {
     val path = java.nio.file.Files.createTempDirectory("graft_q84")
       .resolve("index").toString
     Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path)
-    val k1 = Dedup.dedupAgainstIndex(b1, spark.read.parquet(path))
+    val k1 = Dedup.dedupAgainstIndex(b1, Dedup.readExactIndex(spark, path))
     Dedup.appendExactIndexDelta(spark, path, k1)
-    spark.catalog.refreshByPath(path)
-    val k2 = Dedup.dedupAgainstIndex(b2, spark.read.parquet(path))
+    val k2 = Dedup.dedupAgainstIndex(b2, Dedup.readExactIndex(spark, path))
     Dedup.appendExactIndexDelta(spark, path, k2)
     Dedup.appendExactIndexDelta(spark, path, k2) // redelivery
     Dedup.compactExactIndex(spark, path)
-    spark.catalog.refreshByPath(path)
-    spark.read.parquet(path)
+    Dedup.readExactIndex(spark, path)
   }
 
   // ---------------------------------------------------------------- q64

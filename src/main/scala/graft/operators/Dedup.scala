@@ -329,38 +329,93 @@ object Dedup {
   def appendToExactIndex(index: DataFrame, keptDocs: DataFrame): DataFrame =
     index.unionByName(exactIndexDelta(keptDocs))
 
+  /** The exact-hash index's family tag and data schema in its
+    * [[ArtifactManifest]] sidecar (one 16-byte column — see
+    * [[exactHashIndex]]). */
+  private val ExactIndexFamily = "exact_hash_index"
+  private val exactIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("text_hash",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Open a persisted [[saveExactIndex]] directory for screening — the
+    * read every serve-time consumer ([[dedupAgainstIndex]] /
+    * [[dedupAgainstIndexScreened]]) should start from. With a clean
+    * [[ArtifactManifest]] the scan plans from a
+    * [[graft.plans.ManifestFileIndex]] snapshot: ZERO filesystem
+    * listings — at one listing per INGEST BATCH on a monthly-dump
+    * cadence (docker/aact/Dockerfile:20-22) over a 10⁵⁺-file object
+    * store artifact, discovery was the screen's last
+    * artifact-proportional metadata term — and the screened route's
+    * pushed-down IN predicate prunes row groups off the manifest's
+    * exact byte extents the same way it does off a discovered index
+    * (DedupSpec's census pins it). Falls back to the discovering read
+    * for manifest-less or dirty artifacts (flat artifact: the listing
+    * is truth). */
+  def readExactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ArtifactManifest.readFlat(spark, path, ExactIndexFamily,
+      exactIndexSchema)
+
   /** Persist an [[exactHashIndex]] as a range-sorted parquet DIRECTORY
     * — the artifact layout [[dedupAgainstIndexScreened]]'s point-lookup
     * route depends on: range partitioning + in-file sort keep every
     * row group's min/max stats tight, so a pushed-down IN predicate
     * reads ∝ candidates, not ∝ index (the
     * [[graft.sources.WarehouseWriter.saveSorted]] physics, applied to
-    * a path-addressed artifact). */
+    * a path-addressed artifact). Born with an [[ArtifactManifest]]
+    * sidecar (one listing + one footer job at build time — the one
+    * moment an O(artifact) metadata pass is already being paid), so
+    * every later append/serve plans zero-listing; the sibling writer
+    * lease makes a rebuild of a live artifact fail fast against a
+    * concurrent maintainer. */
   def saveExactIndex(index: DataFrame, path: String, files: Int = 8): Unit =
-    index
-      .repartitionByRange(files, org.apache.spark.sql.functions.col("text_hash"))
-      .sortWithinPartitions("text_hash")
-      .write.mode("overwrite").parquet(path)
+    ArtifactManifest.withLease(index.sparkSession, path, "build") {
+      index
+        .repartitionByRange(files,
+          org.apache.spark.sql.functions.col("text_hash"))
+        .sortWithinPartitions("text_hash")
+        .write.mode("overwrite").parquet(path)
+      ArtifactManifest.rebuildAndWrite(index.sparkSession, path,
+        ExactIndexFamily, Map.empty)
+    }
 
   /** Roll a persisted [[saveExactIndex]] directory forward with an
     * ingest round's kept rows — cost ∝ BATCH, nothing ∝ the index:
     * the delta lands as `files` new part-files (sorted within
-    * themselves, so their OWN row-group stats stay tight), and a flat
-    * path append never lists the standing artifact (unlike a
-    * partitioned append — the measured fragment-route lesson). The
-    * LSM debt this accrues is bounded and OBSERVABLE, not silent:
-    * every appended file spans ~the full hash range, so file-level
-    * zone pruning erodes with append count (row-group pruning inside
-    * each sorted file survives) and the footer count grows by `files`
-    * per ingest — [[compactExactIndex]] restores the global sorted
-    * layout, exactly like the postings family's compaction settles its
-    * fragments. */
+    * themselves, so their OWN row-group stats stay tight), staged into
+    * a sibling temp dir and RENAMED in — the standing artifact is
+    * never listed, and the manifest rolls forward from the staging
+    * listing alone (entries ∝ batch). The LSM debt this accrues is
+    * bounded and OBSERVABLE, not silent: every appended file spans
+    * ~the full hash range, so file-level zone pruning erodes with
+    * append count (row-group pruning inside each sorted file survives)
+    * and the manifest's file count grows by `files` per ingest —
+    * [[compactExactIndex]] restores the global sorted layout, exactly
+    * like the postings family's compaction settles its fragments.
+    * Dirty-bracketed: a crash mid-append strands the flag, readers
+    * degrade to the discovering read (truth — appends are add-only),
+    * and the next compaction re-adopts. A manifest-less (legacy)
+    * artifact appends the same files without sidecar bookkeeping. */
   def appendExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, keptDocs: DataFrame, files: Int = 1): Unit =
-    exactIndexDelta(keptDocs)
-      .repartitionByRange(files, org.apache.spark.sql.functions.col("text_hash"))
-      .sortWithinPartitions("text_hash")
-      .write.mode("append").parquet(path)
+    ArtifactManifest.withLease(spark, path, "delta_append") {
+      val state0 = ArtifactManifest.readClean(spark, path, ExactIndexFamily)
+      def writeDelta(dest: String): Unit =
+        exactIndexDelta(keptDocs)
+          .repartitionByRange(files,
+            org.apache.spark.sql.functions.col("text_hash"))
+          .sortWithinPartitions("text_hash")
+          .write.mode(if (dest == path) "append" else "overwrite")
+          .parquet(dest)
+      state0 match {
+        case None => writeDelta(path)
+        case Some(st) =>
+          ArtifactManifest.markDirty(spark, path)
+          val entries = ArtifactManifest.stageIntoRoot(spark, path)(writeDelta)
+          ArtifactManifest.write(spark, path, st.adding(entries))
+          ArtifactManifest.clearDirty(spark, path)
+      }
+    }
 
   /** Fold a delta-appended [[saveExactIndex]] directory back to the
     * pristine layout: distinct (replayed deltas fold away) + global
@@ -368,11 +423,23 @@ object Dedup {
     * again. Same swap discipline and concurrency stance as
     * [[graft.sources.WarehouseWriter.compactParquet]] (which does the
     * work — this names the dedup+sort recipe for the exact-index
-    * artifact). Returns (files before, files after, input bytes). */
+    * artifact), then the manifest is rebuilt from the fresh directory
+    * (the swap replaced the whole directory, sidecar included — and
+    * compaction is the flat families' manifest ADOPTION point, like
+    * the postings family's). Returns (files before, files after,
+    * input bytes). */
   def compactExactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFileBytes: Long = 128L << 20): (Int, Int, Long) =
-    graft.sources.WarehouseWriter.compactParquet(spark, path,
-      targetFileBytes, sortCol = Some("text_hash"), dedup = true)
+    ArtifactManifest.withLease(spark, path, "compact") {
+      ArtifactManifest.sweepStaleDeltas(spark, path)
+      ArtifactManifest.markDirty(spark, path)
+      val r = graft.sources.WarehouseWriter.compactParquet(spark, path,
+        targetFileBytes, sortCol = Some("text_hash"), dedup = true)
+      if (r._1 == 0) ArtifactManifest.clearDirty(spark, path) // empty dir
+      else ArtifactManifest.rebuildAndWrite(spark, path, ExactIndexFamily,
+        Map.empty)
+      r
+    }
 
   /** Distinct k-token shingles per doc (docs shorter than k dropped). */
   def shingleTable(docs: DataFrame, k: Int): DataFrame = {

@@ -363,18 +363,41 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .resolve("index").toString
     Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path, files = 2)
 
-    // two ingest rounds + an at-least-once replay, each append ∝ batch
-    val k1 = Dedup.dedupAgainstIndex(b1, spark.read.parquet(path))
+    // two ingest rounds + an at-least-once replay, each append ∝ batch;
+    // every serve-time read goes through the MANIFEST-planned route
+    // (zero listings — the sidecar the build wrote plans the scan)
+    val k1 = Dedup.dedupAgainstIndex(b1, Dedup.readExactIndex(spark, path))
     Dedup.appendExactIndexDelta(spark, path, k1)
-    spark.catalog.refreshByPath(path)
-    val k2 = Dedup.dedupAgainstIndex(b2, spark.read.parquet(path))
+    val k2 = Dedup.dedupAgainstIndex(b2, Dedup.readExactIndex(spark, path))
     Dedup.appendExactIndexDelta(spark, path, k2)
     Dedup.appendExactIndexDelta(spark, path, k2) // replayed delta
+
+    // the manifest read IS planned from the sidecar, matches the
+    // discovering read exactly, and the sidecar equals directory truth
+    val loaded = Dedup.readExactIndex(spark, path)
+    assert(loaded.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "manifest-backed exact-index read must plan over ManifestFileIndex")
     spark.catalog.refreshByPath(path)
+    assert(loaded.as[String].collect().sorted.toSeq ==
+      spark.read.parquet(path).as[String].collect().sorted.toSeq,
+      "manifest-planned read must equal the discovering read")
+    val st = graft.operators.ArtifactManifest
+      .readClean(spark, path, "exact_hash_index").get
+    val fsTruth = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .map(f => (f.getPath.getName, f.getLen)).toSet
+    }
+    assert(st.files.map(e => (e.file, e.bytes)).toSet == fsTruth,
+      "manifest must equal directory truth after appends")
+    assert(st.totalRows == loaded.count(),
+      "manifest footer row counts must sum to the artifact's rows")
 
     // delta-appended ≡ rebuilt (set semantics; the replay is physical)
     val rebuilt = Dedup.exactHashIndex(all).as[String].collect().toSet
-    val loaded = spark.read.parquet(path)
     assert(loaded.distinct().as[String].collect().toSet == rebuilt,
       "appended artifact must hold exactly the rebuilt hash set")
     assert(loaded.count() > rebuilt.size,
@@ -393,27 +416,33 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(keptScreened == keptPlain &&
       keptScreened == novel.select($"doc_id").as[Long].collect().toSet)
 
-    // the IN predicate still reaches the scan after N appends...
+    // the IN predicate still reaches the scan after N appends — ON THE
+    // MANIFEST-PLANNED read (the zero-listing route the screened dedup
+    // takes), not just the discovering one
     val probes = loaded.distinct().orderBy($"text_hash")
       .as[String].collect().toIndexedSeq
     val probeSet = (0 until 4).map(i => probes(i * probes.length / 4))
-    val plan = spark.read.parquet(path)
+    val plan = Dedup.readExactIndex(spark, path)
       .filter($"text_hash".isin(probeSet: _*))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters") && plan.contains("In(text_hash"),
-      s"IN must stay pushed into the index scan after appends:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(text_hash") &&
+      plan.contains("ManifestFileIndex"),
+      s"IN must stay pushed into the manifest-planned scan after appends:\n$plan")
     // ...but each full-range delta file is a row-group CANDIDATE for
     // every probe — the observable erosion compaction exists to settle
     val census0 = hashRowGroupCandidates(path, probeSet)
     assert(census0 >= probeSet.size * 3,
       s"expected the delta-blurred layout to multi-match, census=$census0")
 
-    // compaction: folds the replay, restores global zone-map pruning
+    // compaction: folds the replay, restores global zone-map pruning,
+    // and re-adopts the manifest over the swapped directory
     val (nb, na, _) = Dedup.compactExactIndex(spark, path,
       targetFileBytes = 8L << 10)
     assert(nb > na, s"compaction must fold files: $nb -> $na")
-    spark.catalog.refreshByPath(path)
-    val compacted = spark.read.parquet(path)
+    val compacted = Dedup.readExactIndex(spark, path)
+    assert(compacted.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "post-compaction reads must plan from the re-adopted manifest")
     assert(compacted.count() == rebuilt.size,
       "compaction must fold the replayed delta's duplicates")
     assert(compacted.as[String].collect().toSet == rebuilt)
@@ -422,9 +451,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     // and the artifact keeps ingesting after compaction
     val k3 = Dedup.dedupAgainstIndex(novel, compacted)
     Dedup.appendExactIndexDelta(spark, path, k3)
-    spark.catalog.refreshByPath(path)
-    assert(spark.read.parquet(path).distinct().count() ==
+    assert(Dedup.readExactIndex(spark, path).distinct().count() ==
       rebuilt.size + k3.count())
+
+    // a stranded dirty flag degrades to the discovering read (truth for
+    // a flat add-only artifact), and compaction re-adopts the sidecar
+    graft.operators.ArtifactManifest.markDirty(spark, path)
+    val fallback = Dedup.readExactIndex(spark, path)
+    assert(!fallback.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "a dirty sidecar must demote the read to discovery")
+    assert(fallback.distinct().count() == rebuilt.size + k3.count())
+    Dedup.compactExactIndex(spark, path)
+    assert(Dedup.readExactIndex(spark, path)
+      .queryExecution.executedPlan.toString.contains("ManifestFileIndex"),
+      "compaction must clear the flag and re-adopt the manifest")
   }
 
   /** Row groups in `dir` whose text_hash [min,max] could contain a
