@@ -689,6 +689,71 @@ object DocumentQueries {
     Dedup.readExactIndex(spark, path)
   }
 
+  // ---------------------------------------------------------------- q85
+  /** The winnow (contamination) index's ARTIFACT lifecycle,
+    * oracle-checked — the decontamination gate a training run blocks
+    * on, maintained incrementally: seed a third of the TRAIN split into
+    * a [[Dedup.saveWinnowIndex]] fingerprint-sorted directory, roll it
+    * forward with two monthly-style batches through
+    * [[Dedup.appendWinnowIndexDelta]] (each ∝ its own batch —
+    * batch-local df, no O(index) re-aggregate, no listing), redeliver
+    * the second batch (at-least-once), then [[Dedup
+    * .compactWinnowIndex]] folds the replay and RECOMPUTES the exact
+    * global df. The declared read-back goes through
+    * [[Dedup.readWinnowIndex]] (manifest-planned, zero listings); the
+    * oracle is the from-scratch [[Dedup.winnowIndex]] over the whole
+    * train split — the hash match proves delta maintenance + replay +
+    * compaction land exactly the index (df values included) a fresh
+    * build would: the append≡rebuild contract on the third artifact
+    * family. */
+  def q85WinnowIndexArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val seed = d.filter($"doc_id" % 6 === 0)
+    val b1 = d.filter($"doc_id" % 6 === 2)
+    val b2 = d.filter($"doc_id" % 6 === 4)
+    val path = java.nio.file.Files.createTempDirectory("graft_q85")
+      .resolve("index").toString
+    Dedup.saveWinnowIndex(
+      Dedup.winnowIndex(seed, k = 3, w = 4, algo = "md5_60"), path)
+    Dedup.appendWinnowIndexDelta(spark, path, b1)
+    Dedup.appendWinnowIndexDelta(spark, path, b2)
+    Dedup.appendWinnowIndexDelta(spark, path, b2) // redelivery
+    Dedup.compactWinnowIndex(spark, path)
+    Dedup.readWinnowIndex(spark, path)
+      .select($"doc_id", $"fingerprint", $"df")
+  }
+
+  // ---------------------------------------------------------------- q86
+  /** Contamination screening THROUGH the delta-appended artifact, at
+    * its hardest state — base + two deltas + a replayed delta, NO
+    * compaction — where stored df is only a batch-local lower bound
+    * and replay duplicates sit on disk. [[Dedup
+    * .contaminationAgainstArtifact]] must still produce exactly the
+    * from-scratch screen: candidate-proportional pushed-down scans,
+    * exact df recomputed over just the matched rows, replay deduped.
+    * The oracle rebuilds the index in SQL and applies
+    * [[Dedup.contaminationAgainstIndex]]'s semantics (df cap over the
+    * INDEX side — the only side an incremental screen can know),
+    * q47's decontamination shape made incremental. */
+  def q86WinnowScreenArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).select($"doc_id", $"text")
+    val seed = d.filter($"doc_id" % 6 === 0)
+    val b1 = d.filter($"doc_id" % 6 === 2)
+    val b2 = d.filter($"doc_id" % 6 === 4)
+    val eval = d.filter($"doc_id" % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_q86")
+      .resolve("index").toString
+    Dedup.saveWinnowIndex(
+      Dedup.winnowIndex(seed, k = 3, w = 4, algo = "md5_60"), path)
+    Dedup.appendWinnowIndexDelta(spark, path, b1)
+    Dedup.appendWinnowIndexDelta(spark, path, b2)
+    Dedup.appendWinnowIndexDelta(spark, path, b2) // redelivery
+    Dedup.contaminationAgainstArtifact(spark, path, eval,
+      maxDF = maxFingerprintDF, minShared = 2)
+  }
+
   // ---------------------------------------------------------------- q64
   /** Deterministic epoch shuffle — the data-loader ordering step: each
     * training epoch re-orders the corpus by `md5(epoch:doc_id)`, so
@@ -1130,6 +1195,8 @@ object DocumentQueries {
     "q62_pii_scrub" -> (q62PiiScrub _),
     "q63_exact_index_screen" -> (q63ExactIndexScreen _),
     "q84_exact_index_artifact" -> (q84ExactIndexLifecycle _),
+    "q85_winnow_index_artifact" -> (q85WinnowIndexArtifact _),
+    "q86_winnow_screen_artifact" -> (q86WinnowScreenArtifact _),
     "q64_epoch_shuffle" -> (q64EpochShuffle _),
     "q65_bigram_surprise" -> (q65BigramSurprise _),
     "q66_eval_sample" -> (q66EvalSample _),
@@ -1149,6 +1216,34 @@ object DocumentQueries {
     // fresh build over the whole corpus produces
     "q84_exact_index_artifact" ->
       "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    // the winnow lifecycle's from-scratch rebuild over the train split
+    // (seed ∪ b1 ∪ b2 = doc_id % 2 = 0): delta appends + replay +
+    // compaction must land exactly these (doc_id, fingerprint, df) rows
+    "q85_winnow_index_artifact" ->
+      s"""WITH fp AS (SELECT * FROM ($winnowSql) z)
+         SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS df
+         FROM fp WHERE doc_id % 2 = 0""",
+    // contaminationAgainstIndex semantics over the rebuilt train index:
+    // df cap on the INDEX side, pair count of shared capped fingerprints
+    "q86_winnow_screen_artifact" ->
+      s"""WITH fp AS (SELECT * FROM ($winnowSql) z),
+         train AS (
+           SELECT fingerprint, doc_id AS corpus_id FROM fp
+           WHERE doc_id % 2 = 0),
+         te AS (
+           SELECT fingerprint, doc_id AS new_id FROM fp
+           WHERE doc_id % 2 <> 0),
+         dfs AS (
+           SELECT fingerprint FROM train GROUP BY fingerprint
+           HAVING count(*) <= $maxFingerprintDF),
+         capped AS (
+           SELECT t.fingerprint, t.corpus_id FROM train t
+           WHERE t.fingerprint IN (SELECT fingerprint FROM dfs))
+         SELECT te.new_id, capped.corpus_id, count(*) AS n_shared
+         FROM te JOIN capped ON te.fingerprint = capped.fingerprint
+         GROUP BY te.new_id, capped.corpus_id
+         HAVING count(*) >= 2""",
     // same synthesized batch as the Spark side; the anti-join + min-per-
     // hash mirrors dedupAgainstIndex's semantics generically, so the
     // oracle holds even if the fixture ever grows organic duplicates

@@ -1325,6 +1325,234 @@ object Dedup {
       .filter($"n_shared" >= minShared)
   }
 
+  // ---------------------------------------------- winnow-index artifact
+
+  /** The winnow index's family tag and data schema in its
+    * [[ArtifactManifest]] sidecar (see [[winnowIndex]]). */
+  private val WinnowIndexFamily = "winnow_index"
+  private val winnowIndexSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("fingerprint", LongType),
+      StructField("df", LongType),
+      StructField("wf_k", IntegerType),
+      StructField("wf_w", IntegerType),
+      StructField("wf_algo", StringType)))
+  }
+
+  /** Open a persisted [[saveWinnowIndex]] directory for screening: with
+    * a clean [[ArtifactManifest]] the scan plans from a
+    * [[graft.plans.ManifestFileIndex]] snapshot — ZERO filesystem
+    * listings at any corpus age, with the screen's pushed-down
+    * fingerprint/df predicates pruning row groups off the manifest's
+    * exact byte extents exactly as on a discovered read. Falls back to
+    * the discovering read for manifest-less or dirty artifacts (flat
+    * artifact: the listing is truth). */
+  def readWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ArtifactManifest.readFlat(spark, path, WinnowIndexFamily,
+      winnowIndexSchema)
+
+  /** Winnowing params from the artifact's manifest — no footer read,
+    * no take(1) job; falls back to one data-head read for manifest-less
+    * artifacts. */
+  private def winnowArtifactParams(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, String) =
+    ArtifactManifest.readClean(spark, path, WinnowIndexFamily) match {
+      case Some(st) =>
+        (st.params("wf_k").toInt, st.params("wf_w").toInt,
+          st.params("wf_algo"))
+      case None =>
+        spark.catalog.refreshByPath(path)
+        winnowIndexParams(spark.read.parquet(path))
+    }
+
+  /** Persist a [[winnowIndex]] as a range-sorted parquet DIRECTORY —
+    * sorted on `fingerprint` so the screen's candidate-fingerprint IN
+    * predicate prunes to ∝-candidate row groups (the
+    * [[saveExactIndex]] physics on the contamination side). Born with
+    * an [[ArtifactManifest]] sidecar carrying the winnowing params
+    * (`wf_k`/`wf_w`/`wf_algo`), so appends and screens never open a
+    * footer for them; the whole build runs under the family's writer
+    * lease. */
+  def saveWinnowIndex(index: DataFrame, path: String, files: Int = 8): Unit = {
+    val spark = index.sparkSession
+    val (k, w, algo) = winnowIndexParams(index)
+    ArtifactManifest.withLease(spark, path, "build") {
+      index
+        .repartitionByRange(files, org.apache.spark.sql.functions.col("fingerprint"))
+        .sortWithinPartitions("fingerprint")
+        .write.mode("overwrite").parquet(path)
+      ArtifactManifest.rebuildAndWrite(spark, path, WinnowIndexFamily,
+        Map("wf_k" -> k.toString, "wf_w" -> w.toString, "wf_algo" -> algo))
+    }
+  }
+
+  /** Roll a persisted [[saveWinnowIndex]] directory forward with a
+    * newly ingested training batch — cost ∝ BATCH, nothing ∝ the
+    * index: the batch is winnowed with the ARTIFACT'S params (manifest
+    * read, no footer), lands as new sorted part-files staged in by
+    * rename (the standing artifact is never listed), and the manifest
+    * rolls forward from the staging listing alone.
+    *
+    * The df law that makes this ∝ batch: delta rows store their
+    * BATCH-LOCAL document frequency — a LOWER BOUND of the global df,
+    * which only grows (the in-memory [[appendToWinnowIndex]] instead
+    * recomputes df over the whole union, an O(index) shuffle per
+    * append). Consequently a delta-appended artifact's stored `df` is
+    * advisory between compactions: [[contaminationAgainstArtifact]]
+    * recomputes the exact df over just the candidate-matched rows
+    * (∝ candidates) and uses stored df only as the sound hot-row
+    * scan screen, and [[compactWinnowIndex]] restores exact stored df
+    * globally. This also makes the route REPLAY-TOLERANT — a
+    * crash-redelivered batch appends exact duplicate
+    * (doc_id, fingerprint) rows, which the screen dedups and the
+    * compaction folds — so no fresh-doc precondition is needed (the
+    * in-memory route needs one precisely because its df recompute
+    * double-counts replays). */
+  def appendWinnowIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, files: Int = 1): Unit =
+    ArtifactManifest.withLease(spark, path, "delta_append") {
+      val state0 = ArtifactManifest.readClean(spark, path, WinnowIndexFamily)
+      val (k, w, algo) = state0 match {
+        case Some(st) => (st.params("wf_k").toInt, st.params("wf_w").toInt,
+          st.params("wf_algo"))
+        case None =>
+          spark.catalog.refreshByPath(path)
+          winnowIndexParams(spark.read.parquet(path))
+      }
+      val delta = withDf(winnowFingerprints(newDocs, k, w, algo))
+        .withColumn("wf_k", lit(k))
+        .withColumn("wf_w", lit(w))
+        .withColumn("wf_algo", lit(algo))
+      def writeDelta(dest: String): Unit =
+        delta
+          .repartitionByRange(files,
+            org.apache.spark.sql.functions.col("fingerprint"))
+          .sortWithinPartitions("fingerprint")
+          .write.mode(if (dest == path) "append" else "overwrite")
+          .parquet(dest)
+      state0 match {
+        case None => writeDelta(path)
+        case Some(st) =>
+          ArtifactManifest.markDirty(spark, path)
+          val entries = ArtifactManifest.stageIntoRoot(spark, path)(writeDelta)
+          ArtifactManifest.write(spark, path, st.adding(entries))
+          ArtifactManifest.clearDirty(spark, path)
+      }
+    }
+
+  /** Fold a delta-appended [[saveWinnowIndex]] directory back to the
+    * pristine layout: dedup (doc_id, fingerprint) — replayed deltas
+    * fold away — RECOMPUTE the exact global df (the one O(index)
+    * shuffle, paid here on the rare side of the build-once/screen-often
+    * asymmetry instead of per append), and re-sort globally on
+    * fingerprint so file-level zone pruning holds again. Durable-swap
+    * discipline via [[graft.sources.WarehouseWriter
+    * .overwriteParquetAtomic]]; the manifest is rebuilt over the fresh
+    * directory (compaction is the family's adoption point). Returns
+    * (files before, files after). */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, files: Int = 8): (Int, Int) =
+    ArtifactManifest.withLease(spark, path, "compact") {
+      import spark.implicits._
+      ArtifactManifest.sweepStaleDeltas(spark, path)
+      val (k, w, algo) = winnowArtifactParams(spark, path)
+      spark.catalog.refreshByPath(path)
+      val before = spark.read.parquet(path)
+        .inputFiles.length
+      ArtifactManifest.markDirty(spark, path)
+      val folded = withDf(spark.read.parquet(path)
+        .select($"doc_id", $"fingerprint").distinct())
+        .withColumn("wf_k", lit(k))
+        .withColumn("wf_w", lit(w))
+        .withColumn("wf_algo", lit(algo))
+        .repartitionByRange(files,
+          org.apache.spark.sql.functions.col("fingerprint"))
+        .sortWithinPartitions("fingerprint")
+      graft.sources.WarehouseWriter.overwriteParquetAtomic(folded, path)
+      val st = ArtifactManifest.rebuildAndWrite(spark, path,
+        WinnowIndexFamily,
+        Map("wf_k" -> k.toString, "wf_w" -> w.toString, "wf_algo" -> algo))
+      (before, st.totalFiles)
+    }
+
+  /** Incremental contamination screening against a PERSISTED
+    * [[saveWinnowIndex]] artifact — [[contaminationAgainstIndex]]'s
+    * semantics (df cap over the index side, `n_shared >= minShared`)
+    * made correct AND candidate-proportional over a delta-appended
+    * artifact, where stored `df` is only a lower bound between
+    * compactions (see [[appendWinnowIndexDelta]]):
+    *
+    *  1. winnow the candidates with the artifact's params (manifest
+    *     read — no footer job), collect their distinct fingerprints
+    *     (bounded: ∝ candidate tokens);
+    *  2. TWO pushed-down scans of the manifest-planned index, both
+    *     predicated `fingerprint IN (candidates)` (driver-pushed IN up
+    *     to the session's parquet pushdown threshold, broadcast
+    *     semi-join above it): matched rows with `df <= maxDF`, and the
+    *     KNOWN-HOT fingerprint set from rows with `df > maxDF`
+    *     (projection: one column; the df predicate lets row-group
+    *     stats skip hot postings without reading them);
+    *  3. exact df = count per fingerprint over the DEDUPED
+    *     (doc_id, fingerprint) matches — exact because stored df is a
+    *     lower bound: any fingerprint with a row past the cap is in
+    *     the known-hot set and excluded wholesale, so every surviving
+    *     fingerprint has ALL its rows in the matched scan;
+    *  4. cap on the exact df, then the same pair count as the
+    *     in-memory screen.
+    *
+    * Cost ∝ candidates and their matched postings at any corpus age —
+    * never a df re-aggregate over the index, never a listing.
+    * Spec-pinned equal to [[contaminationAgainstIndex]] over the
+    * from-scratch [[winnowIndex]], including stale-df and replayed
+    * states. */
+  def contaminationAgainstArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDocs: DataFrame, maxDF: Int = 100,
+      minShared: Int = 2, inListLimit: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val (k, w, algo) = winnowArtifactParams(spark, path)
+    val index = readWinnowIndex(spark, path)
+    val candFp = winnowFingerprints(newDocs, k, w, algo)
+      .localCheckpoint(true)
+    val candSet = candFp.select($"fingerprint").distinct()
+      .localCheckpoint(true)
+    // same pushdown economics as dedupAgainstIndexScreened: a small
+    // candidate set rides the scan as a real IN predicate (row-group
+    // point-lookups); a large one degrades to a broadcast semi-join
+    // (index scanned once, never shuffled)
+    val pushLimit = spark.conf
+      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+      .map(_.toInt).getOrElse(10)
+    val effectiveLimit = math.min(inListLimit, pushLimit)
+    val candList = candSet.take(effectiveLimit + 1)
+    def matchedWith(pred: org.apache.spark.sql.Column): DataFrame =
+      if (candList.length <= effectiveLimit)
+        index.filter($"fingerprint".isin(candList.map(_.getLong(0)): _*)
+          && pred)
+      else
+        index.filter(pred)
+          .join(broadcast(candSet), Seq("fingerprint"), "left_semi")
+    val matched = matchedWith($"df" <= maxDF)
+      .select($"fingerprint", $"doc_id")
+      .dropDuplicates(Seq("fingerprint", "doc_id"))
+    val knownHot = matchedWith($"df" > maxDF)
+      .select($"fingerprint").distinct()
+    val exactDf = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fingerprint")
+    val capped = matched
+      .withColumn("df_true", count(lit(1)).over(exactDf))
+      .filter($"df_true" <= maxDF)
+      .join(knownHot, Seq("fingerprint"), "left_anti")
+    candFp.select($"fingerprint", $"doc_id".as("new_id"))
+      .join(capped.select($"fingerprint", $"doc_id".as("corpus_id")),
+        "fingerprint")
+      .groupBy($"new_id", $"corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= minShared)
+  }
+
   /** Embedding-cosine near-duplicates over an `emb(vec_id, embedding
     * array<float>)` relation: multi-table sign-bucket LSH candidates,
     * exact cosine verification.

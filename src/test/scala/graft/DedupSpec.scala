@@ -836,6 +836,82 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.appendToWinnowIndex(index, delta).count() > index.count())
   }
 
+  test("winnow-index artifact: stale-df screens exact, compaction restores df") {
+    import java.nio.file.Files
+    // lifecycle: seed build + two delta appends + an at-least-once
+    // replay — the artifact state where stored df is only a batch-local
+    // lower bound and replay duplicates sit on disk
+    val seed = docs.filter($"doc_id" % 6 === 0)
+    val b1 = docs.filter($"doc_id" % 6 === 2)
+    val b2 = docs.filter($"doc_id" % 6 === 4)
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val evalDocs = docs.filter($"doc_id" % 2 =!= 0)
+    val path = Files.createTempDirectory("graft_wf_art")
+      .resolve("index").toString
+    Dedup.saveWinnowIndex(
+      Dedup.winnowIndex(seed, k = 3, w = 4, algo = "md5_60"), path,
+      files = 2)
+    Dedup.appendWinnowIndexDelta(spark, path, b1)
+    Dedup.appendWinnowIndexDelta(spark, path, b2)
+    Dedup.appendWinnowIndexDelta(spark, path, b2) // replay
+
+    // manifest-planned read; sidecar equals directory truth
+    val loaded = Dedup.readWinnowIndex(spark, path)
+    assert(loaded.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "winnow reads must plan from the manifest")
+    val st = graft.operators.ArtifactManifest
+      .readClean(spark, path, "winnow_index").get
+    val fsT = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirTruth = fsT.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => (f.getPath.getName, f.getLen)).toSet
+    assert(st.files.map(e => (e.file, e.bytes)).toSet == dirTruth)
+    assert(st.totalRows == loaded.count())
+    assert(st.params == Map("wf_k" -> "3", "wf_w" -> "4",
+      "wf_algo" -> "md5_60"))
+
+    // the artifact screen over the dirty state equals the from-scratch
+    // in-memory screen — on BOTH routes (driver-pushed IN and the
+    // broadcast-semi fallback)
+    val scratch = Dedup.winnowIndex(train, k = 3, w = 4, algo = "md5_60")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"new_id", $"corpus_id", $"n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val expected = setOf(Dedup.contaminationAgainstIndex(evalDocs, scratch))
+    assert(expected.nonEmpty)
+    val gotPushed = Dedup.contaminationAgainstArtifact(spark, path, evalDocs)
+    assert(gotPushed.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"))
+    assert(setOf(gotPushed) == expected,
+      "stale-df artifact screen must equal the from-scratch screen")
+    assert(setOf(Dedup.contaminationAgainstArtifact(spark, path, evalDocs,
+      inListLimit = 2)) == expected,
+      "the broadcast-semi fallback route must agree")
+
+    // compaction folds the replay and restores EXACT stored df — the
+    // full (doc_id, fingerprint, df) relation matches the rebuild
+    val (nb, na) = Dedup.compactWinnowIndex(spark, path, files = 2)
+    assert(nb > na, s"compaction must fold files: $nb -> $na")
+    def idxSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"fingerprint", $"df")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(idxSet(Dedup.readWinnowIndex(spark, path)) == idxSet(scratch),
+      "compacted artifact must equal the from-scratch index, df included")
+    assert(setOf(Dedup.contaminationAgainstArtifact(spark, path, evalDocs))
+      == expected, "post-compaction screens must be unchanged")
+
+    // a stranded dirty flag degrades the read to discovery; the screen
+    // still answers exactly (flat artifact: the listing is truth)
+    graft.operators.ArtifactManifest.markDirty(spark, path)
+    assert(!Dedup.readWinnowIndex(spark, path)
+      .queryExecution.executedPlan.toString.contains("ManifestFileIndex"))
+    assert(setOf(Dedup.contaminationAgainstArtifact(spark, path, evalDocs))
+      == expected)
+    graft.operators.ArtifactManifest.clearDirty(spark, path)
+  }
+
   test("exactIndexBloom restores the session bloom-filter confs it raises") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
