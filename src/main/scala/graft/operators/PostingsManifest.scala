@@ -71,9 +71,14 @@ object PostingsManifest {
     * against. A directory-truth rebuild resets it to 0: the rebuild
     * also resurrects any tombstones as live rows (documented,
     * converged by the next fold), so no retirement arithmetic survives
-    * it anyway. */
+    * it anyway.
+    *
+    * `logSeq`/`logDeltas` are READ-SIDE bookkeeping of the incremental
+    * log (the highest delta sequence replayed and how many were) — they
+    * are never persisted: [[commit]] uses them to name the next delta
+    * file and to decide when to auto-fold. */
   case class State(params: Params, files: Seq[FileEntry],
-      epoch: Long = 0L) {
+      epoch: Long = 0L, logSeq: Long = 0L, logDeltas: Int = 0) {
     /** The serving artifact: every consumer (reads, population stats,
       * fragmented detection) reasons over LIVE entries; retired files
       * exist only for snapshot readers that planned before the
@@ -118,6 +123,21 @@ object PostingsManifest {
 
   def manifestDir(path: String): Path =
     new Path(path.stripSuffix("/"), "_manifest")
+
+  /** The incremental log: `_manifest_log/delta.<seq>` line-files, one
+    * per maintenance op, folded into the base `_manifest` at
+    * compaction (or when [[commit]]'s auto-fold threshold trips) — the
+    * Delta-Lake log/checkpoint shape, driver-side, no Spark job. What
+    * it buys: a maintenance op's manifest WRITE is ∝ the op's own
+    * touched set, never ∝ total files — the single-file rewrite was
+    * O(artifact files) per append, a multi-second driver write at 10⁶
+    * files (the r16 VERDICT scale seam). Listing the log dir costs ∝
+    * outstanding deltas (bounded by the fold threshold), not data
+    * files. */
+  def logDir(path: String): Path =
+    new Path(path.stripSuffix("/"), "_manifest_log")
+
+  private def deltaName(seq: Long): String = f"delta.$seq%012d"
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     MaintenanceProtocol.fsOf(spark, path)
@@ -193,10 +213,137 @@ object PostingsManifest {
             else { if (f(5) == "1") 0L else -1L }
           FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong, retiredAt)
         }
-        Some(State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp),
-          files, epoch))
+        Some(replayLog(spark, path,
+          State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp),
+            files, epoch)))
       }
     }
+  }
+
+  private val DeltaHeader = "graft-postings-delta\t1"
+
+  /** Fold the incremental log over a freshly parsed base manifest:
+    * one listing of `_manifest_log` (∝ outstanding deltas, bounded by
+    * the fold threshold — never ∝ data files), then each delta's
+    * `del`/`set` actions apply keyed by (cell, file). Replay is
+    * IDEMPOTENT by construction — `set` is an absolute upsert, `del`
+    * of an absent key is a no-op, and the epoch is carried as an
+    * absolute value applied through max() — so a fold that crashed
+    * between swapping the new base and deleting the already-folded
+    * delta files re-applies them harmlessly. (A fold that must NOT
+    * see stale deltas — the directory-truth rebuild, whose base no
+    * longer embeds them — runs under the dirty bracket, and [[write]]
+    * clears the whole log after its swap.) */
+  private def replayLog(spark: SparkSession, path: String,
+      base: State): State = {
+    val fs = fsOf(spark, path)
+    val ld = logDir(path)
+    if (!fs.exists(ld)) return base
+    val deltas = fs.listStatus(ld)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("delta."))
+      .sortBy(_.getPath.getName)
+    if (deltas.isEmpty) return base
+    // keyed upsert map preserving first-seen order (base order, then
+    // delta arrival order) — deterministic plans across read paths
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String), FileEntry]
+    base.files.foreach(e => order((e.cell, e.file)) = e)
+    var epoch = base.epoch
+    deltas.foreach { d =>
+      val in = fs.open(d.getPath)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      require(lines.nonEmpty && lines.head == DeltaHeader,
+        s"unrecognized manifest delta at ${d.getPath}: " +
+          s"'${lines.headOption.getOrElse("<empty>")}'")
+      lines.drop(1).foreach { l =>
+        val f = l.split('\t')
+        f(0) match {
+          case "epoch" =>
+            require(f.length == 2, s"malformed delta epoch line: '$l'")
+            epoch = math.max(epoch, f(1).toLong)
+          case "del" =>
+            require(f.length == 3, s"malformed delta del line: '$l'")
+            order.remove((f(1).toInt, f(2)))
+          case "set" =>
+            require(f.length == 6, s"malformed delta set line: '$l'")
+            val retiredAt = if (f(5) == "-") -1L else f(5).toLong
+            order((f(1).toInt, f(2))) =
+              FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong,
+                retiredAt)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unrecognized delta action '$other' at ${d.getPath}")
+        }
+      }
+    }
+    base.copy(files = order.values.toVector, epoch = epoch,
+      logSeq = deltas.last.getPath.getName.stripPrefix("delta.").toLong,
+      logDeltas = deltas.length)
+  }
+
+  /** The fold threshold: read cost is bounded by base + this many
+    * delta files; compaction folds regardless. 32 ops of slack keeps a
+    * trickle-append artifact's read cheap without folding (an
+    * O(total-files) base rewrite) on every append. */
+  val FoldThreshold = 32
+
+  /** Roll the manifest forward INCREMENTALLY: persist only the
+    * structural diff `prev` → `next` as one `_manifest_log` delta file
+    * (tmp+rename, driver-side) — I/O ∝ the op's touched set, never ∝
+    * total files. Trips a FOLD (full [[write]] + log clear) instead
+    * when the outstanding log reaches [[FoldThreshold]], bounding read
+    * replay cost. `prev` MUST be the [[readClean]] state the op rolled
+    * forward from (inside its lease); caller owns the dirty-flag
+    * bracket, same as [[write]]. Returns the state as a subsequent
+    * reader would see it. */
+  def commit(spark: SparkSession, path: String, prev: State,
+      next: State): State = {
+    if (prev.logDeltas + 1 >= FoldThreshold) {
+      write(spark, path, next)
+      return next.copy(logSeq = 0L, logDeltas = 0)
+    }
+    val prevByKey = prev.files.map(e => (e.cell, e.file) -> e).toMap
+    val nextKeys = next.files.map(e => (e.cell, e.file)).toSet
+    val dels = prev.files.filterNot(e => nextKeys((e.cell, e.file)))
+    val sets = next.files.filter(e =>
+      prevByKey.get((e.cell, e.file)) match {
+        case Some(p) => p != e
+        case None => true
+      })
+    val fs = fsOf(spark, path)
+    val ld = logDir(path)
+    fs.mkdirs(ld)
+    val seq = prev.logSeq + 1
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        w.write(DeltaHeader); w.newLine()
+        w.write(s"epoch\t${next.epoch}"); w.newLine()
+        dels.foreach { e =>
+          w.write(Seq("del", e.cell, e.file).mkString("\t")); w.newLine()
+        }
+        sets.foreach { e =>
+          require(!e.file.contains('\t') && !e.file.contains('\n'),
+            s"unencodable file name in manifest delta: '${e.file}'")
+          w.write(Seq("set", e.cell, e.file, e.bytes, e.rows,
+            if (e.retired) e.retiredAt.toString else "-").mkString("\t"))
+          w.newLine()
+        }
+        w.flush()
+      } finally out.close()
+      val dest = new Path(ld, deltaName(seq))
+      require(fs.rename(tmp, dest), s"delta swap failed: $tmp -> $dest")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
+    next.copy(logSeq = seq, logDeltas = prev.logDeltas + 1)
   }
 
   /** Persist `state` with a tmp-file + rename swap (the brief
@@ -233,6 +380,12 @@ object PostingsManifest {
       val dest = manifestDir(path)
       fs.delete(dest, true) // recursive: also clears a legacy v1 directory
       require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+      // a full write IS a fold: the base now embeds every outstanding
+      // delta (or, for a directory-truth rebuild, supersedes them), so
+      // the log clears. Ordering: base first — a crash between swap and
+      // clear leaves already-folded deltas whose replay is idempotent
+      // (and every rebuild-path write runs under the dirty bracket).
+      fs.delete(logDir(path), true)
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
@@ -355,9 +508,16 @@ object PostingsManifest {
 
   /** Rebuild from truth, persist, clear any stranded dirty flag — the
     * recovery step (and the adoption step for a manifest-less
-    * artifact). */
+    * artifact). Any outstanding incremental log is deleted FIRST: the
+    * rebuilt base supersedes it (directory truth embeds whatever the
+    * deltas recorded), and clearing before the base swap closes the
+    * one window where a crash could leave a fresh base next to stale
+    * deltas that the base does not embed (every caller of this path
+    * is in recovery/adoption — there is no clean committed log to
+    * lose). */
   def rebuildAndWrite(spark: SparkSession, path: String): State = {
     val s = rebuild(spark, path)
+    fsOf(spark, path).delete(logDir(path), true)
     write(spark, path, s)
     clearDirty(spark, path)
     s

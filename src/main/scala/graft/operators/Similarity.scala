@@ -1101,7 +1101,7 @@ object Similarity {
         maintStage("recap_manifest_roll") {
           val entries = PostingsManifest.entriesFromDirs(
             spark, path, counts.keySet, counts)
-          PostingsManifest.write(spark, path,
+          PostingsManifest.commit(spark, path, st,
             st.replacingCells(counts.keySet, entries))
           PostingsManifest.clearDirty(spark, path)
         }
@@ -1376,8 +1376,10 @@ object Similarity {
             counts.getOrElse(c, 0L))
         }
         maintStage("recapr_manifest_roll") {
+          // prev = st0, the state as READ (aged entries included), so
+          // the delta's dels carry the entry-vacuumed files too
           val next = st.retiringCells(touched, entries)
-          PostingsManifest.write(spark, path, next)
+          PostingsManifest.commit(spark, path, st0, next)
           PostingsManifest.clearDirty(spark, path)
           logRetiredDebt(path, next)
         }
@@ -1541,7 +1543,7 @@ object Similarity {
             PostingsManifest.FileEntry(c, name, bytes,
               rowsPerCell.getOrElse(c, 0L))
           }
-          PostingsManifest.write(spark, path, st.adding(entries))
+          PostingsManifest.commit(spark, path, st, st.adding(entries))
           PostingsManifest.clearDirty(spark, path)
         }
       }
@@ -2022,7 +2024,7 @@ object Similarity {
           fs.delete(new org.apache.hadoop.fs.Path(
             path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
         }
-        PostingsManifest.write(spark, path, kept)
+        PostingsManifest.commit(spark, path, st, kept)
         PostingsManifest.clearDirty(spark, path)
         (drop.size, drop.map(_.bytes).sum)
       }

@@ -775,6 +775,103 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       "manifest-route compaction must equal the from-scratch build")
   }
 
+  test("incremental log: per-op manifest write ∝ touched set, folds at compaction") {
+    val (path, _, cents) = freshArtifact()
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val b1 = emb.filter($"vec_id" % 4 === 1)
+    val f = fs(path)
+    val mp = PostingsManifest.manifestDir(path)
+    val ld = PostingsManifest.logDir(path)
+    val baseLen = f.getFileStatus(mp).getLen
+    val baseMod = f.getFileStatus(mp).getModificationTime
+    def deltaFiles = if (!f.exists(ld)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(ld).filter(_.getPath.getName.startsWith("delta."))
+    def deltaLines(s: org.apache.hadoop.fs.FileStatus): Vector[String] = {
+      val in = f.open(s.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+
+    // a fragment append writes ONE delta file whose payload is exactly
+    // its touched cells' new entries — the base manifest is untouched
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1)
+    assertManifestIsTruth(path, "after logged fragment append")
+    assert(f.getFileStatus(mp).getLen == baseLen &&
+      f.getFileStatus(mp).getModificationTime == baseMod,
+      "an append must not rewrite the base manifest")
+    val st1 = PostingsManifest.readClean(spark, path).get
+    val d1 = deltaFiles
+    assert(d1.length == 1, s"one op, one delta file: ${d1.length}")
+    val lines1 = deltaLines(d1.head)
+    val touched1 = lines1.count(_.startsWith("set\t"))
+    assert(touched1 > 0 && touched1 < st1.totalFiles,
+      s"delta payload ($touched1 sets) must be the touched set, not the " +
+        s"artifact (${st1.totalFiles} files)")
+    assert(lines1.count(_.startsWith("del\t")) == 0)
+
+    // a retained recap's delta carries retire-sets + adds for ITS
+    // touched cells only; the base file still never rewritten
+    Similarity.appendIvfPostingsRetained(spark, path, cents,
+      emb.filter($"vec_id" % 4 === 2))
+    assertManifestIsTruth(path, "after logged retained recap")
+    assert(f.getFileStatus(mp).getModificationTime == baseMod)
+    assert(deltaFiles.length == 2)
+
+    // a vacuum's delta carries only the dropped tombstones' dels
+    Similarity.appendIvfPostingsRetained(spark, path, cents, b1) // age them
+    val retiredBefore = PostingsManifest.readClean(spark, path).get
+      .files.count(_.retired)
+    val (dropped, _) = Similarity.vacuumPostings(spark, path)
+    assert(dropped > 0)
+    val dv = deltaFiles.sortBy(_.getPath.getName).last
+    val linesV = deltaLines(dv)
+    assert(linesV.count(_.startsWith("del\t")) == dropped &&
+      linesV.count(_.startsWith("set\t")) == 0,
+      s"a vacuum delta is dels only: $linesV (retired before: $retiredBefore)")
+    assertManifestIsTruth(path, "after logged vacuum")
+
+    // crash-idempotency: a fold that died between swapping the base and
+    // clearing the log re-applies the stale delta harmlessly
+    val stPre = PostingsManifest.readClean(spark, path).get
+    val staleText = deltaLines(dv).mkString("", "\n", "\n")
+    val staleName = dv.getPath.getName
+    PostingsManifest.write(spark, path, stPre) // fold (clears the log)
+    assert(deltaFiles.isEmpty, "a full write must clear the log")
+    f.mkdirs(ld) // resurrect the already-folded delta = the crash window
+    val out = f.create(new org.apache.hadoop.fs.Path(ld, staleName), true)
+    try out.write(staleText.getBytes("UTF-8")) finally out.close()
+    val stReplayed = PostingsManifest.readClean(spark, path).get
+    assert(stReplayed.files == stPre.files && stReplayed.epoch == stPre.epoch,
+      "replaying an already-folded delta must be a no-op")
+    assertManifestIsTruth(path, "after the crash-window replay")
+
+    // compaction FOLDS: base rewritten, log cleared
+    Similarity.appendIvfPostingsFragment(spark, path, cents, b1) // fragment it
+    assert(deltaFiles.nonEmpty)
+    Similarity.compactIvfPostings(spark, path)
+    assert(deltaFiles.isEmpty, "compaction must fold the log away")
+    assert(f.getFileStatus(mp).getModificationTime > baseMod)
+    assertManifestIsTruth(path, "after the folding compaction")
+
+    // auto-fold: the commit API itself folds at FoldThreshold (driven
+    // synthetically — entries need not exist on disk for the log
+    // mechanics; the artifact is rebuilt to truth afterwards)
+    var st = PostingsManifest.readClean(spark, path).get
+    (1 until PostingsManifest.FoldThreshold).foreach { i =>
+      st = PostingsManifest.commit(spark, path, st,
+        st.adding(Seq(PostingsManifest.FileEntry(0, s"part-synth-$i", 1L, 1L))))
+    }
+    assert(deltaFiles.length == PostingsManifest.FoldThreshold - 1)
+    st = PostingsManifest.commit(spark, path, st,
+      st.adding(Seq(PostingsManifest.FileEntry(0, "part-synth-fold", 1L, 1L))))
+    assert(deltaFiles.isEmpty,
+      "the threshold commit must fold instead of appending a delta")
+    assert(st.logDeltas == 0 &&
+      PostingsManifest.readClean(spark, path).get.files == st.files)
+    PostingsManifest.rebuildAndWrite(spark, path) // restore truth
+    assertManifestIsTruth(path, "after restoring from the synthetic log run")
+  }
+
   test("dirty fallback read of a TOMBSTONED artifact converges to canon") {
     // the degrade-to-listing-truth claim, closed for retained
     // artifacts: a stranded dirty flag during a retention window must
