@@ -269,8 +269,18 @@ object Bench {
     val hostFactor = (calibStartSec + calibEndSec) / 2.0 / CalibNominalSec
     val hostFactorBw =
       (calibBwStartSec + calibBwEndSec) / 2.0 / CalibBwNominalSec
+    // bandwidth-aware normalization (§6.1.8), applied IN the summary so
+    // cross-round reads stop hand-correcting: a co-tenant slowdown
+    // shows in at least one probe (core moves host_factor, bandwidth
+    // moves host_factor_bw; a slowdown visible in neither has not been
+    // observed), so the conservative box-independent wall divides by
+    // the LARGER factor. total_normalized_core keeps the historical
+    // core-only convention alongside it — read both: if they disagree,
+    // the window was bandwidth-contended and raw per-query deltas are
+    // suspect.
+    val normFactor = math.max(hostFactor, hostFactorBw)
     val calibJson =
-      s""""host_factor":${num(hostFactor, 3)},"calib_start_sec":${num(calibStartSec, 3)},"calib_end_sec":${num(calibEndSec, 3)},"host_factor_bw":${num(hostFactorBw, 3)},"calib_bw_start_sec":${num(calibBwStartSec, 3)},"calib_bw_end_sec":${num(calibBwEndSec, 3)}"""
+      s""""host_factor":${num(hostFactor, 3)},"calib_start_sec":${num(calibStartSec, 3)},"calib_end_sec":${num(calibEndSec, 3)},"host_factor_bw":${num(hostFactorBw, 3)},"calib_bw_start_sec":${num(calibBwStartSec, 3)},"calib_bw_end_sec":${num(calibBwEndSec, 3)},"total_normalized":${num(total / normFactor, 3)},"total_normalized_core":${num(total / hostFactor, 3)}"""
     val report =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"errors":$errJson,"metrics":$metrics,$calibJson,"sf":"$sfDir"}"""
     // The driver archives only a bounded TAIL of this process's stdout,

@@ -205,4 +205,34 @@ object MaintenanceProtocol {
     val token = acquireLease(spark, path, op)
     try body finally releaseLease(spark, path, token)
   }
+
+  // ----------------------------------------------------- bulk delete
+
+  /** Delete many FILES under `base` through Hadoop's bulk-delete API
+    * (3.4+, HADOOP-18679): pages of up to `pageSize()` paths per store
+    * round-trip — S3's multi-object delete turns 10⁵ tombstone deletes
+    * from 10⁵ HTTP calls into a few hundred; local/HDFS report page
+    * size 1 and degrade to exactly the per-file calls the callers made
+    * before, so this is free insurance, not a behavior change.
+    * Deleting an already-missing path is success per the API contract
+    * (idempotent replays); any real failure throws with the first
+    * failing path named. */
+  def bulkDeleteFiles(fs: FileSystem, base: Path, paths: Seq[Path]): Unit = {
+    if (paths.isEmpty) return
+    import scala.jdk.CollectionConverters._
+    val bd = fs.createBulkDelete(base)
+    try {
+      val page = math.max(1, bd.pageSize())
+      paths.grouped(page).foreach { batch =>
+        val failures = bd.bulkDelete(batch.asJava)
+        if (!failures.isEmpty) {
+          val first = failures.get(0)
+          throw new java.io.IOException(
+            s"bulk delete failed for ${failures.size()} of ${batch.size} " +
+              s"paths under $base — first: ${first.getKey} " +
+              s"(${first.getValue})")
+        }
+      }
+    } finally bd.close()
+  }
 }

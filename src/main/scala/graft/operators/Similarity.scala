@@ -1337,10 +1337,9 @@ object Similarity {
           "run compactIvfPostings to recover, then retry"))
     PostingsManifest.markDirty(spark, path)
     val aged = st0.files.filter(f => f.retired && f.retiredAt < st0.epoch)
-    aged.foreach { e =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
-    }
+    MaintenanceProtocol.bulkDeleteFiles(fs, hPath, aged.map(e =>
+      new org.apache.hadoop.fs.Path(
+        path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}")))
     val st = st0.copy(files = st0.files.filterNot(aged.toSet))
     val delta = maintStage("recapr_delta_ckpt")(delta0.localCheckpoint(true))
     try {
@@ -1918,10 +1917,9 @@ object Similarity {
           // artifact's final window closes via vacuumPostings.
           val aged = st0.files.filter(f =>
             f.retired && f.retiredAt < st0.epoch)
-          aged.foreach { e =>
-            fs.delete(new org.apache.hadoop.fs.Path(
-              path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
-          }
+          MaintenanceProtocol.bulkDeleteFiles(fs, hPath, aged.map(e =>
+            new org.apache.hadoop.fs.Path(
+              path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}")))
           val st = st0.copy(files = st0.files.filterNot(aged.toSet))
           val cap = st.params.cap
           val pcFiles = st.perCellFiles
@@ -2000,8 +1998,11 @@ object Similarity {
     * as every maintenance op: dirty → delete files → manifest
     * roll-forward → clear; a crash mid-vacuum strands the dirty flag
     * and the next compaction rebuilds from directory truth. Cost:
-    * one manifest read + one FS delete per dropped file — no Spark
-    * job, no listing, nothing ∝ artifact size.
+    * one manifest read + the dropped files' deletes issued through
+    * [[MaintenanceProtocol.bulkDeleteFiles]] (paged multi-object
+    * deletes on stores that support them — S3's 10⁵-tombstone sweep is
+    * a few hundred round-trips, not 10⁵; per-file calls on local/HDFS)
+    * — no Spark job, no listing, nothing ∝ artifact size.
     * Returns (files dropped, bytes freed). */
   def vacuumPostings(spark: SparkSession, path: String,
       retentionEpochs: Long = 1L): (Int, Long) = {
@@ -2020,10 +2021,10 @@ object Similarity {
       else {
         val fs = PostingsManifest.fsOf(spark, path)
         PostingsManifest.markDirty(spark, path)
-        drop.foreach { e =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}"), false)
-        }
+        MaintenanceProtocol.bulkDeleteFiles(fs,
+          new org.apache.hadoop.fs.Path(path.stripSuffix("/")),
+          drop.map(e => new org.apache.hadoop.fs.Path(
+            path.stripSuffix("/") + s"/cell=${e.cell}/${e.file}")))
         PostingsManifest.commit(spark, path, st, kept)
         PostingsManifest.clearDirty(spark, path)
         (drop.size, drop.map(_.bytes).sum)

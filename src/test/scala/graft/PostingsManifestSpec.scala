@@ -909,6 +909,26 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       "a manifest-less artifact's listing read stays truth")
   }
 
+  test("bulkDeleteFiles pages through the store API, tolerates missing paths") {
+    import graft.operators.MaintenanceProtocol
+    val dir = java.nio.file.Files.createTempDirectory("graft_bulkdel").toString
+    val base = new Path(dir)
+    val f = fs(dir)
+    val paths = (0 until 7).map { i =>
+      val p = new Path(base, s"sub/file-$i")
+      val out = f.create(p, true)
+      try out.write(i) finally out.close()
+      p
+    }
+    // a mixed batch: real files + an already-missing path (idempotent
+    // replay of a half-finished vacuum) — all succeed in one call
+    MaintenanceProtocol.bulkDeleteFiles(f, base,
+      paths :+ new Path(base, "sub/never-existed"))
+    assert(paths.forall(!f.exists(_)), "every file must be gone")
+    MaintenanceProtocol.bulkDeleteFiles(f, base, paths) // full replay: no-op
+    MaintenanceProtocol.bulkDeleteFiles(f, base, Nil)   // empty: no-op
+  }
+
   test("release is token-checked: a broken-and-reacquired lease survives") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_lease_token").resolve("artifact").toString
