@@ -109,6 +109,30 @@ object PostingsSweep {
         Similarity.ivfPostingsFromGrouped(emb, gcs), dir)
       val buildSec = (System.nanoTime() - tBuild0) / 1e9
       val postings = Similarity.readPostings(spark, dir)
+      // PS_PACKED=<cellsPerPack>: in-run A/B of the cell-group layout —
+      // same postings frame, one file per pack instead of one per cell.
+      // Build wall + packed-pruned serve wall + recall (must equal the
+      // exact routes) ride their own JSON line.
+      sys.env.get("PS_PACKED").map(_.toInt).foreach { cpp =>
+        val pdir = java.nio.file.Files
+          .createTempDirectory(s"graft_psp_$cells").resolve("packed")
+          .toString
+        val tP0 = System.nanoTime()
+        Similarity.saveIvfPostingsPacked(
+          Similarity.ivfPostingsFromGrouped(emb, gcs), pdir, cpp)
+        val packedBuildSec = (System.nanoTime() - tP0) / 1e9
+        def servePacked() = Similarity.ivfTopKFromPostingsPackedPruned(
+          queries, gcs.flat.cents, pdir, probes, k)
+        servePacked().write.format("noop").mode("overwrite").save() // warm
+        val tS0 = System.nanoTime()
+        servePacked().write.format("noop").mode("overwrite").save()
+        val packedServeSec = (System.nanoTime() - tS0) / 1e9
+        val approx = servePacked()
+          .select($"vec_id".as("query_id"), $"neighbor_id")
+        val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+        val recall = hits.toDouble / (nQueries * k)
+        println(f"""{"route":"packed","cells":${gcs.flat.numCells},"cells_per_pack":$cpp,"probes":$probes,"queries":$nQueries,"recall_at_$k%d":$recall%.4f,"serve_sec":$packedServeSec%.3f,"build_sec":$packedBuildSec%.1f,"classic_build_sec":$buildSec%.1f}""")
+      }
       def serve(route: String) = route match {
         case "expanded" => Similarity.ivfTopKFromPostingsWithCentroids(
           queries, gcs.flat.cents, postings, probes, k)

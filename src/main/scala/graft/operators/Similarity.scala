@@ -993,6 +993,175 @@ object Similarity {
         }
     }
 
+  // ------------------------------------------------- packed postings
+
+  /** The PACKED postings layout's family tag in its
+    * [[ArtifactManifest]] sidecar. */
+  private val PackedPostingsFamily = "ivf_postings_packed"
+
+  /** Packed data files carry `cell` as a DATA column (sorted, so
+    * row-group stats prune on it); `pack` is the partition column. */
+  private def packedDataSchema(hasGp: Boolean):
+      org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(StructField("cell", IntegerType) +:
+      postingsDataSchema(hasGp).fields)
+  }
+
+  /** Persist postings in the CELL-GROUP ("packed") layout: one
+    * partition directory per PACK of `cellsPerPack` contiguous cells,
+    * ONE file per pack, rows sorted by (cell, d2) inside — versus the
+    * classic [[saveIvfPostings]] one-directory-one-file PER CELL. At
+    * 2¹⁴ cells that is ~128 files instead of ~14.6 k: the build's
+    * dominating term at that posture was the partitioned write's
+    * per-file cost (task commit, footer, FS metadata — §6.1 r16
+    * measured the sf30 build at 86.7 s raw with the write dominating),
+    * and file-count-proportional costs keep being paid at every serve
+    * plan and store listing for the artifact's life.
+    *
+    * What the trade buys and costs: pack-level partition pruning
+    * (probed cells → their packs, pushed through the manifest
+    * FileIndex exactly like the classic cell prune) plus ROW-GROUP
+    * pruning on the sorted in-file `cell` column recovers most of the
+    * per-cell prune; worst-case read amplification per probed cell is
+    * its pack (bounded by `cellsPerPack`). It is the SERVE-OPTIMIZED
+    * SNAPSHOT layout: build it from a full postings frame (monthly
+    * rebuild cadence, or re-pack a maintained classic artifact via
+    * [[readPostings]]); incremental maintenance stays on the classic
+    * layout — the append/compact/retain machinery is deliberately not
+    * duplicated here.
+    *
+    * Same lease + born-with-a-manifest discipline as the classic
+    * build; the sidecar is an [[ArtifactManifest]] (family
+    * `ivf_postings_packed`) carrying cells/cap/ck/gp/cellsPerPack, so
+    * packed serving never opens a footer for params and never lists a
+    * directory. */
+  def saveIvfPostingsPacked(postings: DataFrame, path: String,
+      cellsPerPack: Int = 128): Unit = {
+    val spark = postings.sparkSession
+    require(cellsPerPack > 0, s"cellsPerPack=$cellsPerPack")
+    val (cells, cap, ck) = postingsParams(postings)
+    val gp =
+      if (postings.columns.contains("iv_gp"))
+        Some(postings.select(col("iv_gp")).take(1)(0).getInt(0))
+      else None
+    val packs = (cells + cellsPerPack - 1) / cellsPerPack
+    ArtifactManifest.withLease(spark, path, "build_packed") {
+      postings
+        .withColumn("pack", (col("cell") / cellsPerPack).cast("int"))
+        .repartition(packs, col("pack"))
+        .sortWithinPartitions("pack", "cell", "d2", "cand_id")
+        .write.mode("overwrite").partitionBy("pack").parquet(path)
+      // one listing + one footer job at build time (the one moment an
+      // O(artifact) pass is already paid — and the artifact is only
+      // ~packs files here)
+      val fs = ArtifactManifest.fsOf(spark, path)
+      val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+      val listed = fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("pack="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+            .map(f => (d.getPath.getName, f.getPath.getName, f.getLen))
+        }
+      require(listed.nonEmpty, s"packed build landed no files under $path")
+      val rowsByPath = org.apache.spark.sql.GraftColumnBridge
+        .parquetFooterRowCounts(spark, listed.map { case (d, n, _) =>
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root, d), n).toString }.toSeq)
+      val entries = listed.toSeq.map { case (d, n, bytes) =>
+        ArtifactManifest.FileEntry(s"$d/$n", bytes, rowsByPath.getOrElse(
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root, d), n).toString, 0L))
+      }
+      val params = Map(
+        "cells" -> cells.toString, "cap" -> cap.toString,
+        "ck" -> ck.toString, "cpp" -> cellsPerPack.toString) ++
+        gp.map(g => "gp" -> g.toString)
+      ArtifactManifest.write(spark, path,
+        ArtifactManifest.State(PackedPostingsFamily, params, entries))
+    }
+  }
+
+  /** Open a packed artifact: with a clean manifest the scan plans from
+    * a [[graft.plans.ManifestFileIndex]] keyed by `pack` — zero
+    * listings, pack-level partition pruning — with `cell` served from
+    * the sorted data pages. Returns (frame, cellsPerPack if the
+    * manifest is clean). The discovering fallback still answers
+    * exactly (pack is a discovered partition column); it just plans
+    * from a listing. */
+  private def readPackedPostingsWithCpp(spark: SparkSession,
+      path: String): (DataFrame, Option[Int]) =
+    ArtifactManifest.readClean(spark, path, PackedPostingsFamily) match {
+      case Some(st) =>
+        val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+        val groups = st.files
+          .groupBy(e => e.file.takeWhile(_ != '/'))
+          .toSeq
+          .map { case (dir, es) =>
+            (dir.stripPrefix("pack=").toInt, es)
+          }
+          .sortBy(_._1)
+          .map { case (pk, es) =>
+            (org.apache.spark.sql.catalyst.InternalRow(pk),
+              es.map(e => (new org.apache.hadoop.fs.Path(root, e.file),
+                e.bytes)))
+          }
+        val idx = new graft.plans.ManifestFileIndex(root,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pack",
+              org.apache.spark.sql.types.IntegerType))),
+          groups)
+        (org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(
+          spark, idx, packedDataSchema(st.params.contains("gp"))),
+          Some(st.params("cpp").toInt))
+      case None =>
+        spark.catalog.refreshByPath(path)
+        (spark.read.parquet(path), None)
+    }
+
+  def readPackedPostings(spark: SparkSession, path: String): DataFrame =
+    readPackedPostingsWithCpp(spark, path)._1
+
+  /** [[ivfTopKFromPostingsPruned]] over a PACKED artifact: identical
+    * results (spec-pinned — pruning can never change what joins a
+    * probe), with the probed-cell set pushed twice — as a pack-IN
+    * partition filter (manifest FileIndex prune, reads only probed
+    * packs' FILES) and as the cell-IN data filter (sorted row-group
+    * prune inside each pack). Serving I/O is ∝ probed packs — the
+    * packed trade: ≤ `cellsPerPack` read amplification per probed
+    * cell against a ~cells/cellsPerPack smaller file count
+    * everywhere else. Same deterministic-query contract as the
+    * classic pruned route. */
+  def ivfTopKFromPostingsPackedPruned(queryEmb: DataFrame,
+      cents: Array[Array[Double]], path: String, probes: Int,
+      k: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val (postings0, cppOpt) = readPackedPostingsWithCpp(spark, path)
+    val (cells, _, ck) = postingsParams(postings0)
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the packed artifact's")
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val queries = prepared(queryEmb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes)))
+      .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
+    val probed = queries.select($"cell").distinct().as[Int].collect().toSeq
+    val pruned = cppOpt match {
+      case Some(cpp) =>
+        val packs = probed.map(_ / cpp).distinct
+        postings0.filter($"pack".isin(packs: _*) &&
+          $"cell".isin(probed: _*))
+      case None => postings0.filter($"cell".isin(probed: _*))
+    }
+    serveQueriesOverPostings(queries,
+      pruned.select($"cell", $"cand_id", $"cv", $"cn"), k)
+  }
+
   def saveIvfPostings(postings: DataFrame, path: String): Unit =
     // The lease is a SIBLING file, so it survives the full overwrite
     // below — a rebuild of a live artifact fails fast against a

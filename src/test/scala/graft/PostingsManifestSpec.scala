@@ -909,6 +909,77 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       "a manifest-less artifact's listing read stays truth")
   }
 
+  test("packed postings layout: rows ≡ classic, pack-pruned serve, ~packs files") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val model = Similarity.fitIvfIndex(emb, numCells = 16, seed = 42L,
+      trainFraction = 0.5)
+    val cents = model.clusterCenters.map(_.toArray)
+    val cap = 16
+    val postings = Similarity.ivfPostings(emb, model, cap)
+    val classic = java.nio.file.Files
+      .createTempDirectory("graft_packed_c").resolve("p").toString
+    val packed = java.nio.file.Files
+      .createTempDirectory("graft_packed_p").resolve("p").toString
+    Similarity.saveIvfPostings(postings, classic)
+    Similarity.saveIvfPostingsPacked(postings, packed, cellsPerPack = 4)
+
+    // the packed artifact holds ~cells/cellsPerPack files, not ~cells
+    def partFiles(dir: String): Seq[String] = {
+      val f = fs(dir)
+      f.listStatus(new Path(dir))
+        .filter(d => d.isDirectory && !d.getPath.getName.startsWith("_"))
+        .flatMap(d => f.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)).toSeq
+    }
+    val nClassic = partFiles(classic).size
+    val nPacked = partFiles(packed).size
+    assert(nPacked <= 4 && nClassic >= 12,
+      s"packed must collapse the file count: classic=$nClassic packed=$nPacked")
+
+    // identical rows, both read paths
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell", $"cand_id", $"d2").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPacked = Similarity.readPackedPostings(spark, packed)
+    assert(viaPacked.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "packed reads must plan from the manifest")
+    assert(rows(viaPacked) == rows(Similarity.readPostings(spark, classic)))
+
+    // packed pruned serve ≡ classic pruned serve ≡ plain full serve
+    val queries = emb.filter($"vec_id" < 10)
+    def served(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = served(Similarity.ivfTopKFromPostingsWithCentroids(
+      queries, cents, Similarity.readPostings(spark, classic),
+      probes = 2, k = 3))
+    assert(served(Similarity.ivfTopKFromPostingsPackedPruned(
+      queries, cents, packed, probes = 2, k = 3)) == expect,
+      "packed pruned serving must equal the classic exact route")
+
+    // the pack prune bites: a bounded probe set reads a strict subset
+    // of the packs (cells 0..15 at cellsPerPack=4 → cells 0-1 hit only
+    // pack=0's file)
+    val probeFiles = viaPacked
+      .filter($"pack" === 0 && $"cell".isin(0, 1))
+      .select(input_file_name()).distinct().as[String].collect()
+    assert(probeFiles.nonEmpty &&
+      probeFiles.forall(_.contains("pack=0/")),
+      s"pack-pruned read touched foreign packs: ${probeFiles.toSeq}")
+
+    // dirty manifest → discovering fallback, identical rows
+    graft.operators.ArtifactManifest.markDirty(spark, packed)
+    val fb = Similarity.readPackedPostings(spark, packed)
+    assert(!fb.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"))
+    assert(rows(fb) == rows(viaPacked))
+    assert(served(Similarity.ivfTopKFromPostingsPackedPruned(
+      queries, cents, packed, probes = 2, k = 3)) == expect,
+      "the fallback serve (cell filter only) must answer exactly")
+    graft.operators.ArtifactManifest.clearDirty(spark, packed)
+  }
+
   test("bulkDeleteFiles pages through the store API, tolerates missing paths") {
     import graft.operators.MaintenanceProtocol
     val dir = java.nio.file.Files.createTempDirectory("graft_bulkdel").toString
