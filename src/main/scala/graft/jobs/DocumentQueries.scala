@@ -754,6 +754,34 @@ object DocumentQueries {
       maxDF = maxFingerprintDF, minShared = 2)
   }
 
+  // ---------------------------------------------------------------- q87
+  /** Near-dup screening THROUGH the persisted minhash band-key
+    * artifact at its hardest state — base + a delta append + a
+    * replayed delta, no compaction: [[Dedup.saveMinhashIndex]] seeds
+    * the standing corpus, [[Dedup.appendMinhashIndexDelta]] rolls a
+    * second dump in (∝ batch, params from the manifest), the replay
+    * leaves physical duplicate rows, and
+    * [[Dedup.nearDupAgainstArtifact]] screens the ingest batch with
+    * the manifest-planned read — the q60 screen made ARTIFACT-resident
+    * across the monthly cadence. Oracle: the exact-Jaccard relation
+    * restricted to batch-involving pairs (q60's argument — the verify
+    * phase reports exact jaccard and banding is deterministic-complete
+    * on this corpus, q21's note). */
+  def q87MinhashIndexArtifact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val seed = d.filter($"doc_id" % 3 === 0)
+    val b1 = d.filter($"doc_id" % 3 === 1)
+    val batch = d.filter($"doc_id" % 3 === 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_q87")
+      .resolve("index").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashBandIndex(seed, k = 5, numHashes = 32, bands = 8), path)
+    Dedup.appendMinhashIndexDelta(spark, path, b1)
+    Dedup.appendMinhashIndexDelta(spark, path, b1) // redelivery
+    Dedup.nearDupAgainstArtifact(spark, path, batch, threshold = 0.4)
+  }
+
   // ---------------------------------------------------------------- q64
   /** Deterministic epoch shuffle — the data-loader ordering step: each
     * training epoch re-orders the corpus by `md5(epoch:doc_id)`, so
@@ -1197,6 +1225,7 @@ object DocumentQueries {
     "q84_exact_index_artifact" -> (q84ExactIndexLifecycle _),
     "q85_winnow_index_artifact" -> (q85WinnowIndexArtifact _),
     "q86_winnow_screen_artifact" -> (q86WinnowScreenArtifact _),
+    "q87_minhash_index_artifact" -> (q87MinhashIndexArtifact _),
     "q64_epoch_shuffle" -> (q64EpochShuffle _),
     "q65_bigram_surprise" -> (q65BigramSurprise _),
     "q66_eval_sample" -> (q66EvalSample _),
@@ -1402,6 +1431,11 @@ object DocumentQueries {
     "q60_neardup_index_screen" ->
       s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
          WHERE doc_a % 3 = 0 OR doc_b % 3 = 0""",
+    // the artifact lifecycle screen (batch = % 3 = 2 against the
+    // seed+delta index): same exact-Jaccard restriction argument as q60
+    "q87_minhash_index_artifact" ->
+      s"""SELECT doc_a, doc_b, jaccard FROM ($ngramJaccardSql) p
+         WHERE doc_a % 3 = 2 OR doc_b % 3 = 2""",
     "q61_sequence_packing" ->
       s"""WITH t AS (
            SELECT doc_id, source, len(string_split(text,' ')) AS tc

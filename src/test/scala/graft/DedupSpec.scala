@@ -755,6 +755,56 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       pairSet(Dedup.nearDupAgainstIndex(batch, strIdx, 0.6)))
   }
 
+  test("minhash-index artifact: delta appends + replay screen exactly through the manifest") {
+    import java.nio.file.Files
+    val seed = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val batch = docs.filter($"doc_id" % 3 === 2)
+    val path = Files.createTempDirectory("graft_mh_art")
+      .resolve("index").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashBandIndex(seed, 5, 32, 8), path, files = 2)
+    Dedup.appendMinhashIndexDelta(spark, path, b1)
+    Dedup.appendMinhashIndexDelta(spark, path, b1) // replay
+
+    // manifest-planned read; sidecar equals directory truth
+    val loaded = Dedup.readMinhashIndex(spark, path)
+    assert(loaded.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"))
+    val st = graft.operators.ArtifactManifest
+      .readClean(spark, path, "minhash_band_index").get
+    assert(st.params == Map("k" -> "5", "hashes" -> "32",
+      "bands" -> "8", "hashed" -> "false"))
+    assert(st.totalRows == loaded.count())
+    assert(loaded.count() > seed.count() + b1.count(),
+      "precondition: the replay left physical duplicates")
+
+    // the artifact screen over the replayed state equals the in-memory
+    // screen over the union index
+    val expected = pairSet(Dedup.nearDupAgainstIndex(batch,
+      Dedup.minhashBandIndex(seed.unionByName(b1), 5, 32, 8), 0.4))
+    assert(expected.nonEmpty)
+    assert(pairSet(Dedup.nearDupAgainstArtifact(spark, path, batch, 0.4))
+      == expected,
+      "artifact screen must equal the in-memory union screen")
+
+    // compaction folds the physical replay; screen unchanged
+    val (nb, na) = Dedup.compactMinhashIndex(spark, path, files = 2)
+    assert(nb > na)
+    assert(Dedup.readMinhashIndex(spark, path).count() ==
+      seed.count() + b1.count())
+    assert(pairSet(Dedup.nearDupAgainstArtifact(spark, path, batch, 0.4))
+      == expected)
+
+    // dirty sidecar → discovering fallback, identical screen
+    graft.operators.ArtifactManifest.markDirty(spark, path)
+    assert(!Dedup.readMinhashIndex(spark, path)
+      .queryExecution.executedPlan.toString.contains("ManifestFileIndex"))
+    assert(pairSet(Dedup.nearDupAgainstArtifact(spark, path, batch, 0.4))
+      == expected)
+    graft.operators.ArtifactManifest.clearDirty(spark, path)
+  }
+
   test("incremental contamination screen via a persisted winnow index matches q47") {
     import java.nio.file.Files
     // q47's decontamination pass, incrementalized: index the train split
