@@ -1083,6 +1083,20 @@ object Similarity {
     }
   }
 
+  /** Re-pack a MAINTAINED classic artifact into the packed snapshot —
+    * the deployment cycle's one call: [[readPostings]] resolves the
+    * classic artifact's LIVE state (manifest-planned: tombstones
+    * excluded, fragments included as served), and the packed build
+    * lands it as the serve-optimized layout. Run on the rebuild
+    * cadence (the reference's monthly dump,
+    * docker/aact/Dockerfile:20-22): maintenance keeps operating on the
+    * classic artifact; serving flips to the new packed snapshot when
+    * this returns. */
+  def repackPostings(spark: SparkSession, classicPath: String,
+      packedPath: String, cellsPerPack: Int = 128): Unit =
+    saveIvfPostingsPacked(readPostings(spark, classicPath), packedPath,
+      cellsPerPack)
+
   /** Open a packed artifact: with a clean manifest the scan plans from
     * a [[graft.plans.ManifestFileIndex]] keyed by `pack` — zero
     * listings, pack-level partition pruning — with `cell` served from

@@ -978,6 +978,20 @@ class PostingsManifestSpec extends AnyFunSuite with SparkSpec {
       queries, cents, packed, probes = 2, k = 3)) == expect,
       "the fallback serve (cell filter only) must answer exactly")
     graft.operators.ArtifactManifest.clearDirty(spark, packed)
+
+    // the deployment cycle: maintain the CLASSIC artifact (retained
+    // append opens a retention window — tombstones on disk), then
+    // repack; the packed snapshot must hold exactly the LIVE state
+    Similarity.appendIvfPostingsRetained(spark, classic, cents,
+      emb.filter($"vec_id" % 4 === 1))
+    assert(graft.operators.PostingsManifest.readClean(spark, classic).get
+      .files.exists(_.retired), "precondition: a window is open")
+    val repacked = java.nio.file.Files
+      .createTempDirectory("graft_packed_r").resolve("p").toString
+    Similarity.repackPostings(spark, classic, repacked, cellsPerPack = 4)
+    assert(rows(Similarity.readPackedPostings(spark, repacked)) ==
+      rows(Similarity.readPostings(spark, classic)),
+      "repack must land exactly the classic artifact's live rows")
   }
 
   test("bulkDeleteFiles pages through the store API, tolerates missing paths") {
