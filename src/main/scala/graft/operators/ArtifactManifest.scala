@@ -199,13 +199,56 @@ object ArtifactManifest {
     s
   }
 
+  /** Best-effort family tag of whatever manifest sits at `path` —
+    * read even when DIRTY: the dirty flag marks the FILE LIST stale,
+    * but an artifact's family never changes over its life and
+    * tmp+rename means the file is never half-written, so the tag is
+    * authoritative whenever it parses. None = no parseable flat
+    * manifest (absent, legacy layout, foreign format). */
+  def familyOf(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsOf(spark, path)
+    val dest = manifestPath(path)
+    try {
+      if (!fs.exists(dest) || fs.getFileStatus(dest).isDirectory) None
+      else {
+        val in = fs.open(dest)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().take(2).toVector
+          finally in.close()
+        if (lines.length == 2 && lines(0) == FormatHeader &&
+            lines(1).startsWith("family\t"))
+          Some(lines(1).split('\t')(1))
+        else None
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Fail fast when the artifact's manifest names a DIFFERENT family
+    * than the caller expects — a copied/mispointed directory must
+    * error loudly, never be scanned under a foreign schema (which
+    * would serve all-null key columns and, e.g., declare every
+    * screened doc novel). Unknown/absent manifests pass: the caller's
+    * discovering fallback resolves real columns by name and fails
+    * loudly on a genuine mismatch. */
+  def requireFamilyOrUnknown(spark: SparkSession, path: String,
+      family: String): Unit =
+    familyOf(spark, path).foreach { f =>
+      if (f != family) throw new IllegalStateException(
+        s"artifact at $path is family '$f', not '$family' — refusing " +
+          "to read it as the wrong artifact kind")
+    }
+
   /** Open a flat artifact for serving: with a clean manifest the scan
     * is planned from a [[graft.plans.ManifestFileIndex]] snapshot —
     * zero listings, exact byte sizes for the optimizer, pushed-down
     * data filters reaching the parquet row groups exactly as on a
-    * discovered read. Falls back to the discovering
+    * discovered read. Falls back to the DISCOVERING
     * `spark.read.parquet` for manifest-less or dirty artifacts (flat
-    * families have no tombstones, so the listing IS truth there). */
+    * families have no tombstones, so the listing IS truth there) —
+    * schema-less deliberately, so a genuinely foreign directory fails
+    * at column resolution instead of serving typed nulls; a PRESENT
+    * manifest of another family throws before any scan. */
   def readFlat(spark: SparkSession, path: String, family: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     readClean(spark, path, family) match {
@@ -218,8 +261,38 @@ object ArtifactManifest {
               st.files.map(f => (new Path(root, f.file), f.bytes))))),
           schema)
       case None =>
+        requireFamilyOrUnknown(spark, path, family)
         spark.catalog.refreshByPath(path)
-        spark.read.schema(schema).parquet(path)
+        spark.read.parquet(path)
+    }
+
+  /** The staged-append PROTOCOL, shared by every flat family (one
+    * place to fix — the exact/minhash/winnow appends previously each
+    * hand-rolled it): under the writer lease, read the in-lease state,
+    * build the delta writer from it (`mkWrite` receives the state so
+    * params cost no second manifest read), then either plain-append
+    * for a legacy manifest-less artifact or run the dirty-bracketed
+    * stage-and-rename roll-forward. Ends with a catalog refresh:
+    * [[stageIntoRoot]]'s raw FS renames bypass Spark's
+    * FileStatusCache invalidation (the old `mode("append")` writes
+    * invalidated it), and a DISCOVERING reader — or a later
+    * compaction's `spark.read.parquet` — planning from a stale cached
+    * listing would silently miss the appended files. */
+  def appendStaged(spark: SparkSession, path: String, family: String)(
+      mkWrite: Option[State] => String => Unit): Unit =
+    withLease(spark, path, "delta_append") {
+      val state0 = readClean(spark, path, family)
+      if (state0.isEmpty) requireFamilyOrUnknown(spark, path, family)
+      val writeDelta = mkWrite(state0)
+      state0 match {
+        case None => writeDelta(path)
+        case Some(st) =>
+          markDirty(spark, path)
+          val entries = stageIntoRoot(spark, path)(writeDelta)
+          write(spark, path, st.adding(entries))
+          clearDirty(spark, path)
+      }
+      spark.catalog.refreshByPath(path)
     }
 
   /** Land `writeTmp`'s output files INSIDE the flat artifact without
@@ -255,19 +328,21 @@ object ArtifactManifest {
 
   /** Delete orphaned staging siblings (`<artifact>__delta_*`) stranded
     * by a driver crash mid-append — swept at compaction, the artifact's
-    * exclusive-maintenance window, same stance as the postings family's
-    * [[graft.operators.Similarity]] sweep. */
-  def sweepStaleDeltas(spark: SparkSession, path: String): Int = {
-    val hPath = new Path(path.stripSuffix("/"))
-    val fs = fsOf(spark, path)
-    val parent = hPath.getParent
+    * exclusive-maintenance window. Shared by the flat families AND the
+    * postings family (one implementation of the sweep, per this
+    * object's no-re-deriving stance). */
+  def sweepStaleDeltas(fs: FileSystem, artifactRoot: Path): Int = {
+    val parent = artifactRoot.getParent
     if (parent == null) 0
     else {
-      val prefix = hPath.getName + "__delta_"
+      val prefix = artifactRoot.getName + "__delta_"
       val stale = fs.listStatus(parent)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
       stale.foreach(d => fs.delete(d.getPath, true))
       stale.length
     }
   }
+
+  def sweepStaleDeltas(spark: SparkSession, path: String): Int =
+    sweepStaleDeltas(fsOf(spark, path), new Path(path.stripSuffix("/")))
 }

@@ -282,28 +282,39 @@ object Dedup {
     // the probe job it runs is ∝ batch.
     val maybeHashes = hashed.filter($"maybe_dup")
       .select($"text_hash").distinct().localCheckpoint(true)
-    // point-lookup route only up to what the SESSION's parquet
-    // pushdown threshold will push as a real IN predicate — above it
-    // Spark degrades the push to a min/max range, useless over uniform
-    // hashes. The conf is read, never mutated (the returned frame is
-    // lazy, so a scoped raise would be lost — or leak — by execution
-    // time); GraftSession sets the 2048 default and documents why.
-    val pushLimit = spark.conf
-      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-      .map(_.toInt).getOrElse(10)
-    // the conf's contract: an IN of size ≤ threshold pushes as OR'd
-    // point predicates; larger degrades to a min/max range
-    val effectiveLimit = math.min(inListLimit, pushLimit)
-    val maybeList = maybeHashes.take(effectiveLimit + 1)
-    val present =
-      if (maybeList.length <= effectiveLimit)
-        index.filter($"text_hash".isin(maybeList.map(_.getString(0)): _*))
-          .select($"text_hash")
-      else
-        index.join(broadcast(maybeHashes), Seq("text_hash"), "left_semi")
+    val present = inKeysOrFrame(maybeHashes, inListLimit) match {
+      case Left(list) =>
+        index.filter($"text_hash".isin(list: _*)).select($"text_hash")
+      case Right(ks) =>
+        index.join(broadcast(ks), Seq("text_hash"), "left_semi")
+    }
     firstPerHash(
       hashed.join(broadcast(present), Seq("text_hash"), "left_anti")
         .drop("maybe_dup"))
+  }
+
+  /** The session-pushdown-aware restriction probe every screened route
+    * shares: point-lookup economics hold only up to what the SESSION's
+    * parquet pushdown threshold will push as a real IN predicate —
+    * above it Spark degrades the push to a min/max range, useless over
+    * uniform hash keys. The conf is read, never mutated (returned
+    * frames are lazy, so a scoped raise would be lost — or leak — by
+    * execution time); GraftSession sets the 2048 default and documents
+    * why. Left = the driver-collected key values (≤ the effective
+    * limit — push as an IN); Right = the keys frame (broadcast
+    * semi-join it: the artifact is scanned once, never shuffled). One
+    * implementation, so the threshold contract cannot drift between
+    * the exact and winnow screens. */
+  private def inKeysOrFrame(keys: DataFrame,
+      inListLimit: Int): Either[Seq[Any], DataFrame] = {
+    val spark = keys.sparkSession
+    val pushLimit = spark.conf
+      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
+      .map(_.toInt).getOrElse(10)
+    val effectiveLimit = math.min(inListLimit, pushLimit)
+    val probe = keys.take(effectiveLimit + 1)
+    if (probe.length <= effectiveLimit) Left(probe.toSeq.map(_.get(0)))
+    else Right(keys)
   }
 
   // ---------------------------------------------------- exact-index artifact
@@ -398,23 +409,14 @@ object Dedup {
     * artifact appends the same files without sidecar bookkeeping. */
   def appendExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, keptDocs: DataFrame, files: Int = 1): Unit =
-    ArtifactManifest.withLease(spark, path, "delta_append") {
-      val state0 = ArtifactManifest.readClean(spark, path, ExactIndexFamily)
-      def writeDelta(dest: String): Unit =
+    ArtifactManifest.appendStaged(spark, path, ExactIndexFamily) { _ =>
+      dest =>
         exactIndexDelta(keptDocs)
           .repartitionByRange(files,
             org.apache.spark.sql.functions.col("text_hash"))
           .sortWithinPartitions("text_hash")
           .write.mode(if (dest == path) "append" else "overwrite")
           .parquet(dest)
-      state0 match {
-        case None => writeDelta(path)
-        case Some(st) =>
-          ArtifactManifest.markDirty(spark, path)
-          val entries = ArtifactManifest.stageIntoRoot(spark, path)(writeDelta)
-          ArtifactManifest.write(spark, path, st.adding(entries))
-          ArtifactManifest.clearDirty(spark, path)
-      }
     }
 
   /** Fold a delta-appended [[saveExactIndex]] directory back to the
@@ -432,6 +434,11 @@ object Dedup {
       path: String, targetFileBytes: Long = 128L << 20): (Int, Int, Long) =
     ArtifactManifest.withLease(spark, path, "compact") {
       ArtifactManifest.sweepStaleDeltas(spark, path)
+      // the rename-staged appends bypass Spark's FileStatusCache
+      // invalidation — compacting from a stale cached listing would
+      // silently DROP the appended rows and certify the truncated
+      // artifact as clean (the siblings refresh too)
+      spark.catalog.refreshByPath(path)
       ArtifactManifest.markDirty(spark, path)
       val r = graft.sources.WarehouseWriter.compactParquet(spark, path,
         targetFileBytes, sortCol = Some("text_hash"), dedup = true)
@@ -826,6 +833,8 @@ object Dedup {
       case Some(st) => ArtifactManifest.readFlat(spark, path,
         MinhashIndexFamily, minhashIndexSchema(st.params("hashed").toBoolean))
       case None =>
+        ArtifactManifest.requireFamilyOrUnknown(spark, path,
+          MinhashIndexFamily)
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
     }
@@ -860,23 +869,20 @@ object Dedup {
     * [[appendToMinhashIndex]] path keeps its checked contract). */
   def appendMinhashIndexDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, files: Int = 1): Unit =
-    ArtifactManifest.withLease(spark, path, "delta_append") {
-      val state0 = ArtifactManifest.readClean(spark, path,
-        MinhashIndexFamily)
-      val (k, numHashes, bands, hashed) = minhashArtifactParams(spark, path)
-      val delta = minhashBandIndex(newDocs, k, numHashes, bands, hashed)
-      def writeDelta(dest: String): Unit =
-        delta.repartition(files)
-          .write.mode(if (dest == path) "append" else "overwrite")
-          .parquet(dest)
-      state0 match {
-        case None => writeDelta(path)
-        case Some(st) =>
-          ArtifactManifest.markDirty(spark, path)
-          val entries = ArtifactManifest.stageIntoRoot(spark, path)(writeDelta)
-          ArtifactManifest.write(spark, path, st.adding(entries))
-          ArtifactManifest.clearDirty(spark, path)
-      }
+    ArtifactManifest.appendStaged(spark, path, MinhashIndexFamily) {
+      state0 =>
+        val (k, numHashes, bands, hashed) = state0 match {
+          case Some(st) => (st.params("k").toInt, st.params("hashes").toInt,
+            st.params("bands").toInt, st.params("hashed").toBoolean)
+          case None =>
+            spark.catalog.refreshByPath(path)
+            minhashIndexParams(spark.read.parquet(path))
+        }
+        val delta = minhashBandIndex(newDocs, k, numHashes, bands, hashed)
+        dest =>
+          delta.repartition(files)
+            .write.mode(if (dest == path) "append" else "overwrite")
+            .parquet(dest)
     }
 
   /** Fold a delta-appended [[saveMinhashIndex]] directory: whole-row
@@ -1547,34 +1553,26 @@ object Dedup {
     * double-counts replays). */
   def appendWinnowIndexDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, newDocs: DataFrame, files: Int = 1): Unit =
-    ArtifactManifest.withLease(spark, path, "delta_append") {
-      val state0 = ArtifactManifest.readClean(spark, path, WinnowIndexFamily)
-      val (k, w, algo) = state0 match {
-        case Some(st) => (st.params("wf_k").toInt, st.params("wf_w").toInt,
-          st.params("wf_algo"))
-        case None =>
-          spark.catalog.refreshByPath(path)
-          winnowIndexParams(spark.read.parquet(path))
-      }
-      val delta = withDf(winnowFingerprints(newDocs, k, w, algo))
-        .withColumn("wf_k", lit(k))
-        .withColumn("wf_w", lit(w))
-        .withColumn("wf_algo", lit(algo))
-      def writeDelta(dest: String): Unit =
-        delta
-          .repartitionByRange(files,
-            org.apache.spark.sql.functions.col("fingerprint"))
-          .sortWithinPartitions("fingerprint")
-          .write.mode(if (dest == path) "append" else "overwrite")
-          .parquet(dest)
-      state0 match {
-        case None => writeDelta(path)
-        case Some(st) =>
-          ArtifactManifest.markDirty(spark, path)
-          val entries = ArtifactManifest.stageIntoRoot(spark, path)(writeDelta)
-          ArtifactManifest.write(spark, path, st.adding(entries))
-          ArtifactManifest.clearDirty(spark, path)
-      }
+    ArtifactManifest.appendStaged(spark, path, WinnowIndexFamily) {
+      state0 =>
+        val (k, w, algo) = state0 match {
+          case Some(st) => (st.params("wf_k").toInt, st.params("wf_w").toInt,
+            st.params("wf_algo"))
+          case None =>
+            spark.catalog.refreshByPath(path)
+            winnowIndexParams(spark.read.parquet(path))
+        }
+        val delta = withDf(winnowFingerprints(newDocs, k, w, algo))
+          .withColumn("wf_k", lit(k))
+          .withColumn("wf_w", lit(w))
+          .withColumn("wf_algo", lit(algo))
+        dest =>
+          delta
+            .repartitionByRange(files,
+              org.apache.spark.sql.functions.col("fingerprint"))
+            .sortWithinPartitions("fingerprint")
+            .write.mode(if (dest == path) "append" else "overwrite")
+            .parquet(dest)
     }
 
   /** Fold a delta-appended [[saveWinnowIndex]] directory back to the
@@ -1652,22 +1650,17 @@ object Dedup {
       .localCheckpoint(true)
     val candSet = candFp.select($"fingerprint").distinct()
       .localCheckpoint(true)
-    // same pushdown economics as dedupAgainstIndexScreened: a small
-    // candidate set rides the scan as a real IN predicate (row-group
-    // point-lookups); a large one degrades to a broadcast semi-join
-    // (index scanned once, never shuffled)
-    val pushLimit = spark.conf
-      .getOption("spark.sql.parquet.pushdown.inFilterThreshold")
-      .map(_.toInt).getOrElse(10)
-    val effectiveLimit = math.min(inListLimit, pushLimit)
-    val candList = candSet.take(effectiveLimit + 1)
+    // same pushdown economics as dedupAgainstIndexScreened, via the
+    // shared probe: a small candidate set rides the scan as a real IN
+    // predicate (row-group point-lookups); a large one degrades to a
+    // broadcast semi-join (index scanned once, never shuffled)
+    val restriction = inKeysOrFrame(candSet, inListLimit)
     def matchedWith(pred: org.apache.spark.sql.Column): DataFrame =
-      if (candList.length <= effectiveLimit)
-        index.filter($"fingerprint".isin(candList.map(_.getLong(0)): _*)
-          && pred)
-      else
-        index.filter(pred)
-          .join(broadcast(candSet), Seq("fingerprint"), "left_semi")
+      restriction match {
+        case Left(list) => index.filter($"fingerprint".isin(list: _*) && pred)
+        case Right(ks) => index.filter(pred)
+          .join(broadcast(ks), Seq("fingerprint"), "left_semi")
+      }
     val matched = matchedWith($"df" <= maxDF)
       .select($"fingerprint", $"doc_id")
       .dropDuplicates(Seq("fingerprint", "doc_id"))

@@ -169,7 +169,16 @@ object MaintenanceProtocol {
     * not delete the NEW holder's lease and reopen the single-writer
     * hole for a third. A mismatch (or an unreadable lease file) skips
     * the delete and logs — the current holder's own release will clean
-    * it up. */
+    * it up.
+    *
+    * RESIDUAL window, stated honestly: the check is read-then-delete
+    * (no filesystem offers an atomic compare-and-delete), so a writer
+    * that stalls BETWEEN its token read and its delete while an
+    * operator breaks the lease and a new writer acquires can still
+    * delete the new holder's file. The token check shrinks the exposed
+    * window from the whole op body to two adjacent FS calls; closing
+    * it entirely needs a lock service. Operational rule unchanged:
+    * breakLease only writers confirmed dead, never slow ones. */
   def releaseLease(spark: SparkSession, path: String, token: String): Unit = {
     val fs = fsOf(spark, path)
     val lp = leasePath(path)

@@ -1097,15 +1097,21 @@ object Similarity {
     saveIvfPostingsPacked(readPostings(spark, classicPath), packedPath,
       cellsPerPack)
 
+  /** The packed artifact's embedded params, as its manifest carries
+    * them — serving never opens a data page for them. */
+  private case class PackedParams(cells: Int, cap: Int, ck: Long,
+      cpp: Int, gp: Option[Int])
+
   /** Open a packed artifact: with a clean manifest the scan plans from
     * a [[graft.plans.ManifestFileIndex]] keyed by `pack` — zero
     * listings, pack-level partition pruning — with `cell` served from
-    * the sorted data pages. Returns (frame, cellsPerPack if the
-    * manifest is clean). The discovering fallback still answers
-    * exactly (pack is a discovered partition column); it just plans
-    * from a listing. */
+    * the sorted data pages, and the params handed back from the
+    * manifest (no footer/head job rides the serve path). The
+    * discovering fallback still answers exactly (pack is a discovered
+    * partition column); it plans from a listing and its caller derives
+    * params from the data. */
   private def readPackedPostingsWithCpp(spark: SparkSession,
-      path: String): (DataFrame, Option[Int]) =
+      path: String): (DataFrame, Option[PackedParams]) =
     ArtifactManifest.readClean(spark, path, PackedPostingsFamily) match {
       case Some(st) =>
         val root = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
@@ -1128,8 +1134,12 @@ object Similarity {
           groups)
         (org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(
           spark, idx, packedDataSchema(st.params.contains("gp"))),
-          Some(st.params("cpp").toInt))
+          Some(PackedParams(st.params("cells").toInt,
+            st.params("cap").toInt, st.params("ck").toLong,
+            st.params("cpp").toInt, st.params.get("gp").map(_.toInt))))
       case None =>
+        ArtifactManifest.requireFamilyOrUnknown(spark, path,
+          PackedPostingsFamily)
         spark.catalog.refreshByPath(path)
         (spark.read.parquet(path), None)
     }
@@ -1153,8 +1163,15 @@ object Similarity {
     val spark = queryEmb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
-    val (postings0, cppOpt) = readPackedPostingsWithCpp(spark, path)
-    val (cells, _, ck) = postingsParams(postings0)
+    val (postings0, paramsOpt) = readPackedPostingsWithCpp(spark, path)
+    // manifest-clean: params ride the sidecar, zero data-page jobs on
+    // the serve path; fallback derives them from the data head
+    val (cells, ck) = paramsOpt match {
+      case Some(p) => (p.cells, p.ck)
+      case None =>
+        val (c, _, k) = postingsParams(postings0)
+        (c, k)
+    }
     require(cents.length == cells && centroidChecksumOf(cents) == ck,
       "model centroids differ from the packed artifact's")
     val bc = spark.sparkContext.broadcast(
@@ -1165,9 +1182,9 @@ object Similarity {
         GraftColumnBridge.expression($"nrm"), probes)))
       .select($"vec_id", $"v", $"nrm", explode($"nc.cell").as("cell"))
     val probed = queries.select($"cell").distinct().as[Int].collect().toSeq
-    val pruned = cppOpt match {
-      case Some(cpp) =>
-        val packs = probed.map(_ / cpp).distinct
+    val pruned = paramsOpt match {
+      case Some(p) =>
+        val packs = probed.map(_ / p.cpp).distinct
         postings0.filter($"pack".isin(packs: _*) &&
           $"cell".isin(probed: _*))
       case None => postings0.filter($"cell".isin(probed: _*))
@@ -1931,17 +1948,8 @@ object Similarity {
     * at-least-once story: it replays, and this same compaction dedups
     * the rows that did land. */
   private def sweepStaleDeltas(fs: org.apache.hadoop.fs.FileSystem,
-      hPath: org.apache.hadoop.fs.Path): Int = {
-    val parent = hPath.getParent
-    if (parent == null) 0
-    else {
-      val prefix = hPath.getName + "__delta_"
-      val stale = fs.listStatus(parent)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix))
-      stale.foreach(d => fs.delete(d.getPath, true))
-      stale.length
-    }
-  }
+      hPath: org.apache.hadoop.fs.Path): Int =
+    ArtifactManifest.sweepStaleDeltas(fs, hPath)
 
   def compactIvfPostings(spark: SparkSession, path: String): (Int, Int, Int) =
     PostingsManifest.withLease(spark, path, "compact")(

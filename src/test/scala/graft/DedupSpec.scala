@@ -886,6 +886,52 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.appendToWinnowIndex(index, delta).count() > index.count())
   }
 
+  test("rename-staged appends stay visible to cached discovering reads and compaction") {
+    import java.nio.file.Files
+    // regression (r17 review): stageIntoRoot's raw FS renames bypass
+    // Spark's FileStatusCache invalidation (the old mode("append")
+    // write invalidated it) — a compaction planning from a stale
+    // cached listing would silently DROP the appended rows and certify
+    // the truncated artifact as clean
+    val seed = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 2 =!= 0)
+    val path = Files.createTempDirectory("graft_exact_cache")
+      .resolve("index").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path, files = 2)
+    // populate the shared FileStatusCache with the pre-append listing
+    val before = spark.read.parquet(path).count()
+    Dedup.appendExactIndexDelta(spark, path, b1)
+    // the discovering read must see the appended files...
+    assert(spark.read.parquet(path).count() > before,
+      "a discovering read after a rename-staged append must see the delta")
+    // ...and compaction must fold the UNION, not the stale listing
+    Dedup.compactExactIndex(spark, path)
+    assert(Dedup.readExactIndex(spark, path).count() ==
+      Dedup.exactHashIndex(docs).count(),
+      "compaction must keep the appended rows")
+  }
+
+  test("a foreign-family artifact is refused, never scanned as nulls") {
+    import java.nio.file.Files
+    // a winnow artifact pointed at the exact-index reader must throw,
+    // not serve all-null text_hash (which would declare every screened
+    // doc novel — silent duplicate contamination)
+    val path = Files.createTempDirectory("graft_family")
+      .resolve("index").toString
+    Dedup.saveWinnowIndex(
+      Dedup.winnowIndex(docs.limit(20), k = 3, w = 4, algo = "md5_60"), path)
+    val e = intercept[IllegalStateException](
+      Dedup.readExactIndex(spark, path).count())
+    assert(e.getMessage.contains("winnow_index") &&
+      e.getMessage.contains("exact_hash_index"), e.getMessage)
+    // and a DIRTY foreign manifest still names its family (the tag is
+    // authoritative even when the file list is stale)
+    graft.operators.ArtifactManifest.markDirty(spark, path)
+    intercept[IllegalStateException](
+      Dedup.readMinhashIndex(spark, path).count())
+    graft.operators.ArtifactManifest.clearDirty(spark, path)
+  }
+
   test("winnow-index artifact: stale-df screens exact, compaction restores df") {
     import java.nio.file.Files
     // lifecycle: seed build + two delta appends + an at-least-once
