@@ -41,8 +41,13 @@ object ArtifactManifest {
     * parquet reader seeks its footer at length − 8) and footer `rows`. */
   case class FileEntry(file: String, bytes: Long, rows: Long)
 
+  /** `logSeq`/`logDeltas` are READ-SIDE bookkeeping of the incremental
+    * log (the highest delta sequence replayed and how many were) — never
+    * persisted: [[commit]] uses them to name the next delta file and to
+    * decide when to auto-fold, exactly as the postings family's
+    * [[PostingsManifest.State]] does. */
   case class State(family: String, params: Map[String, String],
-      files: Seq[FileEntry]) {
+      files: Seq[FileEntry], logSeq: Long = 0L, logDeltas: Int = 0) {
     def totalFiles: Int = files.size
     def totalRows: Long = files.map(_.rows).sum
     def totalBytes: Long = files.map(_.bytes).sum
@@ -54,6 +59,26 @@ object ArtifactManifest {
 
   def manifestPath(path: String): Path =
     new Path(path.stripSuffix("/"), "_manifest")
+
+  /** The incremental log: `_manifest_log/delta.<seq>` line-files, one
+    * per append, folded into the base `_manifest` when [[commit]]'s
+    * threshold trips or any full [[write]] runs — the
+    * [[PostingsManifest.logDir]] machinery applied to the FLAT
+    * families. What it buys: an append's manifest write is ∝ the
+    * batch's own file count, never ∝ total files (the single-file
+    * rewrite was O(artifact files) per append — at a daily-ingest
+    * cadence between monthly compactions the exact-hash manifest
+    * rewrite grew linearly, the r17 VERDICT seam). */
+  def logDir(path: String): Path =
+    new Path(path.stripSuffix("/"), "_manifest_log")
+
+  private def deltaName(seq: Long): String = f"delta.$seq%012d"
+
+  private val DeltaHeader = "graft-artifact-delta\t1"
+
+  /** The fold threshold: read cost is bounded by base + this many
+    * delta files; any full write folds regardless. */
+  val FoldThreshold = 32
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     MaintenanceProtocol.fsOf(spark, path)
@@ -84,48 +109,195 @@ object ArtifactManifest {
     * from `family` returns None too: a consumer must never plan one
     * family's scan from another's sidecar (a copied/moved directory). */
   def readClean(spark: SparkSession, path: String,
-      family: String): Option[State] = {
+      family: String): Option[State] =
+    readCleanAttempt(spark, path, family) match {
+      case Right(res) => res
+      case Left(()) =>
+        // a delta file vanished mid-replay — a concurrent fold's
+        // write() just cleared the log. The folded base embeds the
+        // deltas, so ONE fresh attempt sees a consistent state; a
+        // second miss means active churn — degrade to the listing
+        // fallback rather than spin (flat artifact: listing is truth).
+        readCleanAttempt(spark, path, family).fold(_ => None, identity)
+    }
+
+  /** One read attempt: Right(state-or-degrade) on a consistent read,
+    * Left(()) when a log delta vanished underneath the replay (fold in
+    * progress — the caller retries once). After a successful parse the
+    * dirty flag is RE-CHECKED: a writer that marked dirty between our
+    * leading isDirty check and the reads above may have already swapped
+    * the base or emptied the log, and trusting that torn state could
+    * plan files a concurrent compaction just deleted. */
+  private def readCleanAttempt(spark: SparkSession, path: String,
+      family: String): Either[Unit, Option[State]] = {
     val fs = fsOf(spark, path)
     val dest = manifestPath(path)
-    if (MaintenanceProtocol.isDirty(spark, path) || !fs.exists(dest)) None
-    else if (fs.getFileStatus(dest).isDirectory) None
+    if (MaintenanceProtocol.isDirty(spark, path) || !fs.exists(dest))
+      Right(None)
+    else if (fs.getFileStatus(dest).isDirectory) Right(None)
     else {
-      val in = fs.open(dest)
-      val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      if (lines.length < 3) None // header + family + at least one file
-      else if (lines.head != FormatHeader) {
-        // a POSTINGS manifest (or a future v2) under a flat reader:
-        // degrade, same policy as PostingsManifest's v1 handling
-        None
-      } else {
-        val fam = lines(1).split('\t')
-        require(fam.length == 2 && fam(0) == "family",
-          s"malformed manifest family line at $dest: '${lines(1)}'")
-        if (fam(1) != family) None
-        else {
-          val (paramLines, fileLines) =
-            lines.drop(2).partition(_.startsWith("param\t"))
-          if (fileLines.isEmpty) None
-          else {
-            val params = paramLines.map { l =>
-              val p = l.split('\t')
-              require(p.length == 3,
-                s"malformed manifest param line at $dest: '$l'")
-              p(1) -> p(2)
-            }.toMap
-            val files = fileLines.map { l =>
-              val f = l.split('\t')
-              require(f.length == 4 && f(0) == "file",
-                s"malformed manifest file line at $dest: '$l'")
-              FileEntry(f(1), f(2).toLong, f(3).toLong)
+      val linesOpt =
+        try {
+          val in = fs.open(dest)
+          Some(
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().toVector
+            finally in.close())
+        } catch {
+          // the base vanished between exists() and open(): a concurrent
+          // write's delete→rename window — same retry-once treatment as
+          // a vanished log delta
+          case _: java.io.FileNotFoundException => None
+        }
+      linesOpt match {
+        case None => Left(())
+        case Some(lines) =>
+          if (lines.length < 3) Right(None) // header + family + ≥1 file
+          else if (lines.head != FormatHeader) {
+            // a POSTINGS manifest (or a future v2) under a flat reader:
+            // degrade, same policy as PostingsManifest's v1 handling
+            Right(None)
+          } else {
+            val fam = lines(1).split('\t')
+            require(fam.length == 2 && fam(0) == "family",
+              s"malformed manifest family line at $dest: '${lines(1)}'")
+            if (fam(1) != family) Right(None)
+            else {
+              val (paramLines, fileLines) =
+                lines.drop(2).partition(_.startsWith("param\t"))
+              if (fileLines.isEmpty) Right(None)
+              else {
+                val params = paramLines.map { l =>
+                  val p = l.split('\t')
+                  require(p.length == 3,
+                    s"malformed manifest param line at $dest: '$l'")
+                  p(1) -> p(2)
+                }.toMap
+                val files = fileLines.map { l =>
+                  val f = l.split('\t')
+                  require(f.length == 4 && f(0) == "file",
+                    s"malformed manifest file line at $dest: '$l'")
+                  FileEntry(f(1), f(2).toLong, f(3).toLong)
+                }
+                replayLog(spark, path, State(family, params, files)) match {
+                  case None => Left(())
+                  case Some(st) =>
+                    if (MaintenanceProtocol.isDirty(spark, path)) Right(None)
+                    else Right(Some(st))
+                }
+              }
             }
-            Some(State(family, params, files))
           }
+      }
+    }
+  }
+
+  /** Fold the incremental log over a freshly parsed base — the
+    * [[PostingsManifest]] replay applied to flat entries: one listing
+    * of `_manifest_log` (∝ outstanding deltas, bounded by the fold
+    * threshold), `del`/`set` actions keyed by file name, idempotent by
+    * construction (`set` is an absolute upsert, `del` of an absent key
+    * a no-op) so an already-folded delta re-applies harmlessly. None =
+    * a delta vanished mid-replay (concurrent fold) — caller retries. */
+  private def replayLog(spark: SparkSession, path: String,
+      base: State): Option[State] = {
+    val fs = fsOf(spark, path)
+    val ld = logDir(path)
+    if (!fs.exists(ld)) return Some(base)
+    val deltas = fs.listStatus(ld)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("delta."))
+      .sortBy(_.getPath.getName)
+    if (deltas.isEmpty) return Some(base)
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, FileEntry]
+    base.files.foreach(e => order(e.file) = e)
+    deltas.foreach { d =>
+      val lines =
+        try {
+          val in = fs.open(d.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+        }
+      require(lines.nonEmpty && lines.head == DeltaHeader,
+        s"unrecognized manifest delta at ${d.getPath}: " +
+          s"'${lines.headOption.getOrElse("<empty>")}'")
+      lines.drop(1).foreach { l =>
+        val f = l.split('\t')
+        f(0) match {
+          case "del" =>
+            require(f.length == 2, s"malformed delta del line: '$l'")
+            order.remove(f(1))
+          case "set" =>
+            require(f.length == 4, s"malformed delta set line: '$l'")
+            order(f(1)) = FileEntry(f(1), f(2).toLong, f(3).toLong)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unrecognized delta action '$other' at ${d.getPath}")
         }
       }
     }
+    Some(base.copy(files = order.values.toVector,
+      logSeq = deltas.last.getPath.getName.stripPrefix("delta.").toLong,
+      logDeltas = deltas.length))
+  }
+
+  /** Roll the manifest forward INCREMENTALLY: persist only the
+    * structural diff `prev` → `next` as one `_manifest_log` delta file
+    * (tmp+rename, driver-side) — I/O ∝ the op's touched set, never ∝
+    * total files. Trips a FOLD (full [[write]] + log clear) instead
+    * when the outstanding log reaches [[FoldThreshold]]. `prev` MUST
+    * be the [[readClean]] state the op rolled forward from (inside its
+    * lease); caller owns the dirty-flag bracket. Params changes always
+    * fold (the delta format carries file actions only — flat params
+    * are fixed at build and only compaction, a full write anyway,
+    * restores them). */
+  def commit(spark: SparkSession, path: String, prev: State,
+      next: State): State = {
+    if (prev.logDeltas + 1 >= FoldThreshold || prev.params != next.params) {
+      write(spark, path, next)
+      return next.copy(logSeq = 0L, logDeltas = 0)
+    }
+    val prevByKey = prev.files.map(e => e.file -> e).toMap
+    val nextKeys = next.files.map(_.file).toSet
+    val dels = prev.files.filterNot(e => nextKeys(e.file))
+    val sets = next.files.filter(e =>
+      prevByKey.get(e.file) match {
+        case Some(p) => p != e
+        case None => true
+      })
+    val fs = fsOf(spark, path)
+    val ld = logDir(path)
+    fs.mkdirs(ld)
+    val seq = prev.logSeq + 1
+    val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+    try {
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(out, "UTF-8"))
+        w.write(DeltaHeader); w.newLine()
+        dels.foreach { e =>
+          w.write(Seq("del", e.file).mkString("\t")); w.newLine()
+        }
+        sets.foreach { e =>
+          require(!e.file.contains('\t') && !e.file.contains('\n'),
+            s"unencodable file name in manifest delta: '${e.file}'")
+          w.write(Seq("set", e.file, e.bytes, e.rows).mkString("\t"))
+          w.newLine()
+        }
+        w.flush()
+      } finally out.close()
+      val dest = new Path(ld, deltaName(seq))
+      require(fs.rename(tmp, dest), s"delta swap failed: $tmp -> $dest")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
+    next.copy(logSeq = seq, logDeltas = prev.logDeltas + 1)
   }
 
   /** Persist with the tmp+rename swap (readers between delete and
@@ -160,6 +332,10 @@ object ArtifactManifest {
       val dest = manifestPath(path)
       fs.delete(dest, true)
       require(fs.rename(tmp, dest), s"manifest swap failed: $tmp -> $dest")
+      // a full write IS a fold: the base now embeds every outstanding
+      // delta, so the log clears. Base first — a crash between swap and
+      // clear leaves already-folded deltas whose replay is idempotent.
+      fs.delete(logDir(path), true)
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, false) catch { case _: Throwable => () }
@@ -194,6 +370,12 @@ object ArtifactManifest {
   def rebuildAndWrite(spark: SparkSession, path: String, family: String,
       params: Map[String, String]): State = {
     val s = rebuild(spark, path, family, params)
+    // delete any outstanding log FIRST: the rebuilt base supersedes it
+    // (directory truth embeds whatever the deltas recorded), and
+    // clearing before the base swap closes the window where a crash
+    // leaves a fresh base next to stale deltas it does not embed —
+    // same ordering argument as [[PostingsManifest.rebuildAndWrite]]
+    fsOf(spark, path).delete(logDir(path), true)
     write(spark, path, s)
     clearDirty(spark, path)
     s
@@ -252,19 +434,27 @@ object ArtifactManifest {
   def readFlat(spark: SparkSession, path: String, family: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     readClean(spark, path, family) match {
-      case Some(st) =>
-        val root = new Path(path.stripSuffix("/"))
-        org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(spark,
-          new graft.plans.ManifestFileIndex(root,
-            new org.apache.spark.sql.types.StructType(),
-            Seq((org.apache.spark.sql.catalyst.InternalRow.empty,
-              st.files.map(f => (new Path(root, f.file), f.bytes))))),
-          schema)
+      case Some(st) => readFlatFromState(spark, path, st, schema)
       case None =>
         requireFamilyOrUnknown(spark, path, family)
         spark.catalog.refreshByPath(path)
         spark.read.parquet(path)
     }
+
+  /** [[readFlat]]'s manifest-planned scan over a State the caller
+    * ALREADY read — for consumers that need params AND the scan from
+    * one sidecar read (re-running readClean cost a second read plus a
+    * small TOCTOU between the two on every serve-time open). */
+  def readFlatFromState(spark: SparkSession, path: String, st: State,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val root = new Path(path.stripSuffix("/"))
+    org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(spark,
+      new graft.plans.ManifestFileIndex(root,
+        new org.apache.spark.sql.types.StructType(),
+        Seq((org.apache.spark.sql.catalyst.InternalRow.empty,
+          st.files.map(f => (new Path(root, f.file), f.bytes))))),
+      schema)
+  }
 
   /** The staged-append PROTOCOL, shared by every flat family (one
     * place to fix — the exact/minhash/winnow appends previously each
@@ -289,7 +479,10 @@ object ArtifactManifest {
         case Some(st) =>
           markDirty(spark, path)
           val entries = stageIntoRoot(spark, path)(writeDelta)
-          write(spark, path, st.adding(entries))
+          // incremental roll-forward: one _manifest_log delta ∝ the
+          // batch's own files (auto-folds at the threshold) — the base
+          // _manifest is NOT rewritten per append
+          commit(spark, path, st, st.adding(entries))
           clearDirty(spark, path)
       }
       spark.catalog.refreshByPath(path)

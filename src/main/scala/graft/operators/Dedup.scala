@@ -409,9 +409,21 @@ object Dedup {
     * artifact appends the same files without sidecar bookkeeping. */
   def appendExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
       path: String, keptDocs: DataFrame, files: Int = 1): Unit =
+    appendExactIndexDeltaFrame(spark, path, exactIndexDelta(keptDocs), files)
+
+  /** [[appendExactIndexDelta]] for an ALREADY-COMPUTED hash delta —
+    * the streaming sink's entry point ([[graft.streaming.CorpusIngest
+    * .parquetExactDedupIngest]] computes the delta inside its batch
+    * closure): same staged-rename roll-forward, so a stream pointed at
+    * a [[saveExactIndex]]-built artifact keeps the manifest true
+    * instead of silently staling it with a raw `mode("append")` (which
+    * would make a later [[readExactIndex]] miss the appended hashes —
+    * duplicates passing the screen with no dirty flag). */
+  def appendExactIndexDeltaFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, files: Int = 1): Unit =
     ArtifactManifest.appendStaged(spark, path, ExactIndexFamily) { _ =>
       dest =>
-        exactIndexDelta(keptDocs)
+        delta
           .repartitionByRange(files,
             org.apache.spark.sql.functions.col("text_hash"))
           .sortWithinPartitions("text_hash")
@@ -826,18 +838,38 @@ object Dedup {
     * listings at any corpus age (the band screen scans the index once
     * per ingest and never shuffles it; discovery was its one
     * artifact-proportional metadata term). Falls back to the
-    * discovering read for manifest-less or dirty artifacts. */
+    * discovering read for manifest-less or dirty artifacts. Heals a
+    * compaction that crashed inside its swap's delete→install window
+    * first ([[graft.sources.WarehouseWriter.recoverSwap]] — this
+    * family's compaction swaps via overwriteParquetAtomic, and the
+    * dirty flag lived inside the deleted directory, so nothing else
+    * would signal recovery); the scan plans from ONE sidecar read
+    * (params and file list from the same State — no repeat read, no
+    * TOCTOU between them). */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
+    minhashIndexWithParams(spark, path)._1
+
+  /** The minhash artifact's (scan, params) from ONE manifest read —
+    * shared by the serve, screen, and compaction paths. */
+  private def minhashIndexWithParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, (Int, Int, Int, Boolean)) = {
+    graft.sources.WarehouseWriter.recoverSwap(spark, path)
     ArtifactManifest.readClean(spark, path, MinhashIndexFamily) match {
-      case Some(st) => ArtifactManifest.readFlat(spark, path,
-        MinhashIndexFamily, minhashIndexSchema(st.params("hashed").toBoolean))
+      case Some(st) =>
+        val params = (st.params("k").toInt, st.params("hashes").toInt,
+          st.params("bands").toInt, st.params("hashed").toBoolean)
+        (ArtifactManifest.readFlatFromState(spark, path, st,
+          minhashIndexSchema(params._4)), params)
       case None =>
         ArtifactManifest.requireFamilyOrUnknown(spark, path,
           MinhashIndexFamily)
         spark.catalog.refreshByPath(path)
-        spark.read.parquet(path)
+        val df = spark.read.parquet(path)
+        (df, minhashIndexParams(df))
     }
+  }
 
   /** Persist a [[minhashBandIndex]] with an [[ArtifactManifest]]
     * sidecar carrying the signature params (`k`/`hashes`/`bands`/
@@ -885,6 +917,23 @@ object Dedup {
             .parquet(dest)
     }
 
+  /** [[appendMinhashIndexDelta]] for an ALREADY-FINGERPRINTED delta
+    * (rows shaped by [[minhashIndexDelta]] under the artifact's own
+    * params) — the streaming sink's entry point: the near-dup ingest
+    * stream screens each micro-batch against the index it just read,
+    * so the delta is computed before the sink runs. Routing it through
+    * the staged protocol keeps a manifest-carrying artifact's sidecar
+    * true under streaming appends (a raw `mode("append")` staled it
+    * without tripping the dirty flag). */
+  def appendMinhashIndexDeltaFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, files: Int = 1): Unit =
+    ArtifactManifest.appendStaged(spark, path, MinhashIndexFamily) { _ =>
+      dest =>
+        delta.repartition(files)
+          .write.mode(if (dest == path) "append" else "overwrite")
+          .parquet(dest)
+    }
+
   /** Fold a delta-appended [[saveMinhashIndex]] directory: whole-row
     * distinct (replayed deltas are exact duplicates) under the durable
     * swap, manifest rebuilt over the fresh directory. Returns
@@ -892,6 +941,9 @@ object Dedup {
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Int = 8): (Int, Int) =
     ArtifactManifest.withLease(spark, path, "compact") {
+      // heal a previous compaction that crashed inside its swap window
+      // BEFORE reading — the artifact directory may be entirely absent
+      graft.sources.WarehouseWriter.recoverSwap(spark, path)
       ArtifactManifest.sweepStaleDeltas(spark, path)
       val (k, numHashes, bands, hashed) = minhashArtifactParams(spark, path)
       spark.catalog.refreshByPath(path)
@@ -911,13 +963,7 @@ object Dedup {
   private def minhashArtifactParams(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int, Boolean) =
-    ArtifactManifest.readClean(spark, path, MinhashIndexFamily) match {
-      case Some(st) => (st.params("k").toInt, st.params("hashes").toInt,
-        st.params("bands").toInt, st.params("hashed").toBoolean)
-      case None =>
-        spark.catalog.refreshByPath(path)
-        minhashIndexParams(spark.read.parquet(path))
-    }
+    minhashIndexWithParams(spark, path)._2
 
   /** [[nearDupAgainstIndex]] THROUGH a persisted artifact: the index
     * side resolves via the manifest-planned [[readMinhashIndex]] (zero
@@ -1491,22 +1537,39 @@ object Dedup {
     * artifact: the listing is truth). */
   def readWinnowIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    ArtifactManifest.readFlat(spark, path, WinnowIndexFamily,
-      winnowIndexSchema)
+    winnowIndexWithParams(spark, path)._1
+
+  /** The winnow artifact's (scan, params) from ONE manifest read —
+    * shared by the serve, screen, and compaction paths. Heals a
+    * compaction that crashed inside its swap's delete→install window
+    * first (this family's compaction swaps via overwriteParquetAtomic,
+    * and the dirty flag lived inside the deleted directory, so nothing
+    * else would signal recovery). */
+  private def winnowIndexWithParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, (Int, Int, String)) = {
+    graft.sources.WarehouseWriter.recoverSwap(spark, path)
+    ArtifactManifest.readClean(spark, path, WinnowIndexFamily) match {
+      case Some(st) =>
+        (ArtifactManifest.readFlatFromState(spark, path, st,
+          winnowIndexSchema),
+          (st.params("wf_k").toInt, st.params("wf_w").toInt,
+            st.params("wf_algo")))
+      case None =>
+        ArtifactManifest.requireFamilyOrUnknown(spark, path,
+          WinnowIndexFamily)
+        spark.catalog.refreshByPath(path)
+        val df = spark.read.parquet(path)
+        (df, winnowIndexParams(df))
+    }
+  }
 
   /** Winnowing params from the artifact's manifest — no footer read,
     * no take(1) job; falls back to one data-head read for manifest-less
     * artifacts. */
   private def winnowArtifactParams(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, String) =
-    ArtifactManifest.readClean(spark, path, WinnowIndexFamily) match {
-      case Some(st) =>
-        (st.params("wf_k").toInt, st.params("wf_w").toInt,
-          st.params("wf_algo"))
-      case None =>
-        spark.catalog.refreshByPath(path)
-        winnowIndexParams(spark.read.parquet(path))
-    }
+    winnowIndexWithParams(spark, path)._2
 
   /** Persist a [[winnowIndex]] as a range-sorted parquet DIRECTORY —
     * sorted on `fingerprint` so the screen's candidate-fingerprint IN
@@ -1589,6 +1652,9 @@ object Dedup {
       path: String, files: Int = 8): (Int, Int) =
     ArtifactManifest.withLease(spark, path, "compact") {
       import spark.implicits._
+      // heal a previous compaction that crashed inside its swap window
+      // BEFORE reading — the artifact directory may be entirely absent
+      graft.sources.WarehouseWriter.recoverSwap(spark, path)
       ArtifactManifest.sweepStaleDeltas(spark, path)
       val (k, w, algo) = winnowArtifactParams(spark, path)
       spark.catalog.refreshByPath(path)
@@ -1644,8 +1710,8 @@ object Dedup {
       path: String, newDocs: DataFrame, maxDF: Int = 100,
       minShared: Int = 2, inListLimit: Int = 1000): DataFrame = {
     import spark.implicits._
-    val (k, w, algo) = winnowArtifactParams(spark, path)
-    val index = readWinnowIndex(spark, path)
+    // one sidecar read serves both the params and the planned scan
+    val (index, (k, w, algo)) = winnowIndexWithParams(spark, path)
     val candFp = winnowFingerprints(newDocs, k, w, algo)
       .localCheckpoint(true)
     val candSet = candFp.select($"fingerprint").distinct()

@@ -181,17 +181,43 @@ object PostingsManifest {
     * fallback serves truth) and throws for the rest: tmp+rename makes
     * partial writes impossible, so a garbled line means a bug, not a
     * crash window. */
-  def readClean(spark: SparkSession, path: String): Option[State] = {
+  def readClean(spark: SparkSession, path: String): Option[State] =
+    readCleanAttempt(spark, path) match {
+      case Right(res) => res
+      case Left(()) =>
+        // a file vanished mid-read — a concurrent fold's write() just
+        // swapped the base and cleared the log. The folded base embeds
+        // the deltas, so ONE fresh attempt sees a consistent state; a
+        // second miss means active churn — degrade to the listing
+        // fallback rather than spin.
+        readCleanAttempt(spark, path).fold(_ => None, identity)
+    }
+
+  /** One read attempt: Right(state-or-degrade) on a consistent read,
+    * Left(()) when the base or a log delta vanished underneath it
+    * (fold in progress — the caller retries once). After a successful
+    * parse the dirty flag is RE-CHECKED: a writer that marked dirty
+    * between our leading isDirty check and the reads above may already
+    * have swapped the base or emptied the log, and trusting that torn
+    * state could plan files a concurrent vacuum just deleted. */
+  private def readCleanAttempt(spark: SparkSession,
+      path: String): Either[Unit, Option[State]] = {
     val fs = fsOf(spark, path)
     val dest = manifestDir(path)
-    if (MaintenanceProtocol.isDirty(spark, path) || !fs.exists(dest)) None
-    else if (fs.getFileStatus(dest).isDirectory) None // legacy v1 layout
+    if (MaintenanceProtocol.isDirty(spark, path) || !fs.exists(dest))
+      Right(None)
+    else if (fs.getFileStatus(dest).isDirectory) Right(None) // legacy v1
     else {
-      val in = fs.open(dest)
       val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
-      if (lines.length < 3) None // header + params + at least one file
+        try {
+          val in = fs.open(dest)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return Left(())
+        }
+      if (lines.length < 3) Right(None) // header + params + ≥1 file
       else {
         val v3 = lines.head match {
           case FormatHeaderV3 => true
@@ -213,9 +239,14 @@ object PostingsManifest {
             else { if (f(5) == "1") 0L else -1L }
           FileEntry(f(1).toInt, f(2), f(3).toLong, f(4).toLong, retiredAt)
         }
-        Some(replayLog(spark, path,
+        replayLog(spark, path,
           State(Params(p(1).toInt, p(2).toInt, p(3).toLong, gp),
-            files, epoch)))
+            files, epoch)) match {
+          case None => Left(())
+          case Some(st) =>
+            if (MaintenanceProtocol.isDirty(spark, path)) Right(None)
+            else Right(Some(st))
+        }
       }
     }
   }
@@ -233,16 +264,22 @@ object PostingsManifest {
     * delta files re-applies them harmlessly. (A fold that must NOT
     * see stale deltas — the directory-truth rebuild, whose base no
     * longer embeds them — runs under the dirty bracket, and [[write]]
-    * clears the whole log after its swap.) */
+    * clears the whole log after its swap.)
+    *
+    * Returns None when a listed delta vanished before it could be read
+    * — a concurrent fold deleting the log between this listing and the
+    * open. The pre-log single-file swap degraded such readers to the
+    * listing fallback; throwing here would turn that benign race into
+    * a serve-time failure, so the caller retries once then degrades. */
   private def replayLog(spark: SparkSession, path: String,
-      base: State): State = {
+      base: State): Option[State] = {
     val fs = fsOf(spark, path)
     val ld = logDir(path)
-    if (!fs.exists(ld)) return base
+    if (!fs.exists(ld)) return Some(base)
     val deltas = fs.listStatus(ld)
       .filter(s => s.isFile && s.getPath.getName.startsWith("delta."))
       .sortBy(_.getPath.getName)
-    if (deltas.isEmpty) return base
+    if (deltas.isEmpty) return Some(base)
     // keyed upsert map preserving first-seen order (base order, then
     // delta arrival order) — deterministic plans across read paths
     val order = scala.collection.mutable.LinkedHashMap
@@ -250,10 +287,15 @@ object PostingsManifest {
     base.files.foreach(e => order((e.cell, e.file)) = e)
     var epoch = base.epoch
     deltas.foreach { d =>
-      val in = fs.open(d.getPath)
       val lines =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-        finally in.close()
+        try {
+          val in = fs.open(d.getPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+        }
       require(lines.nonEmpty && lines.head == DeltaHeader,
         s"unrecognized manifest delta at ${d.getPath}: " +
           s"'${lines.headOption.getOrElse("<empty>")}'")
@@ -278,9 +320,9 @@ object PostingsManifest {
         }
       }
     }
-    base.copy(files = order.values.toVector, epoch = epoch,
+    Some(base.copy(files = order.values.toVector, epoch = epoch,
       logSeq = deltas.last.getPath.getName.stripPrefix("delta.").toLong,
-      logDeltas = deltas.length)
+      logDeltas = deltas.length))
   }
 
   /** The fold threshold: read cost is bounded by base + this many

@@ -468,6 +468,165 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "compaction must clear the flag and re-adopt the manifest")
   }
 
+  test("flat incremental log: append writes one delta ∝ batch, base untouched; folds; crash-idempotent") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactManifest
+    val all = docs.select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" % 3 === 0)
+    val b1 = all.filter($"doc_id" % 3 === 1)
+    val b2 = all.filter($"doc_id" % 3 === 2)
+    val path = Files.createTempDirectory("graft_flat_log")
+      .resolve("index").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path, files = 2)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = ArtifactManifest.manifestPath(path)
+    val ld = ArtifactManifest.logDir(path)
+    def deltaFiles = if (!f.exists(ld))
+      Array.empty[org.apache.hadoop.fs.FileStatus]
+    else f.listStatus(ld).filter(_.getPath.getName.startsWith("delta."))
+    def deltaLines(s: org.apache.hadoop.fs.FileStatus): Vector[String] = {
+      val in = f.open(s.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    def truthFiles = f.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    val baseLen = f.getFileStatus(mp).getLen
+    val baseMod = f.getFileStatus(mp).getModificationTime
+    assert(deltaFiles.isEmpty, "a fresh build carries no log")
+
+    // an append writes ONE delta whose payload is exactly the batch's
+    // own staged files — the base _manifest is never rewritten
+    Dedup.appendExactIndexDelta(spark, path,
+      Dedup.dedupAgainstIndex(b1, Dedup.readExactIndex(spark, path)))
+    assert(f.getFileStatus(mp).getLen == baseLen &&
+      f.getFileStatus(mp).getModificationTime == baseMod,
+      "an append must not rewrite the base manifest")
+    val d1 = deltaFiles
+    assert(d1.length == 1, s"one append, one delta: ${d1.length}")
+    val lines1 = deltaLines(d1.head)
+    assert(lines1.count(_.startsWith("set\t")) == 1 &&
+      lines1.count(_.startsWith("del\t")) == 0,
+      s"delta payload must be the 1-file batch, got: $lines1")
+    // replayed state == directory truth, and the planned read sees it
+    val st1 = ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get
+    assert(st1.files.map(e => (e.file, e.bytes)).toSet == truthFiles,
+      "replayed manifest must equal directory truth")
+    assert(st1.logDeltas == 1)
+    val loaded = Dedup.readExactIndex(spark, path)
+    assert(loaded.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"))
+    spark.catalog.refreshByPath(path)
+    assert(loaded.count() == spark.read.parquet(path).count())
+
+    // second append: second delta, base still untouched
+    Dedup.appendExactIndexDelta(spark, path,
+      Dedup.dedupAgainstIndex(b2, Dedup.readExactIndex(spark, path)))
+    assert(deltaFiles.length == 2 &&
+      f.getFileStatus(mp).getModificationTime == baseMod)
+
+    // crash-idempotency: a fold that died between swapping the base
+    // and clearing the log re-applies the stale delta harmlessly
+    val stPre = ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get
+    val dv = deltaFiles.sortBy(_.getPath.getName).last
+    val staleName = dv.getPath.getName
+    val staleText = deltaLines(dv).mkString("", "\n", "\n")
+    ArtifactManifest.write(spark, path, stPre) // fold: clears the log
+    assert(deltaFiles.isEmpty, "a full write must clear the log")
+    f.mkdirs(ld)
+    val out = f.create(new org.apache.hadoop.fs.Path(ld, staleName), true)
+    try out.write(staleText.getBytes("UTF-8")) finally out.close()
+    val stReplayed = ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get
+    assert(stReplayed.files == stPre.files,
+      "replaying an already-folded delta must be a no-op")
+
+    // auto-fold at the threshold (synthetic commits — log mechanics
+    // only; the artifact is rebuilt to truth afterwards). Fold first so
+    // the loop starts from an empty log.
+    ArtifactManifest.write(spark, path, stReplayed)
+    var st = ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get
+    assert(st.logDeltas == 0)
+    (1 until ArtifactManifest.FoldThreshold).foreach { i =>
+      st = ArtifactManifest.commit(spark, path, st,
+        st.adding(Seq(ArtifactManifest.FileEntry(s"part-synth-$i", 1L, 1L))))
+    }
+    assert(deltaFiles.length == ArtifactManifest.FoldThreshold - 1)
+    st = ArtifactManifest.commit(spark, path, st,
+      st.adding(Seq(ArtifactManifest.FileEntry("part-synth-fold", 1L, 1L))))
+    assert(deltaFiles.isEmpty,
+      "the threshold commit must fold instead of appending a delta")
+    assert(st.logDeltas == 0 && ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get.files == st.files)
+
+    // compaction rebuild deletes the log and restores truth; the
+    // declared lifecycle (q84) rides exactly this path
+    Dedup.compactExactIndex(spark, path)
+    assert(deltaFiles.isEmpty)
+    val stFinal = ArtifactManifest.readClean(spark, path,
+      "exact_hash_index").get
+    assert(stFinal.files.map(e => (e.file, e.bytes)).toSet == truthFiles)
+    assert(Dedup.readExactIndex(spark, path).as[String].collect().toSet ==
+      Dedup.exactHashIndex(all).as[String].collect().toSet,
+      "after the log-era lifecycle the artifact still equals the rebuild")
+  }
+
+  test("minhash/winnow compaction swap crash heals on the next read (recoverSwap)") {
+    import java.nio.file.Files
+    val seed = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+
+    // minhash: simulate a crash inside overwriteParquetAtomic's
+    // delete→install window — target dir absent, fully-committed
+    // sibling tmp present — then read: must heal, not PATH_NOT_FOUND
+    val mh = Files.createTempDirectory("graft_mh_swap")
+      .resolve("index").toString
+    Dedup.saveMinhashIndex(Dedup.minhashBandIndex(seed, 5, 32, 8), mh,
+      files = 2)
+    val expected = pairSet(Dedup.nearDupAgainstArtifact(spark, mh, batch, 0.4))
+    val f = new org.apache.hadoop.fs.Path(mh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hMh = new org.apache.hadoop.fs.Path(mh)
+    val tmp = new org.apache.hadoop.fs.Path(hMh.getParent,
+      s".${hMh.getName}.swap-tmp")
+    // stage the "new" contents exactly as the compaction does, then
+    // crash before install: delete the target, leave the tmp
+    spark.read.parquet(mh).write.parquet(tmp.toString)
+    f.delete(hMh, true)
+    assert(!f.exists(hMh))
+    val healed = Dedup.readMinhashIndex(spark, mh)
+    assert(f.exists(hMh), "the read must install the committed tmp")
+    // the healed artifact is manifest-less (the sidecar died with the
+    // old directory) — discovery serves truth, compaction re-adopts
+    assert(pairSet(Dedup.nearDupAgainstArtifact(spark, mh, batch, 0.4))
+      == expected)
+    assert(healed.count() == seed.count())
+    Dedup.compactMinhashIndex(spark, mh, files = 2)
+    assert(Dedup.readMinhashIndex(spark, mh).queryExecution.executedPlan
+      .toString.contains("ManifestFileIndex"),
+      "compaction must re-adopt a manifest over the healed artifact")
+
+    // winnow: same window, healed by the compaction entry point itself
+    val wn = Files.createTempDirectory("graft_wn_swap")
+      .resolve("index").toString
+    Dedup.saveWinnowIndex(Dedup.winnowIndex(seed, 5, 4), wn, files = 2)
+    val wnRows = Dedup.readWinnowIndex(spark, wn).count()
+    val hWn = new org.apache.hadoop.fs.Path(wn)
+    val wnTmp = new org.apache.hadoop.fs.Path(hWn.getParent,
+      s".${hWn.getName}.swap-tmp")
+    spark.read.parquet(wn).write.parquet(wnTmp.toString)
+    f.delete(hWn, true)
+    Dedup.compactWinnowIndex(spark, wn, files = 2)
+    assert(f.exists(hWn) &&
+      Dedup.readWinnowIndex(spark, wn).count() == wnRows,
+      "compaction must heal the crashed swap before folding")
+  }
+
   /** Row groups in `dir` whose text_hash [min,max] could contain a
     * probe, summed over probes — the same footer census
     * StreamingSpec's compactParquet leg uses: a range-sorted layout
