@@ -134,7 +134,14 @@ object CorpusIngest {
       (kept, delta, bloomNext, _) =>
         kept.write.mode("append").parquet(corpusPath)
         graft.sources.WarehouseWriter.overwriteParquetAtomic(bloomNext, bloomPath)
-        delta.write.mode("append").parquet(indexPath)
+        // through the staged manifest protocol, NOT a raw append: a
+        // stream pointed at a saveExactIndex-built artifact must keep
+        // the sidecar true — a plain mode("append") staled it WITHOUT
+        // tripping the dirty flag, so a later readExactIndex silently
+        // missed the appended hashes (duplicates passing the screen).
+        // Manifest-less bootstrap artifacts take the same call's plain-
+        // append branch, unchanged behavior.
+        Dedup.appendExactIndexDeltaFrame(spark, indexPath, delta)
     }
   }
 
@@ -259,9 +266,11 @@ object CorpusIngest {
     * starts — the artifact carries the signature parameters).
     *
     * Both directories accrue one file per micro-batch — the standard
-    * streaming-sink debt; fold it periodically with
-    * [[graft.sources.WarehouseWriter.compactParquet]], run between
-    * rounds or while the stream is stopped.
+    * streaming-sink debt; fold the corpus periodically with
+    * [[graft.sources.WarehouseWriter.compactParquet]] and the index
+    * with [[Dedup.compactMinhashIndex]] (which also re-adopts the
+    * manifest a [[Dedup.saveMinhashIndex]]-built artifact carries),
+    * run between rounds or while the stream is stopped.
     *
     * Ordering contract: corpus BEFORE index. A crash between the two
     * writes re-delivers the micro-batch, the replay guard sees the
@@ -279,7 +288,9 @@ object CorpusIngest {
       EventsStream.parquetDimProvider(spark, indexPath), threshold) {
       (kept, delta, _) =>
         kept.write.mode("append").parquet(corpusPath)
-        delta.write.mode("append").parquet(indexPath)
+        // staged protocol, not a raw append — same manifest-staleness
+        // argument as the exact sink (see parquetExactDedupIngest)
+        Dedup.appendMinhashIndexDeltaFrame(spark, indexPath, delta)
     }
   }
 }

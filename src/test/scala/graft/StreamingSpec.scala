@@ -808,6 +808,70 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Set(9101L))
   }
 
+  test("exact ingest stream keeps a manifest-carrying index true (no silent staleness)") {
+    // the r17 protocol seam, closed: a stream pointed at a
+    // saveExactIndex-BUILT artifact (manifest sidecar present) must
+    // roll the manifest forward with each micro-batch's delta — the
+    // old raw mode("append") staled the sidecar WITHOUT tripping the
+    // dirty flag, so a later readExactIndex (manifest-planned, zero
+    // listings) silently missed the appended hashes and let duplicates
+    // pass the screen.
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.operators.ArtifactManifest
+
+    val all = Tables.load(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" < 250)
+    val b1 = (all.filter($"doc_id" >= 250 && $"doc_id" < 300)
+      .as[DocRow].collect() :+ DocRow(9002L, "a fresh streamed doc"))
+      .toIndexedSeq
+
+    val idxPath = Files.createTempDirectory("graft_ex_manifest_idx")
+      .resolve("index").toString
+    val bloomPath = Files.createTempDirectory("graft_ex_manifest_bloom")
+      .toString
+    val corpusPath = Files.createTempDirectory("graft_ex_manifest_corpus")
+      .resolve("kept").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), idxPath, files = 2)
+    Dedup.exactIndexBloom(Dedup.readExactIndex(spark, idxPath),
+      expectedItems = 10000).write.mode("overwrite").parquet(bloomPath)
+    assert(ArtifactManifest.readClean(spark, idxPath,
+      "exact_hash_index").nonEmpty, "precondition: manifest-carrying")
+
+    val ms = MemoryStream[DocRow](spark)
+    val q = CorpusIngest.parquetExactDedupIngest(
+      ms.toDF(), idxPath, bloomPath, corpusPath).start()
+    try { ms.addData(b1); q.processAllAvailable() } finally q.stop()
+
+    // the manifest still equals directory truth (not staled)...
+    val st = ArtifactManifest.readClean(spark, idxPath,
+      "exact_hash_index")
+    assert(st.nonEmpty, "the stream must leave the sidecar clean")
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val truth = fs.listStatus(new org.apache.hadoop.fs.Path(idxPath))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(f => (f.getPath.getName, f.getLen)).toSet
+    assert(st.get.files.map(e => (e.file, e.bytes)).toSet == truth,
+      "manifest must equal directory truth after the streamed append")
+
+    // ...so the manifest-planned screen equals the discovering screen:
+    // a re-delivery of the batch's kept doc must DROP on both routes
+    val probe = Seq(DocRow(9100L, "a fresh streamed doc"),
+      DocRow(9101L, "never seen before text")).toDF()
+    val viaManifest = Dedup.dedupAgainstIndex(probe,
+      Dedup.readExactIndex(spark, idxPath))
+      .select($"doc_id").as[Long].collect().toSet
+    spark.catalog.refreshByPath(idxPath)
+    val viaListing = Dedup.dedupAgainstIndex(probe,
+      spark.read.parquet(idxPath))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaManifest == viaListing && viaManifest == Set(9101L),
+      s"manifest screen $viaManifest must equal discovering $viaListing")
+  }
+
   test("streaming embedding ingest rolls the IVF postings forward per batch") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
