@@ -323,6 +323,48 @@ object EmbeddingQueries {
       .select($"cell", $"cand_id", round($"d2", 4).as("d2"))
   }
 
+  // ---------------------------------------------------------------- q88
+  /** The PACKED-LAYOUT deployment cycle, oracle-checked end-to-end:
+    * maintain a classic cell-partitioned postings artifact through
+    * q79's full lifecycle (seed 80%, two fragment appends, an
+    * at-least-once redelivery, compaction), then
+    * [[Similarity.repackPostings]] it into the serve-optimized
+    * cell-group snapshot (2 packs over the 8 cells here — at 2¹⁴ cells
+    * the same call folds ~14.6 k files to ~128, §6.1.9) and SERVE
+    * top-3 for the first 20 vectors through
+    * [[Similarity.ivfTopKFromPostingsPackedPruned]] — the doubly-pruned
+    * route (pack-IN partition filter off the manifest FileIndex +
+    * cell-IN row-group prune inside each pack). The oracle computes the
+    * same capped index and 2-probe top-k in SQL, so the hash match
+    * certifies the whole maintained-classic → repack → pruned-serve
+    * chain against an independent engine — previously the packed layout
+    * was spec+bench only. Reference analogue: the monthly-dump rebuild
+    * cadence (docker/aact/Dockerfile:20-22) is exactly when re-packing
+    * runs. */
+  def q88PostingsPacked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val base = java.nio.file.Files.createTempDirectory("graft_q88")
+    val classic = base.resolve("classic").toString
+    val packed = base.resolve("packed").toString
+    Similarity.saveIvfPostings(
+      Similarity.ivfPostingsWithCentroids(seed, cents, q78CellCap), classic)
+    Similarity.appendIvfPostingsFragment(spark, classic, cents, b1)
+    Similarity.appendIvfPostingsFragment(spark, classic, cents, b2)
+    Similarity.appendIvfPostingsFragment(spark, classic, cents, b1) // redelivery
+    Similarity.compactIvfPostings(spark, classic)
+    Similarity.repackPostings(spark, classic, packed, cellsPerPack = 4)
+    Similarity.ivfTopKFromPostingsPackedPruned(
+      e.filter($"vec_id" < 20), cents, packed, probes = q34Probes, k = q34K)
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -414,7 +456,8 @@ object EmbeddingQueries {
     "q79_postings_compact" -> (q79PostingsCompact _),
     "q80_postings_compact_2l" -> (q80PostingsCompact2l _),
     "q82_postings_retained" -> (q82PostingsRetained _),
-    "q83_postings_vacuum" -> (q83PostingsVacuum _))
+    "q83_postings_vacuum" -> (q83PostingsVacuum _),
+    "q88_postings_packed" -> (q88PostingsPacked _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -510,7 +553,53 @@ object EmbeddingQueries {
          SELECT cell, cand_id, round(d2, 4) + 0.0 AS d2
          FROM home WHERE cell_rank <= 4"""
 
+  /** q88's oracle: the capped from-scratch index (postingsRebuildSql's
+    * home CTE keeping candidate vectors/norms) served with q34's
+    * 2-probe top-k shape, queries restricted to vec_id < 20 and the
+    * index capped at q78CellCap = 4 — the whole
+    * maintain→compact→repack→packed-pruned-serve chain must land
+    * exactly these rows. */
+  private val packedServeSql =
+    """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cell,
+             n.nrm * n.nrm + c.cn2
+               - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n CROSS JOIN c),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         indexed AS (
+           SELECT cell, vec_id AS cand_id, v AS cv, nrm AS cn,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+           FROM ranked WHERE cr = 1),
+         q AS (SELECT cell, vec_id, v, nrm FROM ranked
+               WHERE cr <= 2 AND vec_id < 20),
+         pairs AS (
+           SELECT DISTINCT q.vec_id, i.cand_id,
+             round(list_dot_product(q.v, i.cv) / (q.nrm * i.cn), 4) + 0.0 AS sim
+           FROM q JOIN indexed i ON q.cell = i.cell
+           WHERE i.cell_rank <= 4 AND q.vec_id <> i.cand_id),
+         topk AS (
+           SELECT vec_id, cand_id AS neighbor_id, sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cand_id ASC) AS rn
+           FROM pairs)
+         SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
+    "q88_postings_packed" -> packedServeSql,
     "q79_postings_compact" -> postingsRebuildSql,
     "q80_postings_compact_2l" -> postingsRebuild2lSql,
     "q82_postings_retained" -> postingsRebuildSql,
