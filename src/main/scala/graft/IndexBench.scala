@@ -181,7 +181,7 @@ object IndexBench {
 
   final case class Drift(screen0Sec: Double, screenAppendedSec: Double,
       screenCompactedSec: Double, files0: Int, filesAppended: Int,
-      filesCompacted: Int) {
+      filesCompacted: Int, reportAppended: Long = -1L) {
     /** appended-screen cost relative to the pristine layout — the
       * "flat across N appends" claim as one number. */
     def drift: Double = screenAppendedSec / screen0Sec
@@ -235,6 +235,11 @@ object IndexBench {
     }
     spark.catalog.refreshByPath(idxPath)
     val filesAppended = fileCount
+    // the manifest-read fragmentation report must agree with the
+    // listing-derived census — the evidence a compaction cadence keys on
+    val reportAppended = graft.operators.ArtifactManifest
+      .flatFragmentationReport(spark, idxPath, "exact_hash_index")
+      .head().getAs[Long]("appended_files")
     val screenN = timeMedian(spark, iters)(
       Dedup.dedupAgainstIndexScreened(batch,
         spark.read.parquet(idxPath), bloom))
@@ -244,7 +249,8 @@ object IndexBench {
     val screenC = timeMedian(spark, iters)(
       Dedup.dedupAgainstIndexScreened(batch,
         spark.read.parquet(idxPath), bloom))
-    Drift(screen0, screenN, screenC, files0, filesAppended, filesCompacted)
+    Drift(screen0, screenN, screenC, files0, filesAppended, filesCompacted,
+      reportAppended)
   }
 
   /** IVF serving side: a 100-query top-k served from the PERSISTED
@@ -307,7 +313,7 @@ object IndexBench {
     val ex = exactDedup(spark, sfDir)
     val dr = exactAppendDrift(spark, sfDir)
     val iv = ivfServe(spark, sfDir)
-    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"exact_screen0_sec":${dr.screen0Sec}%.3f,"exact_screen_appended_sec":${dr.screenAppendedSec}%.3f,"exact_screen_compacted_sec":${dr.screenCompactedSec}%.3f,"exact_append_drift":${dr.drift}%.2f,"exact_files":[${dr.files0},${dr.filesAppended},${dr.filesCompacted}],"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f,"sf":"$sfDir"}""")
+    println(f"""{"neardup_screen_sec":${nd.screenSec}%.3f,"neardup_full_sec":${nd.fullSec}%.3f,"neardup_index_speedup":${nd.speedup}%.2f,"contam_screen_sec":${ct.screenSec}%.3f,"contam_full_sec":${ct.fullSec}%.3f,"contam_index_speedup":${ct.speedup}%.2f,"exact_screen_sec":${ex.screenSec}%.3f,"exact_full_sec":${ex.fullSec}%.3f,"exact_bloom_speedup":${ex.speedup}%.2f,"exact_screen0_sec":${dr.screen0Sec}%.3f,"exact_screen_appended_sec":${dr.screenAppendedSec}%.3f,"exact_screen_compacted_sec":${dr.screenCompactedSec}%.3f,"exact_append_drift":${dr.drift}%.2f,"exact_files":[${dr.files0},${dr.filesAppended},${dr.filesCompacted}],"exact_frag_appended":${dr.reportAppended},"ivf_serve_sec":${iv.screenSec}%.3f,"ivf_serve_full_sec":${iv.fullSec}%.3f,"ivf_postings_speedup":${iv.speedup}%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

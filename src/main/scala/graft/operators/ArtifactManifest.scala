@@ -367,9 +367,17 @@ object ArtifactManifest {
         rowsByPath.getOrElse(f.getPath.toString, 0L))))
   }
 
+  /** Reserved param recording the file count at the last full rebuild
+    * (build or compaction) — what [[flatFragmentationReport]] subtracts
+    * to expose append debt. Underscore-prefixed: never a family param,
+    * filtered from family param reads by being read nowhere else. */
+  val BaseFilesParam = "_base_files"
+
   def rebuildAndWrite(spark: SparkSession, path: String, family: String,
       params: Map[String, String]): State = {
-    val s = rebuild(spark, path, family, params)
+    val s0 = rebuild(spark, path, family, params)
+    val s = s0.copy(params =
+      s0.params + (BaseFilesParam -> s0.totalFiles.toString))
     // delete any outstanding log FIRST: the rebuilt base supersedes it
     // (directory truth embeds whatever the deltas recorded), and
     // clearing before the base swap closes the window where a crash
@@ -517,6 +525,34 @@ object ArtifactManifest {
           rowsByPath.getOrElse(f.getPath.toString, 0L))
       }
     } finally fs.delete(hTmp, true)
+  }
+
+  /** Maintenance observability for a FLAT artifact from ONE manifest
+    * read — [[graft.operators.Similarity.postingsFragmentationReport]]'s
+    * shape for the exact/minhash/winnow families, so operators compact
+    * on EVIDENCE instead of cadence: `appended_files` (files since the
+    * last build/compaction, from the [[BaseFilesParam]] the rebuild
+    * stamps; -1 when the artifact predates the marker), total
+    * files/rows/bytes, the outstanding `_manifest_log` depth, and the
+    * manifest status (`clean`/`dirty`/`absent` — a dirty or absent
+    * sidecar is itself the compaction signal, and the report then
+    * falls back to one directory rebuild for its numbers). */
+  def flatFragmentationReport(spark: SparkSession, path: String,
+      family: String): DataFrame = {
+    import spark.implicits._
+    val stateOpt = readClean(spark, path, family)
+    val status =
+      if (stateOpt.nonEmpty) "clean"
+      else if (isDirty(spark, path)) "dirty"
+      else "absent"
+    val st = stateOpt.getOrElse(rebuild(spark, path, family, Map.empty))
+    val baseFiles = st.params.get(BaseFilesParam).map(_.toLong)
+    Seq((st.totalFiles.toLong,
+      baseFiles.map(b => st.totalFiles - b).getOrElse(-1L),
+      baseFiles.getOrElse(-1L), st.totalRows, st.totalBytes,
+      st.logDeltas.toLong, status))
+      .toDF("files", "appended_files", "base_files", "rows", "bytes",
+        "log_deltas", "manifest")
   }
 
   /** Delete orphaned staging siblings (`<artifact>__delta_*`) stranded

@@ -576,6 +576,53 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       "after the log-era lifecycle the artifact still equals the rebuild")
   }
 
+  test("flatFragmentationReport: append debt visible per manifest read, compaction resets it") {
+    import java.nio.file.Files
+    import graft.operators.ArtifactManifest
+    val all = docs.select($"doc_id", $"text")
+    val seed = all.filter($"doc_id" % 3 === 0)
+    val path = Files.createTempDirectory("graft_flat_frag")
+      .resolve("index").toString
+    Dedup.saveExactIndex(Dedup.exactHashIndex(seed), path, files = 2)
+    def report = ArtifactManifest
+      .flatFragmentationReport(spark, path, "exact_hash_index").head()
+    val r0 = report
+    assert(r0.getAs[Long]("files") == 2 &&
+      r0.getAs[Long]("appended_files") == 0 &&
+      r0.getAs[Long]("base_files") == 2 &&
+      r0.getAs[Long]("log_deltas") == 0 &&
+      r0.getAs[String]("manifest") == "clean", s"fresh build: $r0")
+
+    // two delta appends: the debt is visible without any listing
+    Dedup.appendExactIndexDelta(spark, path,
+      Dedup.dedupAgainstIndex(all.filter($"doc_id" % 3 === 1),
+        Dedup.readExactIndex(spark, path)))
+    Dedup.appendExactIndexDelta(spark, path,
+      Dedup.dedupAgainstIndex(all.filter($"doc_id" % 3 === 2),
+        Dedup.readExactIndex(spark, path)))
+    val r1 = report
+    assert(r1.getAs[Long]("files") == 4 &&
+      r1.getAs[Long]("appended_files") == 2 &&
+      r1.getAs[Long]("log_deltas") == 2, s"after 2 appends: $r1")
+
+    // a dirty sidecar IS the signal; numbers fall back to a rebuild
+    // (which carries no base marker — appended reports unknown = -1)
+    ArtifactManifest.markDirty(spark, path)
+    val rd = report
+    assert(rd.getAs[String]("manifest") == "dirty" &&
+      rd.getAs[Long]("files") == 4 &&
+      rd.getAs[Long]("appended_files") == -1, s"dirty: $rd")
+    ArtifactManifest.clearDirty(spark, path)
+
+    // compaction resets the baseline
+    Dedup.compactExactIndex(spark, path)
+    val rc = report
+    assert(rc.getAs[Long]("appended_files") == 0 &&
+      rc.getAs[Long]("base_files") == rc.getAs[Long]("files") &&
+      rc.getAs[Long]("log_deltas") == 0 &&
+      rc.getAs[String]("manifest") == "clean", s"post-compaction: $rc")
+  }
+
   test("minhash/winnow compaction swap crash heals on the next read (recoverSwap)") {
     import java.nio.file.Files
     val seed = docs.filter($"doc_id" % 2 === 0)
@@ -932,8 +979,9 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .contains("ManifestFileIndex"))
     val st = graft.operators.ArtifactManifest
       .readClean(spark, path, "minhash_band_index").get
-    assert(st.params == Map("k" -> "5", "hashes" -> "32",
-      "bands" -> "8", "hashed" -> "false"))
+    assert(st.params - graft.operators.ArtifactManifest.BaseFilesParam ==
+      Map("k" -> "5", "hashes" -> "32",
+        "bands" -> "8", "hashed" -> "false"))
     assert(st.totalRows == loaded.count())
     assert(loaded.count() > seed.count() + b1.count(),
       "precondition: the replay left physical duplicates")
@@ -1124,8 +1172,8 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .map(f => (f.getPath.getName, f.getLen)).toSet
     assert(st.files.map(e => (e.file, e.bytes)).toSet == dirTruth)
     assert(st.totalRows == loaded.count())
-    assert(st.params == Map("wf_k" -> "3", "wf_w" -> "4",
-      "wf_algo" -> "md5_60"))
+    assert(st.params - graft.operators.ArtifactManifest.BaseFilesParam ==
+      Map("wf_k" -> "3", "wf_w" -> "4", "wf_algo" -> "md5_60"))
 
     // the artifact screen over the dirty state equals the from-scratch
     // in-memory screen — on BOTH routes (driver-pushed IN and the
