@@ -151,7 +151,17 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional subset (dev/diagnosis: adjacency and ordering effects are
+    // part of what this harness measures — the driver passes no args)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      if (args.isEmpty) all
+      else {
+        val unknown = args.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        all.filter(args.contains)
+      }
+    }
     // warm-up pass: JVM/codegen/parquet-footer caches. A warm-up failure
     // is tolerated (the timed passes decide pass/fail) but LOGGED to
     // stderr — stdout stays the driver's single JSON line — so a query
@@ -195,6 +205,15 @@ object Bench {
         finally spark.catalog.clearCache() // teardown stays untimed
       }
     }
+    // env-gated per-sample dump (stderr — stdout stays the one JSON
+    // line): medians hide WHICH pass a slowdown landed on, and a
+    // positional effect (first-of-round tax, neighbor interference)
+    // only shows in the raw sample sequence
+    if (sys.env.contains("BENCH_DEBUG_SAMPLES"))
+      names.foreach { name =>
+        System.err.println(s"[bench-samples] $name: " +
+          samples(name).map(t => f"$t%.3f").mkString(" "))
+      }
     val results = names.map { name =>
       val times = samples(name)
       // ANY failed iteration marks the query failed (-1.0, excluded from
