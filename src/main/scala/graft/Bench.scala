@@ -247,9 +247,19 @@ object Bench {
     // not per-query throughput).
     val metrics =
       try {
+        val embDf = Tables.load(spark, sfDir, "embeddings")
         val recall = graft.operators.Similarity.ivfRecallAtK(
-          Tables.load(spark, sfDir, "embeddings"),
-          numCells = 32, probes = 12, k = 10, trainFraction = 0.25)
+          embDf, numCells = 32, probes = 12, k = 10, trainFraction = 0.25)
+        // PQ family health: trained-codebook reconstruction MSE plus
+        // two-stage (ADC preselect -> exact re-rank) recall@10 at
+        // fetch=100 — the serving shape whose recall a deployment
+        // actually tracks (raw ADC@k is within-region tie-break-bound)
+        val pqCs = graft.operators.Similarity.fitPqCodebooks(
+          embDf, m = 8, k = 16, iters = 10)
+        val pqRecall = graft.operators.Similarity.pqRecallAtK(
+          embDf, pqCs, k = 10, fetch = 100)
+        val pqMse = graft.operators.Similarity.pqReconstructionError(
+          embDf, pqCs)
         val nd = IndexBench.nearDup(spark, sfDir, iters = 3)
         val ct = IndexBench.contamination(spark, sfDir, iters = 3)
         val ex = IndexBench.exactDedup(spark, sfDir, iters = 3)
@@ -266,7 +276,7 @@ object Bench {
         val ing = IngestBench.run(spark, sfDir, nBatches = 4)
         val ingJson =
           s""""ingest_flatness_neardup":${numOrNull(IngestBench.flatness(ing.neardup.map(_._2)), 2)},"ingest_flatness_exact":${numOrNull(IngestBench.flatness(ing.exact.map(_._2)), 2)},"ingest_flatness_ivf":${numOrNull(IngestBench.flatness(ing.ivf.map(_._2)), 2)}"""
-        s"""{"ivf_recall_at_10":${num(recall, 4)},"neardup_screen_sec":${num(nd.screenSec, 3)},"neardup_full_sec":${num(nd.fullSec, 3)},"neardup_index_speedup":${num(nd.speedup, 2)},"contam_screen_sec":${num(ct.screenSec, 3)},"contam_full_sec":${num(ct.fullSec, 3)},"contam_index_speedup":${num(ct.speedup, 2)},"exact_screen_sec":${num(ex.screenSec, 3)},"exact_full_sec":${num(ex.fullSec, 3)},"exact_bloom_speedup":${num(ex.speedup, 2)},"exact_screen0_sec":${num(dr.screen0Sec, 3)},"exact_screen_appended_sec":${num(dr.screenAppendedSec, 3)},"exact_screen_compacted_sec":${num(dr.screenCompactedSec, 3)},"exact_append_drift":${num(dr.drift, 2)},"ivf_serve_sec":${num(iv.screenSec, 3)},"ivf_serve_full_sec":${num(iv.fullSec, 3)},"ivf_postings_speedup":${num(iv.speedup, 2)},$ingJson}"""
+        s"""{"ivf_recall_at_10":${num(recall, 4)},"pq_recall_at_10":${num(pqRecall, 4)},"pq_mse":${num(pqMse, 4)},"neardup_screen_sec":${num(nd.screenSec, 3)},"neardup_full_sec":${num(nd.fullSec, 3)},"neardup_index_speedup":${num(nd.speedup, 2)},"contam_screen_sec":${num(ct.screenSec, 3)},"contam_full_sec":${num(ct.fullSec, 3)},"contam_index_speedup":${num(ct.speedup, 2)},"exact_screen_sec":${num(ex.screenSec, 3)},"exact_full_sec":${num(ex.fullSec, 3)},"exact_bloom_speedup":${num(ex.speedup, 2)},"exact_screen0_sec":${num(dr.screen0Sec, 3)},"exact_screen_appended_sec":${num(dr.screenAppendedSec, 3)},"exact_screen_compacted_sec":${num(dr.screenCompactedSec, 3)},"exact_append_drift":${num(dr.drift, 2)},"ivf_serve_sec":${num(iv.screenSec, 3)},"ivf_serve_full_sec":${num(iv.fullSec, 3)},"ivf_postings_speedup":${num(iv.speedup, 2)},$ingJson}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message

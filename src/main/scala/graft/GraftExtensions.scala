@@ -122,6 +122,17 @@ object GraftExtensions {
           requireArity("graft_nfc", children, Seq(1))
           NfcNormalize(children.head)
         }),
+      // graft_pq_adc(lut array<double>, codes array<int>, k int) —
+      // asymmetric PQ distance (k = codes per subspace must be a
+      // foldable int literal: it shapes the lookup stride)
+      (FunctionIdentifier("graft_pq_adc"),
+        new ExpressionInfo(classOf[graft.expressions.PqAdc].getName,
+          "graft_pq_adc"),
+        (children: Seq[Expression]) => {
+          requireArity("graft_pq_adc", children, Seq(3))
+          graft.expressions.PqAdc(children(0), children(1),
+            foldableInt("graft_pq_adc", "k", children(2)))
+        }),
       // graft_topk(score double, id bigint, k int) — bounded-heap top-k
       // aggregate (k must be a foldable int literal: it sizes the heap)
       (FunctionIdentifier("graft_topk"),

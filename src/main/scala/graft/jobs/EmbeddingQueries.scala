@@ -365,6 +365,35 @@ object EmbeddingQueries {
       e.filter($"vec_id" < 20), cents, packed, probes = q34Probes, k = q34K)
   }
 
+  /** q89 PQ geometry: 8 subspaces × 8 dims over the 64-dim embeddings,
+    * 16 codewords per subspace taken as the dsub-slices of the first 16
+    * corpus vectors (vec_id ascending — SQL-reproducible, the q34
+    * fixed-centroid stance; the trained path is
+    * [[Similarity.fitPqCodebooks]], PqSpec-verified for reconstruction
+    * error), queries vec_id < 20, top-3 by ADC distance. */
+  val q89M = 8
+  val q89Codes = 16
+  val q89K = 3
+
+  // ---------------------------------------------------------------- q89
+  /** Product-quantization ADC top-k — the MEMORY side of 100 TB ANN
+    * (Jégou et al. TPAMI 2011, the FAISS IVF+PQ shape): the corpus is
+    * encoded ONCE into m codeword ids per vector
+    * ([[Similarity.pqEncodeCorpus]] — one scan, ~16–64× payload
+    * compression), each query computes one m×k distance lookup table,
+    * and every (query, candidate) pair costs m array lookups
+    * ([[graft.expressions.PqAdc]]) instead of a dim-length float scan.
+    * Both quantizer steps — encode argmin (d2 asc, code asc) and the
+    * ascending-subspace ADC sum — are bit-identical to the oracle's
+    * sequential list arithmetic, and ranking uses the 4-dp-rounded
+    * distance so near-ties cannot flip cross-engine. */
+  def q89AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cs = Similarity.pqCodebooksFromHead(e, m = q89M, k = q89Codes)
+    Similarity.pqTopKAdc(e, $"vec_id" < 20, cs, k = q89K)
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -457,7 +486,8 @@ object EmbeddingQueries {
     "q80_postings_compact_2l" -> (q80PostingsCompact2l _),
     "q82_postings_retained" -> (q82PostingsRetained _),
     "q83_postings_vacuum" -> (q83PostingsVacuum _),
-    "q88_postings_packed" -> (q88PostingsPacked _))
+    "q88_postings_packed" -> (q88PostingsPacked _),
+    "q89_ann_pq" -> (q89AnnPq _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -598,7 +628,54 @@ object EmbeddingQueries {
            FROM pairs)
          SELECT vec_id, neighbor_id, sim, rn FROM topk WHERE rn <= 3"""
 
+  /** q89's oracle: both PQ steps in plain SQL — the codebook table is
+    * the dsub-slices of the first 16 vectors, encode is a
+    * row_number argmin per (vector, subspace), the per-query lookup
+    * table is the same slice arithmetic, and the ADC sum is a
+    * subspace-ORDERED list_sum (ascending s — the kernel's exact
+    * accumulation order, so pre-round values are bit-identical). */
+  private val annPqSql =
+    """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         s AS (SELECT unnest(generate_series(0, 7)) AS s),
+         cb AS (
+           SELECT s.s, CAST(e.vec_id AS INT) AS code,
+                  e.v[(s.s*8+1):(s.s*8+8)] AS cw
+           FROM e CROSS JOIN s WHERE e.vec_id < 16),
+         enc0 AS (
+           SELECT e.vec_id, cb.s, cb.code,
+             list_sum(list_transform(e.v[(cb.s*8+1):(cb.s*8+8)],
+               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
+           FROM e CROSS JOIN cb),
+         enc AS (
+           SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, code ASC) AS rr
+           FROM enc0),
+         codes AS (SELECT vec_id, s, code FROM enc WHERE rr = 1),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         lut AS (
+           SELECT q.vec_id AS qid, cb.s, cb.code,
+             list_sum(list_transform(q.v[(cb.s*8+1):(cb.s*8+8)],
+               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
+           FROM q CROSS JOIN cb),
+         pairs AS (
+           SELECT l.qid AS vec_id, c.vec_id AS cand_id,
+             round(list_sum(list(l.d2 ORDER BY l.s)), 4) + 0.0 AS ad2
+           FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+           WHERE l.qid <> c.vec_id
+           GROUP BY l.qid, c.vec_id),
+         topk AS (
+           SELECT vec_id, cand_id AS neighbor_id, ad2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ad2 ASC, cand_id ASC) AS rn
+           FROM pairs)
+         SELECT vec_id, neighbor_id, ad2, rn FROM topk WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
+    "q89_ann_pq" -> annPqSql,
     "q88_postings_packed" -> packedServeSql,
     "q79_postings_compact" -> postingsRebuildSql,
     "q80_postings_compact_2l" -> postingsRebuild2lSql,

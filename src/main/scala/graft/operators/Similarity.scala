@@ -2477,4 +2477,262 @@ object Similarity {
     val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
     hits.toDouble / (emb.count() * k)
   }
+
+  // ============================================================== PQ
+  // Product quantization (Jégou/Douze/Schmid TPAMI 2011 — the FAISS
+  // IVF+PQ shape): the MEMORY side of 100 TB ANN. The postings families
+  // above bound the COMPUTE of a serve (cell pruning); their payload is
+  // still the full float vector (512 B at 64-dim float64). PQ encodes a
+  // vector as m codeword ids (m ints — 32 B here, 8 B packed), a ~16–64×
+  // payload compression, and serves with ASYMMETRIC distance (ADC): the
+  // query stays un-quantized, one m×k lookup table is computed per query,
+  // and every (query, candidate) pair costs m array lookups instead of a
+  // dim-length float scan. Codebooks are driver-side index metadata
+  // (m×k×dsub doubles) broadcast to the codegen kernels — the
+  // [[graft.expressions.IvfCentroidSet]] stance.
+
+  /** Oracle-twin PQ codebooks: subspace `s`'s codeword `c` = the s-th
+    * dsub-slice of the c-th corpus vector (vec_id ascending) — plain
+    * SQL both sides, exactly the q34 fixed-centroid stance (the trained
+    * path is [[fitPqCodebooks]], spec-verified for reconstruction
+    * error). Driver-side collect of k vectors — bounded index
+    * metadata. */
+  def pqCodebooksFromHead(emb: DataFrame, m: Int, k: Int):
+      graft.expressions.PqCodebookSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val head = prepared(emb).orderBy($"vec_id").limit(k)
+      .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    require(head.length == k, s"corpus has only ${head.length} < k=$k rows")
+    val dim = head(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codes = Array.tabulate(m * k) { r =>
+      val s = r / k
+      val c = r % k
+      java.util.Arrays.copyOfRange(head(c), s * dsub, (s + 1) * dsub)
+    }
+    graft.expressions.PqCodebookSet(m, dsub, k, codes)
+  }
+
+  /** Trained PQ codebooks: per-subspace Lloyd's
+    * ([[graft.expressions.IvfAssignKernel.lloyd]] — deterministic
+    * spread init + ascending-order scans) over a vec_id-ordered,
+    * size-capped training sample. The sample is collected driver-side
+    * (`sampleCap` × dim doubles — 32 MB at the 65 536 × 64 default; the
+    * documented model-on-driver boundary every fit in this family
+    * shares), the m sub-fits are each k×dsub-sized driver arithmetic.
+    * Deterministic across reruns and partitionings: the sample is
+    * hash-sampled then GLOBALLY ordered before collect. */
+  def fitPqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int = 10,
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      sampleCap: Int = 65536): graft.expressions.PqCodebookSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(iters >= 1, s"iters=$iters")
+    val sampled =
+      (if (trainFraction >= 1.0) prepared(emb)
+       else prepared(emb).sample(withReplacement = false, trainFraction, seed))
+        .orderBy($"vec_id").limit(sampleCap)
+        .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    require(sampled.nonEmpty, "PQ fit saw an empty sample — raise " +
+      "trainFraction or check the corpus")
+    val dim = sampled(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codes = new Array[Array[Double]](m * k)
+    var s = 0
+    while (s < m) {
+      val pts = sampled.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val (centers, _) = graft.expressions.IvfAssignKernel.lloyd(pts, k, iters)
+      // lloyd clamps k ≤ points; a tiny sample pads by cycling the
+      // fitted centers so the codebook keeps its declared geometry
+      var c = 0
+      while (c < k) {
+        codes(s * k + c) = centers(c % centers.length).clone()
+        c += 1
+      }
+      s += 1
+    }
+    graft.expressions.PqCodebookSet(m, dsub, k, codes)
+  }
+
+  /** One-scan corpus encode: `(vec_id, label, codes array<int>, pq_ck)`
+    * — per-row kernel work inside whole-stage codegen, no shuffle. The
+    * constant `pq_ck` column carries the codebook checksum (RLE's to
+    * nothing in parquet) so a persisted code relation can refuse a
+    * foreign codebook set at serve time ([[pqTopKFromCodes]]) — codes
+    * assigned under different codebooks are meaningless. */
+  def pqEncodeCorpus(emb: DataFrame,
+      cs: graft.expressions.PqCodebookSet): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bc = spark.sparkContext.broadcast(cs)
+    prepared(emb).select($"vec_id", $"label",
+      GraftColumnBridge.column(graft.expressions.PqEncode(bc,
+        GraftColumnBridge.expression($"v"))).as("codes"),
+      lit(cs.checksum).as("pq_ck"))
+  }
+
+  /** ADC top-k from an already-encoded code relation (the serve path a
+    * deployment runs per query batch — the corpus is encoded ONCE, this
+    * never touches a corpus vector): queries compute their m×k lookup
+    * table in one scan, the broadcast query block fans across the code
+    * relation, and each pair costs m lookups
+    * ([[graft.expressions.PqAdc]]). Ranking and output both use the
+    * 4-dp-rounded ADC distance (ascending, cand_id tie-break) so
+    * cross-engine float differences cannot flip near-tie neighbors —
+    * the [[graft.functions.VectorOps.roundedSim]] stance. Fails fast on
+    * a code relation carrying a foreign codebook checksum. */
+  def pqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+      cs: graft.expressions.PqCodebookSet, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val foreign = codes.select($"pq_ck").limit(1).as[Long].collect()
+    require(foreign.isEmpty || foreign(0) == cs.checksum,
+      s"code relation was encoded under codebook ${foreign.mkString}, " +
+        s"serve asked for ${cs.checksum} — re-encode or load the " +
+        "matching codebooks")
+    val bc = spark.sparkContext.broadcast(cs)
+    val q = queries.select($"vec_id".as("query_id"),
+      GraftColumnBridge.column(graft.expressions.PqLut(bc,
+        GraftColumnBridge.expression(asDouble($"embedding")))).as("lut"))
+    // the broadcast join fans out |queries|× — pre-split a narrow or
+    // single-file code scan to the cluster's parallelism first (the
+    // bruteForceTopK stance; code rows are ~m ints so the exchange is
+    // cheap next to the fan-out it parallelizes)
+    val par = spark.sparkContext.defaultParallelism
+    val corpus =
+      if (codes.rdd.getNumPartitions >= par / 2) codes
+      else {
+        val bytes = GraftColumnBridge.planSizeBytes(codes)
+        if (bytes < (32L << 20)) codes else codes.repartition(par)
+      }
+    val pairs = corpus
+      .join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("ad2r", round(GraftColumnBridge.column(
+        graft.expressions.PqAdc(GraftColumnBridge.expression($"lut"),
+          GraftColumnBridge.expression($"codes"), cs.k)), 4) + lit(0.0))
+      // rank ASCENDING via the bounded-heap top-k aggregate (negated
+      // score — all-zero distances negate to a uniform -0.0, so the
+      // heap never compares mixed zero signs)
+      .select($"query_id", $"vec_id", (-$"ad2r").as("sim"))
+    topKPerQuery(pairs, "query_id", "vec_id", k)
+      .select($"query_id".as("vec_id"), $"neighbor_id",
+        ((-$"sim") + lit(0.0)).as("ad2"), $"rn")
+  }
+
+  /** PQ ADC top-k end-to-end: encode the corpus (one scan) and serve
+    * the `queryPred` block against the codes. The declared-query shape;
+    * a deployment persists [[pqEncodeCorpus]]'s output and calls
+    * [[pqTopKFromCodes]] per batch instead. */
+  def pqTopKAdc(emb: DataFrame, queryPred: Column,
+      cs: graft.expressions.PqCodebookSet, k: Int): DataFrame =
+    pqTopKFromCodes(pqEncodeCorpus(emb, cs), emb.filter(queryPred), cs, k)
+
+  /** PQ serve with exact RE-RANK — the production two-stage shape
+    * (FAISS's `IndexPQ + refine`): ADC preselects `fetch ≥ k`
+    * candidates from the compressed codes (cheap, memory-bound), then
+    * ONLY those ~queries×fetch rows join back to the full-vector
+    * corpus for an exact L2 re-rank. The quantizer bounds which rows
+    * are ever looked at; the float vectors are touched ∝ fetch, never
+    * ∝ corpus — at 100 TB the re-rank join is a broadcast of the
+    * (query, cand) preselect list against the id-sorted corpus, a
+    * pushed-down point-lookup scan. Within-cell ADC ties (all members
+    * of one quantization region score identically) stop mattering:
+    * the re-rank restores exact order, so recall is governed by
+    * `fetch`, not by tie-break luck. */
+  def pqTopKRerank(emb: DataFrame, queryPred: Column,
+      cs: graft.expressions.PqCodebookSet, k: Int, fetch: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(fetch >= k, s"fetch=$fetch must be >= k=$k")
+    val pre = pqTopKAdc(emb, queryPred, cs, fetch)
+      .select($"vec_id".as("query_id"), $"neighbor_id")
+    val corpus = prepared(emb)
+      .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val queries = prepared(emb).filter(queryPred)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val pairs = pre
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("d2r",
+        round($"qn" * $"qn" + $"cn" * $"cn" - lit(2.0) * dot($"qv", $"cv"), 4)
+          + lit(0.0))
+      .select($"query_id", $"neighbor_id".as("cand"), (-$"d2r").as("sim"))
+    topKPerQuery(pairs, "query_id", "cand", k)
+      .select($"query_id".as("vec_id"), $"neighbor_id",
+        ((-$"sim") + lit(0.0)).as("d2"), $"rn")
+  }
+
+  /** Mean squared reconstruction error of the codebooks over the corpus
+    * — the fit-quality number a PQ deployment tracks per codebook build
+    * (lower = tighter codes = better ADC ranking). One scan: encode +
+    * per-row ADC of the vector against its OWN codes (ADC of v to
+    * itself through the codebooks IS the reconstruction error:
+    * Σ_s ‖v_s − c_{s,code_s}‖²). */
+  def pqReconstructionError(emb: DataFrame,
+      cs: graft.expressions.PqCodebookSet): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bc = spark.sparkContext.broadcast(cs)
+    prepared(emb).select(
+      GraftColumnBridge.column(graft.expressions.PqAdc(
+        GraftColumnBridge.expression(GraftColumnBridge.column(
+          graft.expressions.PqLut(bc, GraftColumnBridge.expression($"v")))),
+        GraftColumnBridge.expression(GraftColumnBridge.column(
+          graft.expressions.PqEncode(bc, GraftColumnBridge.expression($"v")))),
+        cs.k)).as("e"))
+      .agg(avg($"e")).as[Double].collect()(0)
+  }
+
+  /** Exact L2 top-k (brute force) — the truth relation for the PQ
+    * family, which quantizes SQUARED L2 distance (cosine truth would
+    * grade the quantizer against a metric it never approximated).
+    * Same broadcast-queries/stream-corpus shape as [[bruteForceTopK]],
+    * ranked on the 4-dp-rounded distance ascending, cand_id
+    * tie-break. */
+  def bruteForceTopKL2(emb: DataFrame, queryPred: Column,
+      k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val corpus = prepared(emb)
+    val queries = prepared(emb).filter(queryPred)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val pairs = corpus
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("d2r",
+        round($"qn" * $"qn" + $"nrm" * $"nrm" - lit(2.0) * dot($"qv", $"v"), 4)
+          + lit(0.0))
+      .select($"query_id", $"vec_id", (-$"d2r").as("sim"))
+    topKPerQuery(pairs, "query_id", "vec_id", k)
+      .select($"query_id", $"neighbor_id",
+        ((-$"sim") + lit(0.0)).as("d2"), $"rn")
+  }
+
+  /** Measured recall@k of the PQ route against exact L2 truth — the
+    * quality number next to [[pqReconstructionError]] (rides the bench
+    * metrics block; PqSpec pins a floor on a clustered fixture).
+    * `fetch > k` grades the two-stage serve ([[pqTopKRerank]] — the
+    * number that actually matters in production, since plain ADC@k is
+    * bounded by within-region tie-break luck); `fetch = k` (default)
+    * grades raw ADC ranking. */
+  def pqRecallAtK(emb: DataFrame, cs: graft.expressions.PqCodebookSet,
+      k: Int, fetch: Int = -1): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val f = if (fetch < k) k else fetch
+    val truth = bruteForceTopKL2(emb, lit(true), k)
+      .select($"query_id", $"neighbor_id")
+    val approx =
+      (if (f == k) pqTopKAdc(emb, lit(true), cs, k)
+       else pqTopKRerank(emb, lit(true), cs, k, f))
+        .select($"vec_id".as("query_id"), $"neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / (emb.count() * k)
+  }
 }
