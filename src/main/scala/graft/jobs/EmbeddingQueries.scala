@@ -394,6 +394,33 @@ object EmbeddingQueries {
     Similarity.pqTopKAdc(e, $"vec_id" < 20, cs, k = q89K)
   }
 
+  /** q90 geometry: q34's coarse quantizer (first-8 fixed cells, 2-probe,
+    * cellCap 200) composed with q89's PQ (8×8-dim subspaces, 16
+    * head-slice codewords), ADC preselect [[q90Fetch]] deep, exact
+    * re-rank to top-3. */
+  val q90Fetch = 10
+
+  // ---------------------------------------------------------------- q90
+  /** IVF+PQ two-stage ANN — the full FAISS `IndexIVFPQ` serve, both
+    * scale bounds composed and oracle-checked: the coarse quantizer
+    * bounds COMPUTE (a query meets only its 2 probed cells' members),
+    * PQ bounds MEMORY (the index side carries m codeword ids per
+    * vector, no floats — the float vectors reappear only in the
+    * `fetch`-deep exact re-rank, touched ∝ queries×fetch). Every rank
+    * step is 4-dp-rounded with id tie-breaks, so the DuckDB oracle —
+    * assignment windows + encode argmin + ordered ADC sum + re-rank,
+    * all plain SQL — hash-matches the composed route end to end. */
+  def q90AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val centroids = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id".cast("int").as("cell"),
+        asDouble($"embedding").as("centroid"))
+    val cs = Similarity.pqCodebooksFromHead(e, m = q89M, k = q89Codes)
+    Similarity.ivfPqTopKWithCentroids(e, $"vec_id" < 20, centroids, cs,
+      probes = q34Probes, k = q89K, fetch = q90Fetch, cellCap = q34CellCap)
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -487,7 +514,8 @@ object EmbeddingQueries {
     "q82_postings_retained" -> (q82PostingsRetained _),
     "q83_postings_vacuum" -> (q83PostingsVacuum _),
     "q88_postings_packed" -> (q88PostingsPacked _),
-    "q89_ann_pq" -> (q89AnnPq _))
+    "q89_ann_pq" -> (q89AnnPq _),
+    "q90_ann_ivfpq" -> (q90AnnIvfPq _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -674,7 +702,94 @@ object EmbeddingQueries {
            FROM pairs)
          SELECT vec_id, neighbor_id, ad2, rn FROM topk WHERE rn <= 3"""
 
+  /** q90's oracle: the whole IVF+PQ serve in plain SQL — q34's
+    * assignment windows (home cells, cell cap, probed cells), q89's
+    * encode argmin + per-query lookup table, the ADC preselect as a
+    * subspace-ORDERED list_sum ranked (ad2 asc, cand asc) to fetch
+    * depth, and the exact re-rank over the preselected pairs only. */
+  private val annIvfPqSql =
+    """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         c AS (
+           SELECT CAST(vec_id AS INT) AS cell, v AS centroid,
+                  list_dot_product(v, v) AS cn2
+           FROM e WHERE vec_id < 8),
+         d AS (
+           SELECT n.vec_id, c.cell,
+             n.nrm * n.nrm + c.cn2
+               - 2.0 * list_dot_product(n.v, c.centroid) AS d2
+           FROM n CROSS JOIN c),
+         assigned AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS cr
+           FROM d),
+         idx AS (
+           SELECT cell, vec_id AS cand_id FROM (
+             SELECT cell, vec_id,
+               row_number() OVER (PARTITION BY cell
+                                  ORDER BY d2 ASC, vec_id ASC) AS cell_rank
+             FROM assigned WHERE cr = 1)
+           WHERE cell_rank <= 200),
+         s AS (SELECT unnest(generate_series(0, 7)) AS s),
+         cb AS (
+           SELECT s.s, CAST(e.vec_id AS INT) AS code,
+                  e.v[(s.s*8+1):(s.s*8+8)] AS cw
+           FROM e CROSS JOIN s WHERE e.vec_id < 16),
+         enc0 AS (
+           SELECT e.vec_id, cb.s, cb.code,
+             list_sum(list_transform(e.v[(cb.s*8+1):(cb.s*8+8)],
+               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
+           FROM e CROSS JOIN cb),
+         enc AS (
+           SELECT vec_id, s, code,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, code ASC) AS rr
+           FROM enc0),
+         codes AS (SELECT vec_id, s, code FROM enc WHERE rr = 1),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         qp AS (
+           SELECT vec_id, cell FROM assigned
+           WHERE cr <= 2 AND vec_id < 20),
+         lut AS (
+           SELECT q.vec_id AS qid, cb.s, cb.code,
+             list_sum(list_transform(q.v[(cb.s*8+1):(cb.s*8+8)],
+               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
+           FROM q CROSS JOIN cb),
+         pairs0 AS (
+           SELECT qp.vec_id, i.cand_id,
+             round(list_sum(list(l.d2 ORDER BY l.s)), 4) + 0.0 AS ad2
+           FROM qp JOIN idx i ON i.cell = qp.cell
+           JOIN codes cd ON cd.vec_id = i.cand_id
+           JOIN lut l ON l.qid = qp.vec_id AND l.s = cd.s
+                     AND l.code = cd.code
+           WHERE qp.vec_id <> i.cand_id
+           GROUP BY qp.vec_id, i.cand_id),
+         pre AS (
+           SELECT vec_id, cand_id FROM (
+             SELECT vec_id, cand_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ad2 ASC, cand_id ASC) AS pr
+             FROM pairs0)
+           WHERE pr <= 10),
+         rr AS (
+           SELECT pre.vec_id, pre.cand_id AS neighbor_id,
+             round(qn.nrm * qn.nrm + cn.nrm * cn.nrm
+               - 2.0 * list_dot_product(qn.v, cn.v), 4) + 0.0 AS d2
+           FROM pre JOIN n qn ON qn.vec_id = pre.vec_id
+                    JOIN n cn ON cn.vec_id = pre.cand_id),
+         topk AS (
+           SELECT vec_id, neighbor_id, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS rn
+           FROM rr)
+         SELECT vec_id, neighbor_id, d2, rn FROM topk WHERE rn <= 3"""
+
   val oracle: Map[String, String] = Map(
+    "q90_ann_ivfpq" -> annIvfPqSql,
     "q89_ann_pq" -> annPqSql,
     "q88_postings_packed" -> packedServeSql,
     "q79_postings_compact" -> postingsRebuildSql,

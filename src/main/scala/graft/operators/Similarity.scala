@@ -2652,6 +2652,21 @@ object Similarity {
     require(fetch >= k, s"fetch=$fetch must be >= k=$k")
     val pre = pqTopKAdc(emb, queryPred, cs, fetch)
       .select($"vec_id".as("query_id"), $"neighbor_id")
+    rerankExactL2(emb, queryPred, pre, k)
+  }
+
+  /** Exact-L2 re-rank of a preselected `(query_id, neighbor_id)` pair
+    * list: only those rows join back to the full-vector corpus, ranked
+    * on the 4-dp-rounded squared distance ascending (cand_id
+    * tie-break). Output `(vec_id, neighbor_id, d2, rn)`. The float
+    * vectors are touched ∝ |pre|, never ∝ corpus — at scale the pair
+    * list broadcasts and the corpus side is a pushed-down point-lookup
+    * scan. Shared tail of every two-stage serve
+    * ([[pqTopKRerank]], [[ivfPqTopKWithCentroids]]). */
+  private def rerankExactL2(emb: DataFrame, queryPred: Column,
+      pre: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val corpus = prepared(emb)
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
     val queries = prepared(emb).filter(queryPred)
@@ -2666,6 +2681,71 @@ object Similarity {
     topKPerQuery(pairs, "query_id", "cand", k)
       .select($"query_id".as("vec_id"), $"neighbor_id",
         ((-$"sim") + lit(0.0)).as("d2"), $"rn")
+  }
+
+  /** IVF+PQ serve — the full FAISS `IndexIVFPQ` composition, both
+    * bounds at once: the coarse quantizer prunes WHICH candidates are
+    * scored (a query meets only its `probes` nearest cells' members,
+    * hot cells capped — the compute bound), PQ compresses WHAT the
+    * index side carries (`(cell, cand_id, codes)` — m ints per vector,
+    * no floats — the memory bound), ADC ranks the pruned candidates
+    * with m lookups per pair, and the `fetch`-deep preselect re-ranks
+    * exactly against the full vectors ([[rerankExactL2]] — touched
+    * ∝ queries×fetch, never ∝ corpus). Fixed `centroids` make the
+    * whole route SQL-expressible (the q34/q89 oracle stance; trained
+    * paths compose [[fitIvfIndex]]/[[fitPqCodebooks]] into the same
+    * serve). At 100 TB: the index side is one scan assigning + encoding
+    * (both codegen kernels over broadcast artifacts), candidates fan
+    * through the cell join ∝ probed-cell populations, and nothing
+    * vector-sized ever shuffles — codes rows are ~4×m bytes. */
+  def ivfPqTopKWithCentroids(emb: DataFrame, queryPred: Column,
+      centroids: DataFrame, cs: graft.expressions.PqCodebookSet,
+      probes: Int, k: Int, fetch: Int,
+      cellCap: Int = Int.MaxValue): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    require(fetch >= k, s"fetch=$fetch must be >= k=$k")
+    val bc = spark.sparkContext.broadcast(cs)
+    val corpus = prepared(emb)
+    val cents = centroids
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+      .select($"cell", $"centroid", $"cn2")
+    // coarse assignment — the ivfTopKWithCentroids shape: null d2
+    // (mis-dimensioned vector) dropped BEFORE ranking on both sides
+    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    val ranked = corpus
+      .join(broadcast(cents))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .filter($"d2".isNotNull)
+      .withColumn("cr", row_number().over(byDist))
+    // index side: home cell, capped, ENCODED — the float vector is
+    // dropped here and never carried again until the re-rank
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"vec_id".asc)
+    val indexed = ranked.filter($"cr" === 1)
+      .withColumn("cellRank", row_number().over(byCell))
+      .filter($"cellRank" <= cellCap)
+      .select($"cell", $"vec_id".as("cand_id"),
+        GraftColumnBridge.column(graft.expressions.PqEncode(bc,
+          GraftColumnBridge.expression($"v"))).as("codes"))
+    // query side: probed cells + one ADC lookup table per query
+    val queries = ranked.filter($"cr" <= probes && queryPred)
+      .select($"cell", $"vec_id",
+        GraftColumnBridge.column(graft.expressions.PqLut(bc,
+          GraftColumnBridge.expression($"v"))).as("lut"))
+    // each candidate lives under exactly ONE home cell and a query
+    // probes distinct cells, so a (query, candidate) pair meets once
+    val pairs = queries
+      .join(indexed, Seq("cell"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("ad2r", round(GraftColumnBridge.column(
+        graft.expressions.PqAdc(GraftColumnBridge.expression($"lut"),
+          GraftColumnBridge.expression($"codes"), cs.k)), 4) + lit(0.0))
+      .select($"vec_id", $"cand_id", (-$"ad2r").as("sim"))
+    val pre = topKPerQuery(pairs, "vec_id", "cand_id", fetch)
+      .select($"vec_id".as("query_id"), $"neighbor_id")
+    rerankExactL2(emb, queryPred, pre, k)
   }
 
   /** Mean squared reconstruction error of the codebooks over the corpus

@@ -34,11 +34,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     * a fixed small multiplier on a single corpus pass. q56 is
     * deliberately NOT here — its corpus count enters as a scalar
     * subquery (Dataset.scalar()), so the plan must contain no
-    * nested-loop join at all. */
+    * nested-loop join at all. q89 serves a bounded broadcast query
+    * block (with its per-query ADC lookup table) against the code
+    * relation under the same non-equi `vec_id =!= query_id` condition
+    * as q24 — the q24 shape over compressed codes. q90 is deliberately
+    * NOT exempt for its ADC stage (its candidate join is an equi-join
+    * on the probed cell), but its coarse-assignment stage fans the
+    * corpus across the broadcast 8-row centroid table exactly like
+    * q34, so it shares that allowance. */
   private val bnlAllowed =
     Set("q24_cosine_topk", "q34_ann_ivf", "q55_semantic_dedup",
       "q78_postings_roll", "q79_postings_compact",
-      "q80_postings_compact_2l")
+      "q80_postings_compact_2l", "q89_ann_pq", "q90_ann_ivfpq")
 
   test("no cartesian product or nested-loop join outside the allowed set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -174,6 +174,37 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(refit.checksum == trained.checksum)
   }
 
+  test("ivf+pq: probing every cell with a corpus-wide fetch degrades " +
+      "to exact L2 search; a 1-probe pruned serve recovers clustered " +
+      "neighbors") {
+    import org.apache.spark.sql.DataFrame
+    val e = df(clustered(n = 120, m = 4, dsub = 4, centers = 10))
+    val cs = Similarity.fitPqCodebooks(e, m = 4, k = 8, iters = 8)
+    // centroids = first 10 vectors; i % 10 cluster assignment makes
+    // them land one per cluster, so cells ≈ clusters
+    val cents = e.filter($"vec_id" < 10)
+      .select($"vec_id".cast("int").as("cell"),
+        asDouble($"embedding").as("centroid"))
+    def rows(d: DataFrame) = d
+      .select(col(d.columns(0)).as("q"), $"neighbor_id", $"d2", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = rows(Similarity.bruteForceTopKL2(e, $"vec_id" < 15, k = 4))
+    // degenerate: every cell probed + fetch ≥ corpus ⇒ the coarse
+    // quantizer prunes nothing and the re-rank IS exact search
+    val all = rows(Similarity.ivfPqTopKWithCentroids(e, $"vec_id" < 15,
+      cents, cs, probes = 10, k = 4, fetch = 200))
+    assert(all == want)
+    // pruned: 1 probe — the true neighbors are same-cluster members
+    // sharing the query's home cell, so the pruned serve still
+    // recovers (nearly) all of them
+    val pruned = rows(Similarity.ivfPqTopKWithCentroids(e, $"vec_id" < 15,
+      cents, cs, probes = 1, k = 4, fetch = 50))
+    val hits = pruned.map { case (q, nb, _, _) => (q, nb) }
+      .intersect(want.map { case (q, nb, _, _) => (q, nb) })
+    assert(hits.size.toDouble / want.size >= 0.9,
+      s"pruned recall ${hits.size.toDouble / want.size}")
+  }
+
   test("pq kernel: lut layout is s*k+c and encode/lut/adc compose to " +
       "the reconstruction identity") {
     val e = df(clustered(n = 50, m = 4, dsub = 4, centers = 6))
