@@ -253,9 +253,12 @@ object Bench {
         // PQ family health: trained-codebook reconstruction MSE plus
         // two-stage (ADC preselect -> exact re-rank) recall@10 at
         // fetch=100 — the serving shape whose recall a deployment
-        // actually tracks (raw ADC@k is within-region tie-break-bound)
+        // actually tracks (raw ADC@k is within-region tie-break-bound).
+        // k=256 = the standard one-byte-per-subspace codebook, the
+        // PqSweep knee at sf0.1 (16/64/256 -> recall .59/.80/.90,
+        // SURVEY §6.2); fit is sub-second at any of the three.
         val pqCs = graft.operators.Similarity.fitPqCodebooks(
-          embDf, m = 8, k = 16, iters = 10)
+          embDf, m = 8, k = 256, iters = 10)
         val pqRecall = graft.operators.Similarity.pqRecallAtK(
           embDf, pqCs, k = 10, fetch = 100)
         val pqMse = graft.operators.Similarity.pqReconstructionError(
