@@ -2591,9 +2591,15 @@ object Similarity {
     val spark = codes.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
-    val foreign = codes.select($"pq_ck").limit(1).as[Long].collect()
-    require(foreign.isEmpty || foreign(0) == cs.checksum,
-      s"code relation was encoded under codebook ${foreign.mkString}, " +
+    // distinct, not first-row: a UNION of code relations encoded under
+    // different codebooks must fail here too (mixed codes are each
+    // individually meaningless against the wrong lut). The checksum
+    // column is constant per encode, so the distinct collapses
+    // map-side to ≤1 value per input file.
+    val foreign = codes.select($"pq_ck").distinct()
+      .as[Long].collect().filterNot(_ == cs.checksum)
+    require(foreign.isEmpty,
+      s"code relation carries codebook checksum(s) ${foreign.mkString(",")}, " +
         s"serve asked for ${cs.checksum} — re-encode or load the " +
         "matching codebooks")
     val bc = spark.sparkContext.broadcast(cs)

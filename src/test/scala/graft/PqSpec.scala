@@ -133,7 +133,8 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       .filter($"d".isNull).count() == 1)
   }
 
-  test("serve: checksum fail-fast refuses a foreign codebook set") {
+  test("serve: checksum fail-fast refuses a foreign codebook set, " +
+      "including one hidden inside a mixed union") {
     val e = embTable.limit(64)
     val cs = Similarity.pqCodebooksFromHead(e, 8, 16)
     val other = Similarity.pqCodebooksFromHead(e, 8, 8)
@@ -141,8 +142,17 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     val ex = intercept[IllegalArgumentException] {
       Similarity.pqTopKFromCodes(codes, e.limit(5), other, k = 3)
     }
-    assert(ex.getMessage.contains("foreign") ||
-      ex.getMessage.contains("re-encode"))
+    assert(ex.getMessage.contains("re-encode"))
+    // a union that LEADS with matching rows still fails: the check is
+    // over distinct checksums, not the first row
+    val mixed = codes.unionByName(Similarity.pqEncodeCorpus(e, other))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromCodes(mixed, e.limit(5), cs, k = 3)
+    }
+    assert(ex2.getMessage.contains("re-encode"))
+    // and the matching relation still serves
+    assert(Similarity.pqTopKFromCodes(codes, e.limit(5), cs, k = 3)
+      .count() == 15)
   }
 
   test("recall: ADC top-k recovers exact-L2 neighbors on a clustered " +
