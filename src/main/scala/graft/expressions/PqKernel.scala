@@ -149,9 +149,13 @@ object PqKernel {
     var acc = 0.0
     var s = 0
     while (s < m) {
-      if (codes.isNullAt(s) || lut.isNullAt(s)) return null
+      if (codes.isNullAt(s)) return null
       val c = codes.getInt(s)
       if (c < 0 || c >= k) return null
+      // null-check the slot actually read (s·k+c), not slot s — a null
+      // lut element beyond index m would otherwise contribute 0.0 and
+      // silently mis-rank instead of dropping the row
+      if (lut.isNullAt(s * k + c)) return null
       acc += lut.getDouble(s * k + c)
       s += 1
     }

@@ -850,24 +850,30 @@ object Dedup {
       path: String): DataFrame =
     minhashIndexWithParams(spark, path)._1
 
-  /** The minhash artifact's (scan, params) from ONE manifest read —
-    * shared by the serve, screen, and compaction paths. */
+  /** The minhash artifact's (scan, params thunk) from ONE manifest
+    * read — shared by the serve, screen, and compaction paths. The
+    * params half is LAZY on the manifest-less fallback (a data-head
+    * `take(1)` job): read-only callers ([[readMinhashIndex]]) keep the
+    * plain discovering scan — no extra Spark job, and an empty
+    * manifest-less index still returns its (empty) frame instead of
+    * throwing at open. */
   private def minhashIndexWithParams(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, (Int, Int, Int, Boolean)) = {
+      path: String): (DataFrame, () => (Int, Int, Int, Boolean)) = {
     graft.sources.WarehouseWriter.recoverSwap(spark, path)
     ArtifactManifest.readClean(spark, path, MinhashIndexFamily) match {
       case Some(st) =>
         val params = (st.params("k").toInt, st.params("hashes").toInt,
           st.params("bands").toInt, st.params("hashed").toBoolean)
         (ArtifactManifest.readFlatFromState(spark, path, st,
-          minhashIndexSchema(params._4)), params)
+          minhashIndexSchema(params._4)), () => params)
       case None =>
         ArtifactManifest.requireFamilyOrUnknown(spark, path,
           MinhashIndexFamily)
         spark.catalog.refreshByPath(path)
         val df = spark.read.parquet(path)
-        (df, minhashIndexParams(df))
+        lazy val p = minhashIndexParams(df)
+        (df, () => p)
     }
   }
 
@@ -963,7 +969,7 @@ object Dedup {
   private def minhashArtifactParams(
       spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int, Boolean) =
-    minhashIndexWithParams(spark, path)._2
+    minhashIndexWithParams(spark, path)._2()
 
   /** [[nearDupAgainstIndex]] THROUGH a persisted artifact: the index
     * side resolves via the manifest-planned [[readMinhashIndex]] (zero
@@ -1547,20 +1553,22 @@ object Dedup {
     * else would signal recovery). */
   private def winnowIndexWithParams(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, (Int, Int, String)) = {
+      path: String): (DataFrame, () => (Int, Int, String)) = {
     graft.sources.WarehouseWriter.recoverSwap(spark, path)
     ArtifactManifest.readClean(spark, path, WinnowIndexFamily) match {
       case Some(st) =>
+        val params = (st.params("wf_k").toInt, st.params("wf_w").toInt,
+          st.params("wf_algo"))
         (ArtifactManifest.readFlatFromState(spark, path, st,
-          winnowIndexSchema),
-          (st.params("wf_k").toInt, st.params("wf_w").toInt,
-            st.params("wf_algo")))
+          winnowIndexSchema), () => params)
       case None =>
         ArtifactManifest.requireFamilyOrUnknown(spark, path,
           WinnowIndexFamily)
         spark.catalog.refreshByPath(path)
         val df = spark.read.parquet(path)
-        (df, winnowIndexParams(df))
+        // lazy (a take(1) job): read-only callers keep the plain scan
+        lazy val p = winnowIndexParams(df)
+        (df, () => p)
     }
   }
 
@@ -1569,7 +1577,7 @@ object Dedup {
     * artifacts. */
   private def winnowArtifactParams(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, String) =
-    winnowIndexWithParams(spark, path)._2
+    winnowIndexWithParams(spark, path)._2()
 
   /** Persist a [[winnowIndex]] as a range-sorted parquet DIRECTORY —
     * sorted on `fingerprint` so the screen's candidate-fingerprint IN
@@ -1711,7 +1719,8 @@ object Dedup {
       minShared: Int = 2, inListLimit: Int = 1000): DataFrame = {
     import spark.implicits._
     // one sidecar read serves both the params and the planned scan
-    val (index, (k, w, algo)) = winnowIndexWithParams(spark, path)
+    val (index, paramsFn) = winnowIndexWithParams(spark, path)
+    val (k, w, algo) = paramsFn()
     val candFp = winnowFingerprints(newDocs, k, w, algo)
       .localCheckpoint(true)
     val candSet = candFp.select($"fingerprint").distinct()

@@ -2522,8 +2522,12 @@ object Similarity {
     * (`sampleCap` × dim doubles — 32 MB at the 65 536 × 64 default; the
     * documented model-on-driver boundary every fit in this family
     * shares), the m sub-fits are each k×dsub-sized driver arithmetic.
-    * Deterministic across reruns and partitionings: the sample is
-    * hash-sampled then GLOBALLY ordered before collect. */
+    * Deterministic across reruns and partitionings: the sample is a
+    * CONTENT-hash predicate on `vec_id` (xxhash64 threshold — a row's
+    * membership depends only on its key, never on the partition it
+    * sits in; `DataFrame.sample` is seeded per partition index and
+    * would reshuffle the selection with the input layout), then
+    * GLOBALLY ordered before collect. */
   def fitPqCodebooks(emb: DataFrame, m: Int, k: Int, iters: Int = 10,
       seed: Long = 42L, trainFraction: Double = 1.0,
       sampleCap: Int = 65536): graft.expressions.PqCodebookSet = {
@@ -2532,7 +2536,9 @@ object Similarity {
     require(iters >= 1, s"iters=$iters")
     val sampled =
       (if (trainFraction >= 1.0) prepared(emb)
-       else prepared(emb).sample(withReplacement = false, trainFraction, seed))
+       else prepared(emb).filter(
+         pmod(xxhash64($"vec_id", lit(seed)), lit(1000000L))
+           < lit((trainFraction * 1000000L).toLong)))
         .orderBy($"vec_id").limit(sampleCap)
         .select($"v").as[Seq[Double]].collect().map(_.toArray)
     require(sampled.nonEmpty, "PQ fit saw an empty sample — raise " +
