@@ -395,9 +395,9 @@ object EmbeddingQueries {
   }
 
   /** q90 geometry: q34's coarse quantizer (first-8 fixed cells, 2-probe,
-    * cellCap 200) composed with q89's PQ (8×8-dim subspaces, 16
-    * head-slice codewords), ADC preselect [[q90Fetch]] deep, exact
-    * re-rank to top-3. */
+    * cellCap 200) composed with RESIDUAL PQ (8×8-dim subspaces, 16
+    * codewords = the residual slices of the first 16 corpus vectors),
+    * ADC preselect [[q90Fetch]] deep, exact re-rank to top-3. */
   val q90Fetch = 10
 
   // ---------------------------------------------------------------- q90
@@ -406,17 +406,27 @@ object EmbeddingQueries {
     * bounds COMPUTE (a query meets only its 2 probed cells' members),
     * PQ bounds MEMORY (the index side carries m codeword ids per
     * vector, no floats — the float vectors reappear only in the
-    * `fetch`-deep exact re-rank, touched ∝ queries×fetch). Every rank
-    * step is 4-dp-rounded with id tie-breaks, so the DuckDB oracle —
-    * assignment windows + encode argmin + ordered ADC sum + re-rank,
+    * `fetch`-deep exact re-rank, touched ∝ queries×fetch). RESIDUAL
+    * encoding (r19): codes quantize `v − centroid(home cell)` and each
+    * (query, probed cell) pair builds its lookup table against
+    * `q − centroid(cell)` — the published IVFADC form (codebook
+    * capacity describes within-cell geometry instead of re-describing
+    * the coarse layout). Every rank step is 4-dp-rounded with id
+    * tie-breaks, so the DuckDB oracle — assignment windows + residual
+    * transform + encode argmin + ordered per-cell ADC sum + re-rank,
     * all plain SQL — hash-matches the composed route end to end. */
   def q90AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir)
+    val centArr = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
     val centroids = e.filter($"vec_id" < q34Cells)
       .select($"vec_id".cast("int").as("cell"),
         asDouble($"embedding").as("centroid"))
-    val cs = Similarity.pqCodebooksFromHead(e, m = q89M, k = q89Codes)
+    val cs = Similarity.pqCodebooksFromHeadResidual(e, centArr,
+      m = q89M, k = q89Codes)
     Similarity.ivfPqTopKWithCentroids(e, $"vec_id" < 20, centroids, cs,
       probes = q34Probes, k = q89K, fetch = q90Fetch, cellCap = q34CellCap)
   }
@@ -702,9 +712,12 @@ object EmbeddingQueries {
            FROM pairs)
          SELECT vec_id, neighbor_id, ad2, rn FROM topk WHERE rn <= 3"""
 
-  /** q90's oracle: the whole IVF+PQ serve in plain SQL — q34's
-    * assignment windows (home cells, cell cap, probed cells), q89's
-    * encode argmin + per-query lookup table, the ADC preselect as a
+  /** q90's oracle: the whole RESIDUAL IVF+PQ serve in plain SQL —
+    * q34's assignment windows (home cells, cell cap, probed cells),
+    * the residual transform `v − centroid(home cell)` as an indexed
+    * list_transform, codebooks = residual slices of the first 16
+    * vectors, encode argmin over residual slices, a PER-(query, cell)
+    * lookup table over `q − centroid(cell)`, the ADC preselect as a
     * subspace-ORDERED list_sum ranked (ad2 asc, cand asc) to fetch
     * depth, and the exact re-rank over the preselected pairs only. */
   private val annIvfPqSql =
@@ -719,7 +732,7 @@ object EmbeddingQueries {
                   list_dot_product(v, v) AS cn2
            FROM e WHERE vec_id < 8),
          d AS (
-           SELECT n.vec_id, c.cell,
+           SELECT n.vec_id, n.v, c.cell,
              n.nrm * n.nrm + c.cn2
                - 2.0 * list_dot_product(n.v, c.centroid) AS d2
            FROM n CROSS JOIN c),
@@ -727,47 +740,55 @@ object EmbeddingQueries {
            SELECT *, row_number() OVER (PARTITION BY vec_id
                                         ORDER BY d2 ASC, cell ASC) AS cr
            FROM d),
+         home AS (
+           SELECT a.vec_id, a.cell, a.d2,
+             list_transform(a.v, (x, i) -> x - c.centroid[i]) AS r
+           FROM assigned a JOIN c ON c.cell = a.cell
+           WHERE a.cr = 1),
          idx AS (
-           SELECT cell, vec_id AS cand_id FROM (
-             SELECT cell, vec_id,
+           SELECT cell, vec_id AS cand_id, r FROM (
+             SELECT cell, vec_id, r,
                row_number() OVER (PARTITION BY cell
                                   ORDER BY d2 ASC, vec_id ASC) AS cell_rank
-             FROM assigned WHERE cr = 1)
+             FROM home)
            WHERE cell_rank <= 200),
          s AS (SELECT unnest(generate_series(0, 7)) AS s),
          cb AS (
-           SELECT s.s, CAST(e.vec_id AS INT) AS code,
-                  e.v[(s.s*8+1):(s.s*8+8)] AS cw
-           FROM e CROSS JOIN s WHERE e.vec_id < 16),
+           SELECT s.s, CAST(h.vec_id AS INT) AS code,
+                  h.r[(s.s*8+1):(s.s*8+8)] AS cw
+           FROM home h CROSS JOIN s WHERE h.vec_id < 16),
          enc0 AS (
-           SELECT e.vec_id, cb.s, cb.code,
-             list_sum(list_transform(e.v[(cb.s*8+1):(cb.s*8+8)],
-               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
-           FROM e CROSS JOIN cb),
+           SELECT i.cand_id, cb.s, cb.code,
+             list_sum(list_transform(i.r[(cb.s*8+1):(cb.s*8+8)],
+               (x, j) -> (x - cb.cw[j]) * (x - cb.cw[j]))) AS d2
+           FROM idx i CROSS JOIN cb),
          enc AS (
-           SELECT vec_id, s, code,
-             row_number() OVER (PARTITION BY vec_id, s
+           SELECT cand_id, s, code,
+             row_number() OVER (PARTITION BY cand_id, s
                                 ORDER BY d2 ASC, code ASC) AS rr
            FROM enc0),
-         codes AS (SELECT vec_id, s, code FROM enc WHERE rr = 1),
-         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         codes AS (SELECT cand_id, s, code FROM enc WHERE rr = 1),
          qp AS (
-           SELECT vec_id, cell FROM assigned
+           SELECT vec_id, cell, v FROM assigned
            WHERE cr <= 2 AND vec_id < 20),
+         qr AS (
+           SELECT qp.vec_id, qp.cell,
+             list_transform(qp.v, (x, i) -> x - c.centroid[i]) AS qres
+           FROM qp JOIN c ON c.cell = qp.cell),
          lut AS (
-           SELECT q.vec_id AS qid, cb.s, cb.code,
-             list_sum(list_transform(q.v[(cb.s*8+1):(cb.s*8+8)],
-               (x, i) -> (x - cb.cw[i]) * (x - cb.cw[i]))) AS d2
-           FROM q CROSS JOIN cb),
+           SELECT q.vec_id AS qid, q.cell, cb.s, cb.code,
+             list_sum(list_transform(q.qres[(cb.s*8+1):(cb.s*8+8)],
+               (x, j) -> (x - cb.cw[j]) * (x - cb.cw[j]))) AS d2
+           FROM qr q CROSS JOIN cb),
          pairs0 AS (
-           SELECT qp.vec_id, i.cand_id,
+           SELECT l.qid AS vec_id, i.cand_id,
              round(list_sum(list(l.d2 ORDER BY l.s)), 4) + 0.0 AS ad2
-           FROM qp JOIN idx i ON i.cell = qp.cell
-           JOIN codes cd ON cd.vec_id = i.cand_id
-           JOIN lut l ON l.qid = qp.vec_id AND l.s = cd.s
+           FROM idx i
+           JOIN codes cd ON cd.cand_id = i.cand_id
+           JOIN lut l ON l.cell = i.cell AND l.s = cd.s
                      AND l.code = cd.code
-           WHERE qp.vec_id <> i.cand_id
-           GROUP BY qp.vec_id, i.cand_id),
+           WHERE l.qid <> i.cand_id
+           GROUP BY l.qid, i.cand_id),
          pre AS (
            SELECT vec_id, cand_id FROM (
              SELECT vec_id, cand_id,

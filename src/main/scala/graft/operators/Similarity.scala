@@ -2541,6 +2541,13 @@ object Similarity {
            < lit((trainFraction * 1000000L).toLong)))
         .orderBy($"vec_id").limit(sampleCap)
         .select($"v").as[Seq[Double]].collect().map(_.toArray)
+    fitCodebooksFromSample(sampled, m, k, iters)
+  }
+
+  /** The per-subspace Lloyd tail shared by the raw and residual fits:
+    * m independent k-means fits over the sample's dsub-slices. */
+  private def fitCodebooksFromSample(sampled: Array[Array[Double]],
+      m: Int, k: Int, iters: Int): graft.expressions.PqCodebookSet = {
     require(sampled.nonEmpty, "PQ fit saw an empty sample — raise " +
       "trainFraction or check the corpus")
     val dim = sampled(0).length
@@ -2562,6 +2569,95 @@ object Similarity {
       s += 1
     }
     graft.expressions.PqCodebookSet(m, dsub, k, codes)
+  }
+
+  /** Elementwise `v − centroid` — THE residual the IVFADC composition
+    * quantizes (Jégou et al. TPAMI 2011 §IV; FAISS `IndexIVFPQ`
+    * likewise encodes residuals): within one coarse cell every member
+    * shares the centroid offset, so codebook capacity describes the
+    * small within-cell geometry instead of re-describing the coarse
+    * layout the quantizer already captured — at high cell counts
+    * raw-vector codes waste most codewords on between-cell variance
+    * and the recall knee sags (the r18 16k-cell 0.649 flat). A
+    * codegen'd `zip_with`: one double subtract per dim, ascending —
+    * bit-identical to the oracle's `list_transform((x,i) → x − c[i])`. */
+  private def residualOf(v: Column, centroid: Column): Column =
+    zip_with(v, centroid, (a, b) => a - b)
+
+  /** The per-row home-cell frame `(…, cell, centroid, d2)` used by the
+    * residual fits/codebooks: assignment by the same window formula as
+    * [[assignedHome]] (d2 bit-identical to the kernel and the SQL
+    * oracle), centroid KEPT so the residual can be computed. */
+  private def homeWithCentroid(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val c2 = centroidTableOf(spark, cents)
+      .withColumn("cn2", dot($"centroid", $"centroid"))
+    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
+    prepared(emb)
+      .join(broadcast(c2))
+      .withColumn("d2",
+        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+      .filter($"d2".isNotNull)
+      .withColumn("cr", row_number().over(byDist))
+      .filter($"cr" === 1)
+  }
+
+  /** Oracle-twin RESIDUAL codebooks for the IVF+PQ composition:
+    * subspace `s`'s codeword `c` = the s-th dsub-slice of the c-th
+    * corpus vector's RESIDUAL `v − centroid(home cell)` (vec_id
+    * ascending) — the [[pqCodebooksFromHead]] stance applied to the
+    * residual space the composed serve actually quantizes. Home
+    * assignment runs IN the engine (same window formula as every
+    * assignment route — bit-identical d2, same tie-breaks), so the
+    * collected codewords match the plain-SQL oracle's to the bit. */
+  def pqCodebooksFromHeadResidual(emb: DataFrame,
+      cents: Array[Array[Double]], m: Int, k: Int):
+      graft.expressions.PqCodebookSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val resid = homeWithCentroid(emb.orderBy($"vec_id").limit(k), cents)
+      .select($"vec_id", residualOf($"v", $"centroid").as("r"))
+      .orderBy($"vec_id")
+      .select($"r").as[Seq[Double]].collect().map(_.toArray)
+    require(resid.length == k, s"corpus has only ${resid.length} < k=$k " +
+      "assignable rows")
+    val dim = resid(0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codes = Array.tabulate(m * k) { r =>
+      val s = r / k
+      val c = r % k
+      java.util.Arrays.copyOfRange(resid(c), s * dsub, (s + 1) * dsub)
+    }
+    graft.expressions.PqCodebookSet(m, dsub, k, codes)
+  }
+
+  /** Trained RESIDUAL codebooks: [[fitPqCodebooks]]'s per-subspace
+    * Lloyd's over residuals `v − centroid(home cell)` instead of raw
+    * vectors — what a production IVF+PQ build fits (FAISS
+    * `IndexIVFPQ.train`). Assignment runs in the engine (one bounded
+    * sample job); the m sub-fits are driver arithmetic over the same
+    * capped, content-hash-selected, globally-ordered sample law as the
+    * raw fit — deterministic across reruns and partitionings. */
+  def fitPqCodebooksResidual(emb: DataFrame, cents: Array[Array[Double]],
+      m: Int, k: Int, iters: Int = 10, seed: Long = 42L,
+      trainFraction: Double = 1.0, sampleCap: Int = 65536):
+      graft.expressions.PqCodebookSet = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(iters >= 1, s"iters=$iters")
+    val base =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L))
+          < lit((trainFraction * 1000000L).toLong))
+    val sampled = homeWithCentroid(base, cents)
+      .select($"vec_id", residualOf($"v", $"centroid").as("r"))
+      .orderBy($"vec_id").limit(sampleCap)
+      .select($"r").as[Seq[Double]].collect().map(_.toArray)
+    fitCodebooksFromSample(sampled, m, k, iters)
   }
 
   /** One-scan corpus encode: `(vec_id, label, codes array<int>, pq_ck)`
@@ -2705,15 +2801,27 @@ object Similarity {
     * exactly against the full vectors ([[rerankExactL2]] — touched
     * ∝ queries×fetch, never ∝ corpus). Fixed `centroids` make the
     * whole route SQL-expressible (the q34/q89 oracle stance; trained
-    * paths compose [[fitIvfIndex]]/[[fitPqCodebooks]] into the same
-    * serve). At 100 TB: the index side is one scan assigning + encoding
-    * (both codegen kernels over broadcast artifacts), candidates fan
-    * through the cell join ∝ probed-cell populations, and nothing
-    * vector-sized ever shuffles — codes rows are ~4×m bytes. */
+    * paths compose [[fitIvfIndex]]/[[fitPqCodebooksResidual]] into the
+    * same serve). At 100 TB: the index side is one scan assigning +
+    * encoding (both codegen kernels over broadcast artifacts),
+    * candidates fan through the cell join ∝ probed-cell populations,
+    * and nothing vector-sized ever shuffles — codes rows are ~4×m
+    * bytes.
+    *
+    * `residual = true` (default) is the published IVFADC form: the
+    * index side PQ-encodes `v − centroid(cell)` and each (query,
+    * probed cell) pair builds its lookup table against
+    * `q − centroid(cell)` — per-CELL LUTs, probes per query instead of
+    * one, the price of codebooks that describe within-cell geometry
+    * instead of re-describing the coarse layout (pass codebooks fitted
+    * on residuals: [[fitPqCodebooksResidual]] /
+    * [[pqCodebooksFromHeadResidual]]). `residual = false` keeps the
+    * raw-vector form (one LUT per query) for A/B and the q90-era
+    * sweep baselines. */
   def ivfPqTopKWithCentroids(emb: DataFrame, queryPred: Column,
       centroids: DataFrame, cs: graft.expressions.PqCodebookSet,
       probes: Int, k: Int, fetch: Int,
-      cellCap: Int = Int.MaxValue): DataFrame = {
+      cellCap: Int = Int.MaxValue, residual: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge
@@ -2732,6 +2840,8 @@ object Similarity {
         $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
       .filter($"d2".isNotNull)
       .withColumn("cr", row_number().over(byDist))
+    def encodeInput(v: Column): Column =
+      if (residual) residualOf(v, $"centroid") else v
     // index side: home cell, capped, ENCODED — the float vector is
     // dropped here and never carried again until the re-rank
     val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"vec_id".asc)
@@ -2740,12 +2850,14 @@ object Similarity {
       .filter($"cellRank" <= cellCap)
       .select($"cell", $"vec_id".as("cand_id"),
         GraftColumnBridge.column(graft.expressions.PqEncode(bc,
-          GraftColumnBridge.expression($"v"))).as("codes"))
-    // query side: probed cells + one ADC lookup table per query
+          GraftColumnBridge.expression(encodeInput($"v")))).as("codes"))
+    // query side: probed cells + an ADC lookup table per query (per
+    // probed CELL under residual encoding — the LUT depends on the
+    // cell's centroid there)
     val queries = ranked.filter($"cr" <= probes && queryPred)
       .select($"cell", $"vec_id",
         GraftColumnBridge.column(graft.expressions.PqLut(bc,
-          GraftColumnBridge.expression($"v"))).as("lut"))
+          GraftColumnBridge.expression(encodeInput($"v")))).as("lut"))
     // each candidate lives under exactly ONE home cell and a query
     // probes distinct cells, so a (query, candidate) pair meets once
     val pairs = queries
@@ -2826,5 +2938,26 @@ object Similarity {
         .select($"vec_id".as("query_id"), $"neighbor_id")
     val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
     hits.toDouble / (emb.count() * k)
+  }
+
+  /** Measured recall@k of the COMPOSED IVF+PQ route against exact L2
+    * truth over a query sample (`queryPred`) — the number that sites
+    * residual-vs-raw encoding and the `fetch` depth at a given coarse
+    * geometry (rides the PqSweep grid; PqSpec pins residual ≥ raw on
+    * the clustered fixture). */
+  def ivfPqRecallAtK(emb: DataFrame, queryPred: Column,
+      centroids: DataFrame, cs: graft.expressions.PqCodebookSet,
+      probes: Int, k: Int, fetch: Int, cellCap: Int = Int.MaxValue,
+      residual: Boolean = true): Double = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopKL2(emb, queryPred, k)
+      .select($"query_id", $"neighbor_id")
+    val nQueries = prepared(emb).filter(queryPred).count()
+    val approx = ivfPqTopKWithCentroids(emb, queryPred, centroids, cs,
+      probes, k, fetch, cellCap, residual)
+      .select($"vec_id".as("query_id"), $"neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / (nQueries * k)
   }
 }

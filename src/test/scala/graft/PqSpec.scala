@@ -215,6 +215,67 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       s"pruned recall ${hits.size.toDouble / want.size}")
   }
 
+  test("ivf+pq residual encoding: recall at equal serve cost is >= the " +
+      "raw-vector form on a clustered corpus, and the residual " +
+      "codebooks reconstruct the residual space better") {
+    // geometry chosen so the encoding law is the binding constraint:
+    // 4 codewords per subspace cannot describe 10 cluster locations, so
+    // raw codes collapse within a probed cell (every member ADC-ties at
+    // the region distance) while residual codes — fitted on the small
+    // within-cell offsets — still discriminate; fetch < cell population
+    // keeps the preselect decisive (a corpus-wide fetch would let the
+    // exact re-rank hide any encoding)
+    val e = df(clustered(n = 200, m = 4, dsub = 4, centers = 10))
+    val centArr = e.filter($"vec_id" < 10)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = e.filter($"vec_id" < 10)
+      .select($"vec_id".cast("int").as("cell"),
+        asDouble($"embedding").as("centroid"))
+    val rawCs = Similarity.fitPqCodebooks(e, m = 4, k = 4, iters = 10)
+    val resCs = Similarity.fitPqCodebooksResidual(e, centArr,
+      m = 4, k = 4, iters = 10)
+    val pred = $"vec_id" < 40
+    val raw = Similarity.ivfPqRecallAtK(e, pred, cents, rawCs,
+      probes = 1, k = 4, fetch = 6, residual = false)
+    val res = Similarity.ivfPqRecallAtK(e, pred, cents, resCs,
+      probes = 1, k = 4, fetch = 6, residual = true)
+    assert(res >= raw, s"residual recall $res < raw $raw")
+    // determinism: the residual fit is content-addressed like the raw one
+    val refit = Similarity.fitPqCodebooksResidual(e, centArr,
+      m = 4, k = 4, iters = 10)
+    assert(refit.checksum == resCs.checksum)
+    // head-slice residual codebooks (the oracle twin) reconstruct the
+    // residual corpus strictly better than RAW head slices do — raw
+    // codewords sit a cluster-offset away from every residual
+    val headRes = Similarity.pqCodebooksFromHeadResidual(e, centArr,
+      m = 4, k = 8)
+    val headRaw = Similarity.pqCodebooksFromHead(e, m = 4, k = 8)
+    def residCorpus = {
+      // residual frame as its own corpus for the reconstruction metric
+      import org.apache.spark.sql.functions.{broadcast => bcast}
+      val c2 = cents
+      Similarity.prepared(e)
+        .join(bcast(c2.withColumn("cn2",
+          graft.functions.VectorOps.dot($"centroid", $"centroid"))))
+        .withColumn("d2", $"nrm" * $"nrm" + $"cn2"
+          - lit(2.0) * graft.functions.VectorOps.dot($"v", $"centroid"))
+        .withColumn("cr", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+            .orderBy($"d2".asc, $"cell".asc)))
+        .filter($"cr" === 1)
+        .select($"vec_id",
+          zip_with($"v", $"centroid", (a, b) => a - b)
+            .cast("array<float>").as("embedding"),
+          lit("x").as("label"))
+    }
+    val errRes = Similarity.pqReconstructionError(residCorpus, headRes)
+    val errRaw = Similarity.pqReconstructionError(residCorpus, headRaw)
+    assert(errRes < errRaw,
+      s"residual head codebooks $errRes !< raw head $errRaw on residuals")
+  }
+
   test("pq kernel: lut layout is s*k+c and encode/lut/adc compose to " +
       "the reconstruction identity") {
     val e = df(clustered(n = 50, m = 4, dsub = 4, centers = 6))
