@@ -431,6 +431,61 @@ object EmbeddingQueries {
       probes = q34Probes, k = q89K, fetch = q90Fetch, cellCap = q34CellCap)
   }
 
+  /** q91 geometry: q90's residual IVF+PQ (first-8 fixed cells, 8×8-dim
+    * subspaces, 16 residual head codewords, 2-probe) over a PERSISTED
+    * artifact with q78's BINDING cap 4 (8 cells over ≥50 vectors —
+    * every cell overfull, so appends must evict exactly as a rebuild
+    * would), ADC preselect [[q91Fetch]] deep (< the 8 candidates a
+    * 2-probe serve meets — the preselect binds), exact re-rank to
+    * top-3. */
+  val q91Fetch = 5
+
+  // ---------------------------------------------------------------- q91
+  /** The PQ index-artifact LIFECYCLE, oracle-checked end-to-end — the
+    * r18 VERDICT's top item landed as a declared query: build the
+    * coded `(cell, cand_id, d2, codes)` postings artifact over an 80%
+    * seed ([[Similarity.saveIvfPqPostings]] — cell-partitioned, born
+    * with a [[graft.operators.PostingsManifest]] and the checksummed
+    * [[graft.operators.PqCodebookStore]] sidecar carrying the
+    * codebooks + residual law), fragment-append the two remaining 10%
+    * batches (O(batch) writes, assignment + residual encode under the
+    * artifact's OWN frozen centroids/codebooks), re-append the first
+    * batch (an at-least-once redelivery), compact (dedup replay,
+    * re-apply the binding cap over the union on the stored coarse d2),
+    * then SERVE through [[Similarity.ivfPqTopKFromPostings]] — the
+    * steady-state route: queries alone are assigned, the artifact scan
+    * is manifest-planned and pruned to probed cells, ADC ranks against
+    * the STORED codes, floats reappear only in the fetch-deep exact
+    * re-rank. The oracle is the from-scratch residual IVFADC serve
+    * over the whole corpus in plain SQL, so the hash match pins
+    * build → append → replay → compact → serve ≡ rebuild — the
+    * contract that makes the artifact maintainable. Reference
+    * analogue: the monthly-dump rebuild cadence
+    * (docker/aact/Dockerfile:20-22). */
+  def q91PqPostingsLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val cents = e.filter($"vec_id" < q34Cells)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .orderBy($"vec_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cs = Similarity.pqCodebooksFromHeadResidual(e, cents,
+      m = q89M, k = q89Codes)
+    val seed = e.filter($"vec_id" % 10 >= 2)
+    val b1 = e.filter($"vec_id" % 10 === 0)
+    val b2 = e.filter($"vec_id" % 10 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_q91")
+      .resolve("pq_postings").toString
+    Similarity.saveIvfPqPostings(
+      Similarity.ivfPqPostings(seed, cents, cs, q78CellCap), path, cs)
+    Similarity.appendIvfPqPostingsFragment(spark, path, cents, b1)
+    Similarity.appendIvfPqPostingsFragment(spark, path, cents, b2)
+    Similarity.appendIvfPqPostingsFragment(spark, path, cents, b1) // redelivery
+    Similarity.compactIvfPqPostings(spark, path)
+    Similarity.ivfPqTopKFromPostings(e.filter($"vec_id" < 20), e, cents,
+      path, probes = q34Probes, k = q89K, fetch = q91Fetch)
+  }
+
   // ---------------------------------------------------------------- q48
   /** Symmetric int8 quantization — the memory-side half of a
     * production ANN index (a 64-dim float vector becomes 64 bytes + one
@@ -525,7 +580,8 @@ object EmbeddingQueries {
     "q83_postings_vacuum" -> (q83PostingsVacuum _),
     "q88_postings_packed" -> (q88PostingsPacked _),
     "q89_ann_pq" -> (q89AnnPq _),
-    "q90_ann_ivfpq" -> (q90AnnIvfPq _))
+    "q90_ann_ivfpq" -> (q90AnnIvfPq _),
+    "q91_pq_postings" -> (q91PqPostingsLifecycle _))
 
   /** The from-scratch postings REBUILD over the full corpus (fixed
     * first-8 centroids, cap 4) — the shared oracle of every postings
@@ -719,9 +775,13 @@ object EmbeddingQueries {
     * vectors, encode argmin over residual slices, a PER-(query, cell)
     * lookup table over `q − centroid(cell)`, the ADC preselect as a
     * subspace-ORDERED list_sum ranked (ad2 asc, cand asc) to fetch
-    * depth, and the exact re-rank over the preselected pairs only. */
-  private val annIvfPqSql =
-    """WITH e AS (
+    * depth, and the exact re-rank over the preselected pairs only.
+    * Parameterized on the hot-cell cap and fetch depth: q90 declares
+    * the transient serve (cap 200 non-binding, fetch 10); q91 declares
+    * the PERSISTED-artifact lifecycle (binding cap 4, fetch 5) whose
+    * maintained state must land exactly this from-scratch serve. */
+  private def annIvfPqSqlWith(cellCap: Int, fetch: Int): String =
+    s"""WITH e AS (
            SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
@@ -751,7 +811,7 @@ object EmbeddingQueries {
                row_number() OVER (PARTITION BY cell
                                   ORDER BY d2 ASC, vec_id ASC) AS cell_rank
              FROM home)
-           WHERE cell_rank <= 200),
+           WHERE cell_rank <= $cellCap),
          s AS (SELECT unnest(generate_series(0, 7)) AS s),
          cb AS (
            SELECT s.s, CAST(h.vec_id AS INT) AS code,
@@ -795,7 +855,7 @@ object EmbeddingQueries {
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY ad2 ASC, cand_id ASC) AS pr
              FROM pairs0)
-           WHERE pr <= 10),
+           WHERE pr <= $fetch),
          rr AS (
            SELECT pre.vec_id, pre.cand_id AS neighbor_id,
              round(qn.nrm * qn.nrm + cn.nrm * cn.nrm
@@ -809,7 +869,15 @@ object EmbeddingQueries {
            FROM rr)
          SELECT vec_id, neighbor_id, d2, rn FROM topk WHERE rn <= 3"""
 
+  private val annIvfPqSql = annIvfPqSqlWith(q34CellCap, q90Fetch)
+
+  /** q91's oracle: the identical residual IVFADC serve with the
+    * artifact's BINDING cap — the maintained, compacted, persisted
+    * index must serve exactly the from-scratch build's rows. */
+  private val pqPostingsLifecycleSql = annIvfPqSqlWith(q78CellCap, q91Fetch)
+
   val oracle: Map[String, String] = Map(
+    "q91_pq_postings" -> pqPostingsLifecycleSql,
     "q90_ann_ivfpq" -> annIvfPqSql,
     "q89_ann_pq" -> annPqSql,
     "q88_postings_packed" -> packedServeSql,

@@ -1961,7 +1961,10 @@ object Similarity {
     * re-acquire (the lease is deliberately non-reentrant: a second
     * acquire is exactly the corruption signal it exists to raise). */
   private def compactIvfPostingsLocked(spark: SparkSession,
-      path: String): (Int, Int, Int) = {
+      path: String,
+      dataSchema: PostingsManifest.State =>
+        org.apache.spark.sql.types.StructType = st =>
+        postingsDataSchema(st.params.gp.nonEmpty)): (Int, Int, Int) = {
     import spark.implicits._
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1993,7 +1996,7 @@ object Similarity {
           .parquetOverFileIndex(spark,
             new graft.plans.PostingsFileIndex(path,
               st.copy(files = st.files.filter(f => fragmented(f.cell)))),
-            postingsDataSchema(st.params.gp.nonEmpty))
+            dataSchema(st))
         val byCell =
           Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
         val folded = frag
@@ -2772,12 +2775,20 @@ object Similarity {
     * scan. Shared tail of every two-stage serve
     * ([[pqTopKRerank]], [[ivfPqTopKWithCentroids]]). */
   private def rerankExactL2(emb: DataFrame, queryPred: Column,
+      pre: DataFrame, k: Int): DataFrame =
+    rerankExactL2Frames(emb, prepared(emb).filter(queryPred), pre, k)
+
+  /** [[rerankExactL2]] with the query set as its own PREPARED frame
+    * (`vec_id, v, nrm`) — the form the artifact-served routes use,
+    * where queries arrive as a separate relation rather than a
+    * predicate over the corpus. */
+  private def rerankExactL2Frames(emb: DataFrame, preparedQueries: DataFrame,
       pre: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val corpus = prepared(emb)
       .select($"vec_id".as("neighbor_id"), $"v".as("cv"), $"nrm".as("cn"))
-    val queries = prepared(emb).filter(queryPred)
+    val queries = preparedQueries
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val pairs = pre
       .join(broadcast(queries), Seq("query_id"))
@@ -2959,5 +2970,277 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"neighbor_id")
     val hits = truth.join(approx, Seq("query_id", "neighbor_id")).count()
     hits.toDouble / (nQueries * k)
+  }
+
+  // ------------------------------------------------ PQ index artifact
+  // The PERSISTED IVF+PQ index — what makes the PQ family deployable
+  // (the r18 gap): codebooks live in a checksummed driver-written
+  // sidecar ([[PqCodebookStore]]), coded postings `(cell, cand_id, d2,
+  // codes)` live in the classic cell-partitioned layout under the SAME
+  // [[PostingsManifest]] machinery as the float postings family
+  // (incremental `_manifest_log`, fragment appends ∝ batch, fold-style
+  // compaction, zero-listing manifest-planned serve scans) — and the
+  // serve re-assigns QUERIES only, never the corpus, closing the r18
+  // "re-assigns the corpus per call" seam. FAISS lineage: this is
+  // `IndexIVFPQ` written as a lake artifact. Payload per posting is
+  // ~4·m bytes + the stored coarse d2 (which is what lets a later
+  // append re-apply the hot-cell cap EXACTLY as a from-scratch build
+  // would — the q78 contract, unchanged).
+
+  /** The coded postings data files' schema (partition column `cell`
+    * excluded) — what [[ivfPqPostings]] writes. */
+  private def pqPostingsDataSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("cand_id", LongType),
+      StructField("d2", DoubleType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false)),
+      StructField("iv_cells", IntegerType),
+      StructField("iv_cap", IntegerType),
+      StructField("iv_ck", LongType),
+      StructField("pq_ck", LongType)))
+  }
+
+  /** Buildable CODED postings: every vector under its home cell (hot
+    * cells capped, closest-to-centroid win — d2 stored so later
+    * appends re-cap exactly), carrying its PQ codes instead of the
+    * float vector. One kernel scan assigns
+    * ([[graft.expressions.IvfNearestCells]] — no corpus×cells
+    * expansion), the residual subtract + encode ride the same
+    * projection inside whole-stage codegen (the centroid join is a
+    * broadcast of the numCells-row table), and the float vector is
+    * DROPPED here — nothing vector-sized is ever written or shuffled.
+    * Embedded params: the coarse ones every postings artifact carries
+    * (`iv_cells`/`iv_cap`/`iv_ck`) plus the codebook checksum `pq_ck`
+    * (constant per encode — RLEs to nothing in parquet; the q89
+    * fail-fast stance). */
+  def ivfPqPostings(emb: DataFrame, cents: Array[Array[Double]],
+      cs: graft.expressions.PqCodebookSet, cellCap: Int = Int.MaxValue,
+      residual: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val bcCells = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val bcCs = spark.sparkContext.broadcast(cs)
+    val home = prepared(emb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bcCells,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), 1)))
+      .select(element_at($"nc", 1).getField("cell").as("cell"),
+        $"vec_id".as("cand_id"), $"v",
+        element_at($"nc", 1).getField("d2").as("d2"))
+      // non-assignable vectors (dim mismatch / null element) drop here,
+      // same as every build route
+      .filter($"cell".isNotNull)
+    val encoded =
+      (if (residual)
+        home.join(broadcast(centroidTableOf(spark, cents)), Seq("cell"))
+          .withColumn("codes", GraftColumnBridge.column(
+            graft.expressions.PqEncode(bcCs, GraftColumnBridge.expression(
+              residualOf($"v", $"centroid")))))
+      else
+        home.withColumn("codes", GraftColumnBridge.column(
+          graft.expressions.PqEncode(bcCs,
+            GraftColumnBridge.expression($"v")))))
+        .select($"cell", $"cand_id", $"d2", $"codes")
+    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+    val capped =
+      if (cellCap == Int.MaxValue) encoded
+      else encoded.withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cellCap).drop("cellRank")
+    capped
+      .withColumn("iv_cells", lit(cents.length))
+      .withColumn("iv_cap", lit(cellCap))
+      .withColumn("iv_ck", lit(centroidChecksumOf(cents)))
+      .withColumn("pq_ck", lit(cs.checksum))
+  }
+
+  /** Persist a coded postings frame as a self-contained PQ index
+    * artifact: cell-partitioned data (1 file per cell), the
+    * [[PqCodebookStore]] sidecar (codebooks + encoding law — the
+    * artifact must be serveable from the path alone), and a born-with
+    * [[PostingsManifest]] — same lease + manifest discipline as
+    * [[saveIvfPostings]]. Fails fast on a frame encoded under a
+    * different codebook set than the one being persisted. */
+  def saveIvfPqPostings(postings: DataFrame, path: String,
+      cs: graft.expressions.PqCodebookSet,
+      residual: Boolean = true): Unit = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    PostingsManifest.withLease(spark, path, "build_pq") {
+      val foreign = postings.select($"pq_ck").distinct()
+        .as[Long].collect().filterNot(_ == cs.checksum)
+      require(foreign.isEmpty,
+        s"postings frame carries codebook checksum(s) " +
+          s"${foreign.mkString(",")}, save asked for ${cs.checksum} — " +
+          "pass the codebook set the frame was encoded under")
+      byCellPinned(postings)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+      PqCodebookStore.save(spark, path, cs, residual)
+      maintStage("save_manifest")(
+        PostingsManifest.rebuildAndWrite(spark, path))
+    }
+  }
+
+  /** Persist codebooks ALONE (no postings) — the plain-PQ deployment
+    * unit for [[pqEncodeCorpus]]/[[pqTopKFromCodes]] pipelines that
+    * keep their code relation elsewhere: `path` becomes a directory
+    * holding just the checksummed sidecar. `residual = false` is the
+    * plain-PQ law (no coarse quantizer, nothing to subtract). */
+  def savePqCodebooks(spark: SparkSession, path: String,
+      cs: graft.expressions.PqCodebookSet,
+      residual: Boolean = false): Unit = {
+    MaintenanceProtocol.fsOf(spark, path)
+      .mkdirs(new org.apache.hadoop.fs.Path(path.stripSuffix("/")))
+    PqCodebookStore.save(spark, path, cs, residual)
+  }
+
+  /** Load (+ checksum-verify) a persisted codebook set; returns the
+    * set and the encoding law it was saved under. Refuses a corrupted
+    * sidecar — see [[PqCodebookStore.load]]. */
+  def loadPqCodebooks(spark: SparkSession,
+      path: String): (graft.expressions.PqCodebookSet, Boolean) =
+    PqCodebookStore.load(spark, path)
+
+  /** Open a PQ postings DIRECTORY for serving — the coded twin of
+    * [[readPostings]]: manifest-planned zero-listing scan when clean,
+    * discovering read otherwise, with the same dirty-state convergence
+    * law (dedup (cell, cand_id), re-cap on the stored d2) — codes ride
+    * the surviving rows unchanged since they are a pure function of
+    * (vector, home cell). */
+  def readPqPostings(spark: SparkSession, path: String): DataFrame =
+    PostingsManifest.readClean(spark, path) match {
+      case Some(st) =>
+        org.apache.spark.sql.GraftColumnBridge.parquetOverFileIndex(spark,
+          new graft.plans.PostingsFileIndex(path, st),
+          pqPostingsDataSchema)
+      case None =>
+        spark.catalog.refreshByPath(path)
+        val raw = spark.read.parquet(path)
+        if (!PostingsManifest.isDirty(spark, path)) raw
+        else {
+          val head = raw.select(col("iv_cap")).take(1)
+          if (head.isEmpty) raw
+          else {
+            val cap = head(0).getInt(0)
+            val deduped = raw.dropDuplicates(Seq("cell", "cand_id"))
+            if (cap == Int.MaxValue) deduped
+            else deduped
+              .withColumn("gr_rank", row_number().over(Window
+                .partitionBy(col("cell"))
+                .orderBy(col("d2").asc, col("cand_id").asc)))
+              .filter(col("gr_rank") <= cap)
+              .drop("gr_rank")
+          }
+        }
+    }
+
+  /** FRAGMENT append for the PQ artifact — O(batch) maintenance, the
+    * [[appendIvfPostingsFragment]] economics verbatim: the batch is
+    * assigned + encoded under the ARTIFACT's own centroids, codebooks,
+    * and encoding law (all read from the artifact — one manifest read
+    * + one sidecar read, no data head), staged in by rename, manifest
+    * rolled forward incrementally. Same at-least-once posture: a
+    * replayed batch appends duplicate rows; [[compactIvfPqPostings]]
+    * dedups them and re-applies the cap over the accumulated union —
+    * codes are deterministic per (vector, home cell), so replay rows
+    * are EXACT duplicates and the fold converges to the from-scratch
+    * build. */
+  def appendIvfPqPostingsFragment(spark: SparkSession, path: String,
+      cents: Array[Array[Double]], newEmb: DataFrame): Unit = {
+    val state0 = PostingsManifest.readClean(spark, path)
+    val (cells, cap, ck, _) =
+      state0.map(paramsOf).getOrElse(paramsFromFooter(spark, path))
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the PQ postings artifact's")
+    val (cs, residual) = PqCodebookStore.load(spark, path)
+    appendFragmentFiles(spark, path,
+      ivfPqPostings(newEmb, cents, cs, Int.MaxValue, residual)
+        .withColumn("iv_cap", lit(cap))) // artifact's cap, not the delta's
+  }
+
+  /** Fold a fragment-appended PQ artifact back to 1-file-per-cell —
+    * [[compactIvfPostings]]'s body over the coded schema: dedup
+    * replayed (cell, cand_id) rows, re-apply the hot-cell cap over the
+    * accumulated union on the stored coarse d2 (codes ride the
+    * surviving rows), restore the layout, fold the manifest log. */
+  def compactIvfPqPostings(spark: SparkSession,
+      path: String): (Int, Int, Int) =
+    PostingsManifest.withLease(spark, path, "compact_pq")(
+      compactIvfPostingsLocked(spark, path, _ => pqPostingsDataSchema))
+
+  /** STEADY-STATE IVF+PQ serve from the persisted artifact — the
+    * ∝-queries route the r18 VERDICT named as the family's missing
+    * piece: the corpus is never re-assigned or re-encoded (its codes
+    * live in the artifact), queries alone pay assignment (one codegen
+    * kernel scan) + one ADC lookup table per probed cell, the
+    * artifact scan is manifest-planned AND partition-pruned to the
+    * probed cells (the [[ivfTopKFromPostingsPruned]] stance — serving
+    * I/O ∝ queries, not ∝ corpus), ADC ranks candidates to `fetch`
+    * depth, and only those ~queries×fetch pairs touch float vectors in
+    * the exact re-rank. Codebooks, encoding law, and coarse params all
+    * come from the artifact; the passed centroids are checksum-
+    * verified against it, and a foreign `pq_ck` in the data fails fast
+    * (the [[pqTopKFromCodes]] stance).
+    *
+    * `queryEmb` must be deterministic under re-evaluation (its plan
+    * runs for the probe-set collect and again in the lazy serve) —
+    * the documented contract of every pruned route. */
+  def ivfPqTopKFromPostings(queryEmb: DataFrame, corpus: DataFrame,
+      cents: Array[Array[Double]], path: String, probes: Int, k: Int,
+      fetch: Int): DataFrame = {
+    val spark = queryEmb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    require(fetch >= k, s"fetch=$fetch must be >= k=$k")
+    val (cells, _, ck, _) = postingsParamsAtPath(spark, path)
+    require(cents.length == cells && centroidChecksumOf(cents) == ck,
+      "model centroids differ from the PQ postings artifact's")
+    val (cs, residual) = PqCodebookStore.load(spark, path)
+    val codes = readPqPostings(spark, path)
+    val bcCells = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val bcCs = spark.sparkContext.broadcast(cs)
+    val probedQ = prepared(queryEmb).withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bcCells,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), probes)))
+      .select($"vec_id", $"v", explode($"nc.cell").as("cell"))
+    val queries =
+      if (residual)
+        probedQ.join(broadcast(centroidTableOf(spark, cents)), Seq("cell"))
+          .select($"cell", $"vec_id",
+            GraftColumnBridge.column(graft.expressions.PqLut(bcCs,
+              GraftColumnBridge.expression(
+                residualOf($"v", $"centroid")))).as("lut"))
+      else
+        probedQ.select($"cell", $"vec_id",
+          GraftColumnBridge.column(graft.expressions.PqLut(bcCs,
+            GraftColumnBridge.expression($"v"))).as("lut"))
+    // probed-cell partition prune: driver-side collect of
+    // ≤ queries×probes ints pushed as an IN filter on the partition
+    // column — the artifact scan reads only probed cells' files
+    val probed = queries.select($"cell").distinct()
+      .as[Int].collect().toSeq
+    val scan = codes.filter($"cell".isin(probed: _*))
+      .select($"cell", $"cand_id", $"codes", $"pq_ck")
+    // fail fast on codes from a foreign codebook set — distinct over a
+    // per-file-constant column, collapsed map-side
+    val foreign = scan.select($"pq_ck").distinct()
+      .as[Long].collect().filterNot(_ == cs.checksum)
+    require(foreign.isEmpty,
+      s"PQ postings carry codebook checksum(s) ${foreign.mkString(",")}, " +
+        s"sidecar says ${cs.checksum} — rebuild the artifact")
+    val pairs = queries
+      .join(scan.drop("pq_ck"), Seq("cell"))
+      .filter($"vec_id" =!= $"cand_id")
+      .withColumn("ad2r", round(GraftColumnBridge.column(
+        graft.expressions.PqAdc(GraftColumnBridge.expression($"lut"),
+          GraftColumnBridge.expression($"codes"), cs.k)), 4) + lit(0.0))
+      .select($"vec_id", $"cand_id", (-$"ad2r").as("sim"))
+    val pre = topKPerQuery(pairs, "vec_id", "cand_id", fetch)
+      .select($"vec_id".as("query_id"), $"neighbor_id")
+    rerankExactL2Frames(corpus, prepared(queryEmb), pre, k)
   }
 }
