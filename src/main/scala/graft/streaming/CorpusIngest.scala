@@ -207,6 +207,27 @@ object CorpusIngest {
       finally batch.unpersist()
     }
 
+  /** Fragment-mode ingest for the PERSISTED PQ (coded) postings
+    * artifact — [[embeddingIngestFragment]]'s economics over
+    * [[Similarity.appendIvfPqPostingsFragment]]: each micro-batch is
+    * assigned AND residual-encoded under the artifact's own frozen
+    * centroids + codebook sidecar (one manifest read + one sidecar
+    * read per trigger, no data head), landed as one file per touched
+    * cell. The at-least-once posture transfers intact: a
+    * checkpoint-recovery replay double-appends EXACT duplicate rows
+    * (codes are deterministic per (vector, home cell)), folded by the
+    * next [[Similarity.compactIvfPqPostings]] — compact-before-serve,
+    * same as the flat fragment seam. */
+  def embeddingIngestFragmentPq(embStream: DataFrame,
+      cents: Array[Array[Double]],
+      postingsPath: String): DataStreamWriter[Row] =
+    embStream.writeStream.foreachBatch { (batch0: DataFrame, _: Long) =>
+      val batch = batch0.persist()
+      try Similarity.appendIvfPqPostingsFragment(batch.sparkSession,
+        postingsPath, cents, batch)
+      finally batch.unpersist()
+    }
+
   /** Fragment-mode ingest for TWO-LEVEL-built artifacts — O(batch)
     * writes AND O(groups + probed members) per-row assignment, riding
     * the artifact's own embedded `iv_gp` (one assignment law per

@@ -475,4 +475,49 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     assert(oracleParts.map(_.size).sum == SparkEntry.oracleSql.size,
       "duplicate oracle name across job maps")
   }
+
+  test("every spec-only SURVEY §2 row is still named by a live spec " +
+      "(coverage drift guard)") {
+    // The DuckDB oracle cannot express the ML-boundary / sink /
+    // streaming rows of SURVEY §2 — their correctness lives in the
+    // suite alone. This leg pins each such row to (covering spec file,
+    // the implementing symbol that spec exercises): a refactor that
+    // renames the symbol or deletes/renames the suite breaks HERE with
+    // the orphaned row named, instead of silently shedding coverage
+    // the VERDICT table still claims. Compilation already guards
+    // main-source symbol existence (the specs reference them); this
+    // guards the spec-side naming.
+    val specDir = new java.io.File("src/test/scala/graft")
+    assume(specDir.isDirectory, "spec sources not visible from test cwd")
+    val rows: Seq[(String, String, String)] = Seq(
+      ("S1 jdbc extract", "JdbcIngressSpec.scala", "JdbcIngress"),
+      ("S2 ini config", "JdbcIngressSpec.scala", "loadIni"),
+      ("S4 sed cleanup", "WarehouseWriterSpec.scala", "sedCleanup"),
+      ("S5 bulk load", "WarehouseWriterSpec.scala", "saveTable"),
+      ("S7 drop-if-exists", "WarehouseWriterSpec.scala", "dropIfExists"),
+      ("S8 archive restore", "SnapshotIngestSpec.scala", "SnapshotIngest"),
+      ("S9 csv sink", "WarehouseWriterSpec.scala", "headerCsv"),
+      ("S10 index-as-layout", "PlanShapeSpec.scala", "saveBucketed"),
+      ("S11 tensor boundary", "MlSpec.scala", "OutcomePipeline.fit"),
+      ("P3 column drop", "AactPipelineSpec.scala", ".drop("),
+      ("P4 label pop", "MlSpec.scala", "OutcomePipeline"),
+      ("M1 seeded split", "MlSpec.scala", "0.005"),
+      ("M4 one-hot", "MlSpec.scala", "OutcomePipeline.fit"),
+      ("M5 assembler", "MlSpec.scala", "OutcomePipeline.fit"),
+      ("M8 dnn classifier", "MlSpec.scala", "trainEval"),
+      ("M9 evaluate", "MlSpec.scala", "trainEval"),
+      ("M10 predict report", "MlSpec.scala", "predictionReport"),
+      ("M11 label decode", "MlSpec.scala", "labelDecode"))
+    val orphaned = rows.filter { case (_, file, token) =>
+      val f = new java.io.File(specDir, file)
+      !f.isFile || {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try !src.mkString.contains(token) finally src.close()
+      }
+    }
+    assert(orphaned.isEmpty,
+      "spec-only §2 rows no longer named by their covering spec: " +
+        orphaned.map { case (row, file, tok) => s"$row ($file ~ '$tok')" }
+          .mkString("; "))
+  }
 }

@@ -1148,6 +1148,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }.sum
   }
 
+  test("fragment-mode streaming ingest of the CODED (PQ) artifact " +
+      "compacts to the from-scratch build and serves from the artifact") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def embRows(pred: org.apache.spark.sql.Column) =
+      emb.filter(pred).as[EmbRow].collect().toIndexedSeq
+    val seed = emb.filter($"vec_id" % 3 === 0)
+    val b1 = embRows($"vec_id" % 3 === 1)
+    val b2 = embRows($"vec_id" % 3 === 2)
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id", graft.functions.VectorOps.asDouble($"embedding"))
+      .orderBy($"vec_id")
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    val cs = Similarity.pqCodebooksFromHeadResidual(emb, cents, m = 8, k = 16)
+    val path = Files.createTempDirectory("graft_emb_frag_pq").toString
+    Similarity.saveIvfPqPostings(
+      Similarity.ivfPqPostings(seed, cents, cs, cellCap = 16), path, cs)
+    val ms = MemoryStream[EmbRow](spark)
+    val q = CorpusIngest.embeddingIngestFragmentPq(ms.toDF(), cents,
+      path).start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // at-least-once redelivery
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"cell".cast("int"), $"cand_id", $"codes",
+          org.apache.spark.sql.functions.round($"d2", 4))
+        .as[(Int, Long, Seq[Int], Double)].collect().toSet
+    val before = spark.read.parquet(path)
+    assert(before.count() >
+      before.dropDuplicates(Seq("cell", "cand_id")).count(),
+      "replayed micro-batch must double-append between compactions")
+    // replay rows are EXACT duplicates (codes deterministic per
+    // (vector, home cell)) — the fold converges to the from-scratch
+    // coded build; compact-before-serve is the seam's contract
+    assert(Similarity.compactIvfPqPostings(spark, path)._1 > 0)
+    assert(rows(Similarity.readPqPostings(spark, path)) ==
+      rows(Similarity.ivfPqPostings(emb, cents, cs, cellCap = 16)),
+      "compacted PQ fragment stream must equal the from-scratch build")
+    // and the steady-state serve runs off the maintained artifact
+    val centTable = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"),
+        graft.functions.VectorOps.asDouble($"embedding").as("centroid"))
+    val got = Similarity.ivfPqTopKFromPostings(
+      emb.filter($"vec_id" < 10), emb, cents, path,
+      probes = 2, k = 3, fetch = 5)
+      .select($"vec_id", $"neighbor_id", $"d2", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want = Similarity.ivfPqTopKWithCentroids(
+      emb, $"vec_id" < 10, centTable, cs,
+      probes = 2, k = 3, fetch = 5, cellCap = 16)
+      .select($"vec_id", $"neighbor_id", $"d2", $"rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == want,
+      "artifact serve after streamed maintenance != transient route")
+  }
+
   test("compactParquet restores point-lookup row-group pruning after many ingest deltas") {
     import java.nio.file.Files
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
