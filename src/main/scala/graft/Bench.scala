@@ -263,6 +263,21 @@ object Bench {
           embDf, pqCs, k = 10, fetch = 100)
         val pqMse = graft.operators.Similarity.pqReconstructionError(
           embDf, pqCs)
+        // composed IVF+PQ health (r19): trained 32-cell coarse
+        // quantizer + RESIDUAL codebooks, 12-probe, fetch=100 re-rank
+        // — the full IndexIVFPQ serve whose recall a deployment tracks
+        // next to the plain-PQ number above
+        val ivfPqRecall = {
+          val model = graft.operators.Similarity.fitIvfIndex(
+            embDf, 32, trainFraction = 0.25)
+          val cents = model.clusterCenters.map(_.toArray)
+          val cs = graft.operators.Similarity.fitPqCodebooksResidual(
+            embDf, cents, m = 8, k = 256, iters = 10)
+          graft.operators.Similarity.ivfPqRecallAtK(embDf,
+            org.apache.spark.sql.functions.lit(true),
+            graft.operators.Similarity.centroidTableOf(spark, cents),
+            cs, probes = 12, k = 10, fetch = 100)
+        }
         val nd = IndexBench.nearDup(spark, sfDir, iters = 3)
         val ct = IndexBench.contamination(spark, sfDir, iters = 3)
         val ex = IndexBench.exactDedup(spark, sfDir, iters = 3)
@@ -279,7 +294,7 @@ object Bench {
         val ing = IngestBench.run(spark, sfDir, nBatches = 4)
         val ingJson =
           s""""ingest_flatness_neardup":${numOrNull(IngestBench.flatness(ing.neardup.map(_._2)), 2)},"ingest_flatness_exact":${numOrNull(IngestBench.flatness(ing.exact.map(_._2)), 2)},"ingest_flatness_ivf":${numOrNull(IngestBench.flatness(ing.ivf.map(_._2)), 2)}"""
-        s"""{"ivf_recall_at_10":${num(recall, 4)},"pq_recall_at_10":${num(pqRecall, 4)},"pq_mse":${num(pqMse, 4)},"neardup_screen_sec":${num(nd.screenSec, 3)},"neardup_full_sec":${num(nd.fullSec, 3)},"neardup_index_speedup":${num(nd.speedup, 2)},"contam_screen_sec":${num(ct.screenSec, 3)},"contam_full_sec":${num(ct.fullSec, 3)},"contam_index_speedup":${num(ct.speedup, 2)},"exact_screen_sec":${num(ex.screenSec, 3)},"exact_full_sec":${num(ex.fullSec, 3)},"exact_bloom_speedup":${num(ex.speedup, 2)},"exact_screen0_sec":${num(dr.screen0Sec, 3)},"exact_screen_appended_sec":${num(dr.screenAppendedSec, 3)},"exact_screen_compacted_sec":${num(dr.screenCompactedSec, 3)},"exact_append_drift":${num(dr.drift, 2)},"ivf_serve_sec":${num(iv.screenSec, 3)},"ivf_serve_full_sec":${num(iv.fullSec, 3)},"ivf_postings_speedup":${num(iv.speedup, 2)},$ingJson}"""
+        s"""{"ivf_recall_at_10":${num(recall, 4)},"pq_recall_at_10":${num(pqRecall, 4)},"pq_mse":${num(pqMse, 4)},"ivfpq_recall_at_10":${num(ivfPqRecall, 4)},"neardup_screen_sec":${num(nd.screenSec, 3)},"neardup_full_sec":${num(nd.fullSec, 3)},"neardup_index_speedup":${num(nd.speedup, 2)},"contam_screen_sec":${num(ct.screenSec, 3)},"contam_full_sec":${num(ct.fullSec, 3)},"contam_index_speedup":${num(ct.speedup, 2)},"exact_screen_sec":${num(ex.screenSec, 3)},"exact_full_sec":${num(ex.fullSec, 3)},"exact_bloom_speedup":${num(ex.speedup, 2)},"exact_screen0_sec":${num(dr.screen0Sec, 3)},"exact_screen_appended_sec":${num(dr.screenAppendedSec, 3)},"exact_screen_compacted_sec":${num(dr.screenCompactedSec, 3)},"exact_append_drift":${num(dr.drift, 2)},"ivf_serve_sec":${num(iv.screenSec, 3)},"ivf_serve_full_sec":${num(iv.fullSec, 3)},"ivf_postings_speedup":${num(iv.speedup, 2)},$ingJson}"""
       } catch {
         // a broken index build must be VISIBLE in the metrics block,
         // not silently collapse to {} — null value + the error message
