@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextOps._
-import graft.operators.{CacheScope, Curation, Dedup, SnapshotDiff, Validate}
+import graft.operators.{CacheScope, Curation, Dedup, SnapshotDiff, Spread, Validate}
 
 /** Text-analysis + deduplication surface over the `documents` table
   * (the LLM-data-pipeline extension, SURVEY §7.2 slice 5).
@@ -14,6 +14,15 @@ object DocumentQueries {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
+
+  /** [[docs]] spread for a CPU-dense per-row pass (tokenize / shingle /
+    * regex over `text`): guide §2.5's repartition-after-read for the
+    * single-row-group small-file scan, identity once the scan carries
+    * ≥ defaultParallelism splits ([[Spread.cpuBound]]). Use for the
+    * queries whose first stage does heavy token work; plain [[docs]]
+    * stays right for metadata-only or cheap-projection reads. */
+  private def docsSpread(spark: SparkSession, dir: String): DataFrame =
+    Spread.cpuBound(docs(spark, dir))
 
   val stopwords: Seq[String] = Seq("the", "a")
 
@@ -27,7 +36,7 @@ object DocumentQueries {
     * whitespace + regex tokenizers). */
   def q18TokenStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select($"lang", tokenCount($"text").as("n_tok"),
         regexTokenCount($"text").as("n_rtok"), length($"text").as("n_char"))
       .groupBy($"lang")
@@ -45,7 +54,7 @@ object DocumentQueries {
     * all per-row expression work, no shuffle. */
   def q19TextQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
     d.select(
@@ -141,7 +150,7 @@ object DocumentQueries {
     import spark.implicits._
     val byLang = Window.partitionBy($"lang")
       .orderBy($"n".desc, $"token".asc)
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select($"lang", explode(tokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
@@ -162,7 +171,7 @@ object DocumentQueries {
     * variant — one scaffold, two aggregates, no silent divergence. */
   private def langTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir).select($"lang", tokenCount($"text").as("n_tok"))
+    docsSpread(spark, dir).select($"lang", tokenCount($"text").as("n_tok"))
   }
 
   def q44TokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
@@ -203,8 +212,11 @@ object DocumentQueries {
     * scored corpus — candidate-proportional, like the verify phases. */
   def q45QualityKeep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val quality = q19TextQuality(spark, dir)
-      .select($"doc_id", $"quality_score")
+    // eager-persisted: the scored frame feeds BOTH join sides (qa/qb)
+    // — independent stages that would otherwise each re-run the
+    // tokenize+score pass (CacheScope.persistEager)
+    val quality = CacheScope.persistEager(q19TextQuality(spark, dir)
+      .select($"doc_id", $"quality_score"))
     val pairs = q20NgramJaccard(spark, dir)
     pairs
       .join(quality.select($"doc_id".as("doc_a"), $"quality_score".as("qa")),
@@ -230,7 +242,7 @@ object DocumentQueries {
   val chunkStride = 40
   def q46TokenChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
       .select($"doc_id", $"toks",
@@ -260,6 +272,9 @@ object DocumentQueries {
   val maxFingerprintDF = 100
   def q47Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // lazy persist (measured: the DF-cap aggregate populates the cache
+    // before the semi-join probe reads it — sequential stages, so the
+    // eager count() was a pure extra pass, +8% on q47)
     val fp = graft.operators.CacheScope.persist(
       Dedup.winnowFingerprints(docs(spark, dir), k = 3, w = 4,
         algo = "md5_60"))
@@ -290,7 +305,7 @@ object DocumentQueries {
   def q49HashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = md5Hash60($"doc_id".cast("string")) % 100
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train")
           .when(bucket < 90, "validate")
@@ -316,8 +331,9 @@ object DocumentQueries {
     // the shingle explode feeds BOTH the first-seen groupBy and the join
     // back — persisted (q47's pattern) so the corpus tokenize+explode
     // pass runs once, by contract rather than by hoping ReuseExchange
-    // keeps recognizing the two subplans as identical
-    val sh = graft.operators.CacheScope.persist(
+    // keeps recognizing the two subplans as identical; eager so the two
+    // concurrent consumer stages can't race the lazy cache
+    val sh = graft.operators.CacheScope.persistEager(
       Dedup.shingleTable(docs(spark, dir), k = 5))
     val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
     sh.join(first, "shingle")
@@ -351,7 +367,7 @@ object DocumentQueries {
   def q52NoveltyHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // same double-consumption as q52Novelty — same persist contract
-    val sh = graft.operators.CacheScope.persist(
+    val sh = graft.operators.CacheScope.persistEager(
       Dedup.shingleTable(docs(spark, dir), k = 5)
         .select($"doc_id", xxhash64($"shingle").as("shingle")))
     val first = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
@@ -382,7 +398,7 @@ object DocumentQueries {
     * corpus's bigrams at 100 TB. */
   def q53Repetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .withColumn("ts", tokens($"text"))
       .filter(size($"ts") >= 2)
       .withColumn("bg", expr(
@@ -472,7 +488,7 @@ object DocumentQueries {
     import spark.implicits._
     val d = docs(spark, dir)
     val nDocs = d.agg(count(lit(1)).cast("double")).scalar()
-    val tok = d
+    val tok = Spread.cpuBound(d)
       .withColumn("w", filter(tokens($"text"), t => length(t) > 0))
       .filter(size($"w") > 0)
       .select($"doc_id", size($"w").cast("long").as("doc_len"),
@@ -508,7 +524,8 @@ object DocumentQueries {
     import spark.implicits._
     val d = docs(spark, dir)
     // the fingerprint pass feeds the DF-cap aggregate AND the left-semi
-    // join — persisted (q47's pattern) so the corpus winnows once
+    // join — persisted (q47's pattern) so the corpus winnows once; lazy
+    // (q47's measurement: these consumers are sequential, no race)
     val fp = graft.operators.CacheScope.persist(
       Dedup.winnowFingerprints(d, k = 3, w = 4, algo = "md5_60"))
     val rare = fp.groupBy($"fingerprint")
@@ -575,7 +592,7 @@ object DocumentQueries {
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select($"doc_id", $"source", tokenCount($"text").as("tc"))
       .withColumn("start", sum($"tc").over(byShard) - $"tc")
       .withColumn("pack_id", expr(s"start div $packBudget"))
@@ -603,7 +620,7 @@ object DocumentQueries {
     * work, zero shuffle, scales linearly. */
   def q62PiiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select($"doc_id",
         concat(lit("reach u"), $"doc_id",
           lit("@mail.example.com or https://docs.example.org/d/"), $"doc_id",
@@ -833,8 +850,11 @@ object DocumentQueries {
     * bigram has c ≥ 1 — no smoothing constant to disagree on. */
   def q65BigramSurprise(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bi = graft.operators.CacheScope.persist(
-      docs(spark, dir)
+    // spread (guide §2.5: single-split scan serializes the tokenize) +
+    // eager (the LM aggregate, the scalar-subquery total, and the join
+    // back are concurrent consumer stages — CacheScope.persistEager)
+    val bi = graft.operators.CacheScope.persistEager(
+      graft.operators.Spread.cpuBound(docs(spark, dir))
         .withColumn("toks", tokens($"text"))
         .filter(size($"toks") >= 2)
         .select($"doc_id", explode(shingles($"toks", 2)).as("g")))
@@ -872,8 +892,9 @@ object DocumentQueries {
     * `approx_count_distinct(gram)` probe of the corpus when in doubt. */
   def bigramSurpriseHashed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bi = graft.operators.CacheScope.persist(
-      docs(spark, dir)
+    // same spread + eager rationale as q65BigramSurprise
+    val bi = graft.operators.CacheScope.persistEager(
+      graft.operators.Spread.cpuBound(docs(spark, dir))
         .withColumn("toks", tokens($"text"))
         .filter(size($"toks") >= 2)
         .select($"doc_id",
@@ -968,7 +989,7 @@ object DocumentQueries {
     // after the control strip), tab, NBSP, double space
     val messy = concat($"text", lit(DocumentQueries.dirtySuffix))
     val clean = cleanText(messy)
-    docs(spark, dir)
+    docsSpread(spark, dir)
       .select($"doc_id",
         length(messy).cast("long").as("raw_len"),
         length(clean).cast("long").as("clean_len"),
@@ -1024,7 +1045,7 @@ object DocumentQueries {
     * form, so the hash match IS the equivalence proof. */
   def q73TokenBudget(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
     val scored = d.select(
@@ -1055,7 +1076,7 @@ object DocumentQueries {
     * changes. */
   def q74QualityKeep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
     val priority = d.select(
@@ -1115,9 +1136,10 @@ object DocumentQueries {
     * NULL. */
   def q75CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val comp = CacheScope.persist(Dedup.dedupClusters(
+    // eager: three union arms consume the components concurrently
+    val comp = CacheScope.persistEager(Dedup.dedupClusters(
       q20NgramJaccard(spark, dir).select("doc_a", "doc_b")))
-    val d = docs(spark, dir)
+    val d = docsSpread(spark, dir)
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") > 0)
     val priority = d.select(

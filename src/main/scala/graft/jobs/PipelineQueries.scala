@@ -37,7 +37,9 @@ object PipelineQueries {
     * stays pinned against a hand-checked fixture in MlSpec. */
   def q29KdaWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.load(spark, dir, "lineitem")
+    // spread (guide §2.5): the correlation pass converts every row to an
+    // ML vector — CPU-dense per row, serialized on a single-split scan
+    val li = graft.operators.Spread.cpuBound(Tables.load(spark, dir, "lineitem"))
       .withColumn("revenue", $"l_extendedprice" * (lit(1) - $"l_discount"))
     val weights = Kda.relativeWeights(li, target = "revenue",
       features = Seq("l_quantity", "l_discount"))

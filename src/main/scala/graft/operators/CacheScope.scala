@@ -83,6 +83,28 @@ object CacheScope {
     df
   }
 
+  /** [[persist]] + immediate materialization (one `count()` action).
+    *
+    * For a persisted frame consumed by SEVERAL independent stages of one
+    * downstream query, lazy caching has a thundering-herd seam: AQE
+    * materializes independent shuffle stages CONCURRENTLY, every one of
+    * them finds the cached partitions absent, and each recomputes the
+    * full producing lineage (the block store does not lock in-flight
+    * partition computes — last writer wins). Measured on q20/q42/q72:
+    * SIX concurrent single-task jobs each re-running the whole
+    * tokenize+shingle pipeline (0.5–1.5 s apiece, plus the GC debt of
+    * 6× the allocation landing on the stages that follow). Paying one
+    * up-front count pins the cache ONCE; every consumer then scans
+    * CachedBatches. Use for fan-out intermediates (several consumers in
+    * one plan or an iterative loop); plain [[persist]] stays right for
+    * single-consumer reuse across sequential actions, where the first
+    * action populates without a race. */
+  private[graft] def persistEager(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   /** Run `f`, then release every operator-internal frame persisted during
     * it whose refcount this scope held last. Unpersist is idempotent, so
     * operators that already clean up after themselves (dedupClusters) are

@@ -464,7 +464,7 @@ object Dedup {
   def shingleTable(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    Spread.cpuBound(docs) // guide §2.5: tokenize+shingle is the CPU
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .select($"doc_id", explode(shingles($"toks", k)).as("shingle"))
@@ -535,12 +535,31 @@ object Dedup {
   def nearDupAuto(docs: DataFrame, k: Int = 5, threshold: Double = 0.4,
       maxDF: Int = 100, numHashes: Int = 32, bands: Int = 8,
       exactPairBudget: Long = 5000000L): NearDupRouted = {
-    val mass = exactCandidateMass(docs, k, maxDF)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE tokenize+shingle pass (r19, guide §1.2): the probe and BOTH
+    // routes consume the same per-doc distinct-shingle frame, so it is
+    // computed once here instead of once for the probe and again
+    // inside the chosen route — the router's overhead drops from a
+    // full corpus pass to the df aggregate alone. Spread + eager as in
+    // ngramJaccard (the probe's head() action doubles as the cache
+    // materializer, so the eager persist costs no extra job).
+    val withSh = CacheScope.persist(Spread.cpuBound(docs)
+      .withColumn("toks", tokens($"text"))
+      .filter(size($"toks") >= k)
+      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh")))
+    val mass = withSh
+      .select(explode(transform($"sh", s => xxhash64(s))).as("shash"))
+      .groupBy($"shash").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxDF)
+      .agg(coalesce(sum($"df" * ($"df" - 1)), lit(0L)))
+      .as[Long].head() / 2
     if (mass <= exactPairBudget)
-      NearDupRouted(ngramJaccard(docs, k, threshold, maxDF), "exact", mass)
+      NearDupRouted(ngramJaccardFromShingles(withSh, threshold, maxDF),
+        "exact", mass)
     else
-      NearDupRouted(minhashLsh(docs, k, numHashes, bands, threshold), "lsh",
-        mass)
+      NearDupRouted(minhashLshFromShingles(withSh, numHashes, bands,
+        threshold), "lsh", mass)
   }
 
   /** Exact n-gram Jaccard over the inverted shingle index.
@@ -559,11 +578,29 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     // per-row distinct shingle arrays: sizes come free (no groupBy), the
-    // inverted index is one explode away; reused by candidates + verify
-    val withSh = CacheScope.persist(docs
-      .withColumn("toks", tokens($"text"))
-      .filter(size($"toks") >= k)
-      .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh")))
+    // inverted index is one explode away; reused by candidates + verify.
+    // Spread: the shingle pass is the pipeline's CPU (guide §2.5 — a
+    // one-row-group docs file scans single-task); eager: the cache fans
+    // out to 4+ independent downstream stages (posting a/b, verify a/b)
+    // that AQE materializes concurrently — lazy caching let each race
+    // the unpopulated cache and recompute the pass (measured 6×).
+    ngramJaccardFromShingles(
+      CacheScope.persistEager(Spread.cpuBound(docs)
+        .withColumn("toks", tokens($"text"))
+        .filter(size($"toks") >= k)
+        .select($"doc_id", array_distinct(shingles($"toks", k)).as("sh"))),
+      threshold, maxDF)
+  }
+
+  /** [[ngramJaccard]]'s body over an already-persisted per-doc
+    * distinct-shingle frame `(doc_id, sh)` — the composition seam
+    * [[nearDupAuto]] uses to share ONE shingle pass between its probe
+    * and the chosen route. `withSh` must be persisted (it fans out to
+    * 4 downstream stages) and already spread. */
+  private def ngramJaccardFromShingles(withSh: DataFrame, threshold: Double,
+      maxDF: Int): DataFrame = {
+    val spark = withSh.sparkSession
+    import spark.implicits._
     // the inverted index carries 64-bit shingle HASHES, not strings: the
     // posting shuffle moves 8-byte keys instead of ~40-byte grams, and a
     // hash collision can only ADD a candidate pair (equal strings always
@@ -616,7 +653,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
-    docs
+    Spread.cpuBound(docs) // guide §2.5: the kernel pass is the CPU
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .withColumn("sh", array_distinct(shingles($"toks", k)))
@@ -647,15 +684,32 @@ object Dedup {
   /** MinHash + LSH near-duplicate candidates, verified with exact
     * Jaccard. numHashes must be divisible by bands. */
   def minhashLsh(docs: DataFrame, k: Int, numHashes: Int, bands: Int,
-                 threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // reused by both sides of the candidate self-join and the
-    // verification joins — without the persist the kernel lineage
-    // recomputes once per consumer
-    val sigs = CacheScope.persist(
-      minhashSignatures(docs, k, numHashes, bands))
+                 threshold: Double): DataFrame =
+    minhashLshFromSigs(CacheScope.persistEager(
+      minhashSignatures(docs, k, numHashes, bands)), threshold)
 
+  /** [[minhashLsh]] over an already-persisted per-doc distinct-shingle
+    * frame `(doc_id, sh)` — [[nearDupAuto]]'s shared-pass seam: the
+    * band keys are one kernel projection over the shared arrays (the
+    * SAME `sh` definition [[minhashSignatures]] computes), so the LSH
+    * route re-tokenizes nothing. */
+  private def minhashLshFromShingles(withSh: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    val spark = withSh.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    minhashLshFromSigs(CacheScope.persistEager(
+      withSh.select(col("doc_id"), col("sh"),
+        minhashBandKeysNative(col("sh"), numHashes, bands).as("bk"))),
+      threshold)
+  }
+
+  /** Shared candidate+verify body over a persisted `(doc_id, sh, bk)`
+    * signature frame (4 concurrent consumers — persist it eagerly). */
+  private def minhashLshFromSigs(sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
     // band key rows: (band index, key); the index keys the join so
     // cross-band collisions are excluded
     val bandRows = sigs.select($"doc_id",
@@ -1031,8 +1085,12 @@ object Dedup {
     val width = bits / bands
     val mask = (1L << width) - 1
     // both sides of the band self-join read the fingerprints — persist so
-    // the per-bit vote fold runs once per doc
-    val fp = CacheScope.persist(simhashFingerprints(docs, bits, algo))
+    // the per-bit vote fold runs once per doc; spread the fold (guide
+    // §2.5: single-split docs scan serializes it) and pin the cache
+    // EAGERLY (3+ concurrent consumer stages under AQE — the lazy-cache
+    // race, see CacheScope.persistEager)
+    val fp = CacheScope.persistEager(
+      simhashFingerprints(Spread.cpuBound(docs), bits, algo))
     val bandRows = fp.select(
       $"doc_id", $"simhash",
       explode(array((0 until bands).map(b =>
@@ -1122,8 +1180,11 @@ object Dedup {
     // both union arms and every propagation round read the pair list —
     // materialize it once (the producing plan is often a whole dedup
     // pipeline, far too expensive to re-run per arm); cached already
-    // laid out on the join key so rounds reuse the exchange
-    val p = CacheScope.persist(pairs.select($"doc_a", $"doc_b"))
+    // laid out on the join key so rounds reuse the exchange. EAGER:
+    // the union's two arms are independent map stages that race a lazy
+    // cache and re-run the producing pipeline per arm (measured on
+    // q42 — see CacheScope.persistEager)
+    val p = CacheScope.persistEager(pairs.select($"doc_a", $"doc_b"))
     val edges = CacheScope.persist(
       p.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(p.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -1356,7 +1417,7 @@ object Dedup {
       algo: String = "xx64"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
+    Spread.cpuBound(docs) // guide §2.5: the winnow pass is the CPU
       .withColumn("toks", tokens($"text"))
       .filter(size($"toks") >= k)
       .withColumn("hs", shingleHashes($"toks", k, algo))
@@ -1780,8 +1841,10 @@ object Dedup {
       threshold: Double, bucketCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // vectors + norms feed the bucket explode and both verify sides
-    val corpus = CacheScope.persist(emb
+    // vectors + norms feed the bucket explode and both verify sides —
+    // three concurrent consumer stages, so the cache is pinned eagerly
+    // (the lazy-cache race, CacheScope.persistEager)
+    val corpus = CacheScope.persistEager(emb
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", l2Norm($"v")))
 

@@ -79,19 +79,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"q01 scan lost its pushed filter:\n$p")
   }
 
-  test("pure per-row queries plan with zero shuffle exchanges") {
+  test("pure per-row queries plan with zero data-dependent exchanges") {
     // these are expression-tree-only pipelines (project/filter/explode):
-    // a shuffle appearing in any of them means an accidental
-    // groupBy/distinct/repartition crept in — at 100 TB that's the
-    // difference between a single corpus pass and a corpus re-shuffle
+    // a KEYED shuffle appearing in any of them means an accidental
+    // groupBy/distinct crept in — at 100 TB that's the difference
+    // between a single corpus pass and a corpus re-shuffle. The ONE
+    // permitted exchange is r19's Spread.cpuBound round-robin
+    // (REPARTITION_BY_NUM): the guide-§2.5 parallelism floor for a
+    // single-split local scan, identity at scale — so keyed exchanges
+    // stay banned outright, and at most one round-robin may appear.
     Seq("q19_text_quality", "q23_embed_norms", "q28_multimodal_meta",
       "q30_oncology_flags", "q36_winnow_fingerprints", "q46_token_chunks",
       "q48_embed_quantize", "q53_repetition", "q69_text_clean").foreach { name =>
-      val p = finalPlan(name)
+      // count in the FINAL plan section only (the adaptive explain
+      // string appends an "== Initial Plan ==" duplicate)
+      val p = finalPlan(name).split("== Initial Plan ==")(0)
       assert(!p.contains("Exchange hashpartitioning") &&
-        !p.contains("Exchange rangepartitioning") &&
-        !p.contains("Exchange RoundRobinPartitioning"),
-        s"$name gained a shuffle:\n$p")
+        !p.contains("Exchange rangepartitioning"),
+        s"$name gained a keyed shuffle:\n$p")
+      val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+      assert(rr <= 1, s"$name gained a non-spread round-robin shuffle:\n$p")
     }
   }
 
@@ -223,11 +230,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // in place — a second exchange appearing means the rollup stopped
     // riding the window's layout, a full extra corpus shuffle at 100 TB
     // the adaptive plan string appends an "== Initial Plan ==" section —
-    // count exchanges in the FINAL plan only
+    // count exchanges in the FINAL plan only. r19: the Spread.cpuBound
+    // round-robin (identity at scale, guide §2.5) is counted separately
+    // — the CONTRACT is still exactly one KEYED exchange (the shard
+    // window's), reused by the rollup.
     val p = finalPlan("q61_sequence_packing").split("== Initial Plan ==")(0)
-    val exchanges = "Exchange (hash|range|SinglePartition|RoundRobin)".r
+    val keyed = "Exchange (hash|range|SinglePartition)".r
       .findAllIn(p).size
-    assert(exchanges == 1, s"q61 expected 1 exchange, found $exchanges:\n$p")
+    assert(keyed == 1, s"q61 expected 1 keyed exchange, found $keyed:\n$p")
+    val rr = "Exchange RoundRobin".r.findAllIn(p).size
+    assert(rr <= 1, s"q61 expected at most the spread round-robin:\n$p")
   }
 
   test("q67 quality gate reads the corpus exactly once") {
