@@ -665,7 +665,7 @@ object Similarity {
       cents: Array[Array[Double]], cellCap: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    assignedHome(prepared(emb), centroidTableOf(spark, cents), cellCap)
+    assignedHome(prepared(emb), cents, cellCap)
       .withColumn("iv_cells", lit(cents.length))
       .withColumn("iv_cap", lit(cellCap))
       .withColumn("iv_ck", lit(centroidChecksumOf(cents)))
@@ -729,30 +729,42 @@ object Similarity {
 
   /** Home-cell assignment + deterministic hot-cell cap, shared by the
     * build and append paths (equality between them depends on this
-    * being ONE definition). */
-  private def assignedHome(corpus: DataFrame, cents: DataFrame,
+    * being ONE definition).
+    *
+    * r19: assignment is the codegen KERNEL scan
+    * ([[graft.expressions.IvfNearestCells]]) — one pass over the
+    * corpus, no corpus×cells row expansion and no per-vector window
+    * (the old window-ranked form shuffled numCells vector-bearing rows
+    * per vector through a `row_number` exchange; guide §2.3/§2.4).
+    * Row-equal INCLUDING the stored d2 — the kernel sums ⟨v,c⟩ in
+    * index order, so values and cap tie-breaks match the window form
+    * bit-for-bit (SimilaritySpec pins kernel ≡ window-ranked against
+    * an inline reference, capped and not; the lifecycle oracles pin it
+    * against DuckDB end-to-end). Null law unchanged: non-assignable
+    * vectors (dim mismatch / null element) drop. */
+  private def assignedHome(corpus: DataFrame, cents: Array[Array[Double]],
       cellCap: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c2 = cents
-      .withColumn("cn2", dot($"centroid", $"centroid"))
-    val byDist = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell".asc)
-    val byCell = Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
-    corpus
-      .join(broadcast(c2))
-      .withColumn("d2",
-        $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
-      // drop non-assignable vectors (null d2: dim mismatch / null
-      // element) — matches the kernel build, which returns null for
-      // them, instead of letting NULLS-FIRST rank them into cell 0
-      .filter($"d2".isNotNull)
-      .withColumn("cr", row_number().over(byDist))
-      .filter($"cr" === 1)
-      .select($"cell", $"vec_id".as("cand_id"), $"v".as("cv"),
-        $"nrm".as("cn"), $"d2")
-      .withColumn("cellRank", row_number().over(byCell))
-      .filter($"cellRank" <= cellCap)
-      .drop("cellRank")
+    import org.apache.spark.sql.GraftColumnBridge
+    val bc = spark.sparkContext.broadcast(
+      graft.expressions.IvfAssignKernel.centroidSet(cents))
+    val home = corpus.withColumn("nc",
+      GraftColumnBridge.column(graft.expressions.IvfNearestCells(bc,
+        GraftColumnBridge.expression($"v"),
+        GraftColumnBridge.expression($"nrm"), 1)))
+      .select(element_at($"nc", 1).getField("cell").as("cell"),
+        $"vec_id".as("cand_id"), $"v".as("cv"), $"nrm".as("cn"),
+        element_at($"nc", 1).getField("d2").as("d2"))
+      .filter($"cell".isNotNull)
+    if (cellCap == Int.MaxValue) home
+    else {
+      val byCell =
+        Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+      home.withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cellCap)
+        .drop("cellRank")
+    }
   }
 
   /** The parameters embedded in a postings artifact (fail-fast seam). */
@@ -859,8 +871,7 @@ object Similarity {
     require(centroidChecksumOf(cents) == ck,
       "model centroids differ from the artifact's — append with the " +
         "index's own saved model (loadIvfIndex), or rebuild ivfPostings")
-    val delta = assignedHome(prepared(newEmb),
-      centroidTableOf(spark, cents), cap)
+    val delta = assignedHome(prepared(newEmb), cents, cap)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
@@ -1237,8 +1248,7 @@ object Similarity {
     require(centroidChecksumOf(cents) == ck,
       "model centroids differ from the artifact's — append with the " +
         "index's own saved model (loadIvfIndex), or rebuild ivfPostings")
-    val delta = assignedHome(prepared(newEmb),
-      centroidTableOf(spark, cents), cap)
+    val delta = assignedHome(prepared(newEmb), cents, cap)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
@@ -1469,8 +1479,7 @@ object Similarity {
     require(gpOpt.isEmpty,
       "artifact is two-level-built (iv_gp): the exact recap would mix " +
         "assignment laws — use appendIvfPostingsRetainedGrouped")
-    val delta = assignedHome(prepared(newEmb),
-      centroidTableOf(spark, cents), cap)
+    val delta = assignedHome(prepared(newEmb), cents, cap)
       .withColumn("iv_cells", lit(cells))
       .withColumn("iv_cap", lit(cap))
       .withColumn("iv_ck", lit(ck))
@@ -1557,33 +1566,28 @@ object Similarity {
             postingsDataSchema(st.params.gp.nonEmpty))
       val byCell =
         Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
-      val recapped = maintStage("recapr_fold")(
-        old.select(delta.columns.map(col): _*)
-          .unionByName(delta)
-          .dropDuplicates(Seq("cell", "cand_id"))
-          .withColumn("cellRank", row_number().over(byCell))
-          .filter($"cellRank" <= cap)
-          .drop("cellRank")
-          .localCheckpoint(true))
-      try {
-        val counts = recapped
-          .groupBy(col("cell").cast("int").as("cell")).count()
-          .as[(Int, Long)].collect().toMap
-        val staged = stageIntoCells(spark, path, recapped)
-        val entries = staged.map { case (c, name, bytes) =>
-          PostingsManifest.FileEntry(c, name, bytes,
-            counts.getOrElse(c, 0L))
-        }
-        maintStage("recapr_manifest_roll") {
-          // prev = st0, the state as READ (aged entries included), so
-          // the delta's dels carry the entry-vacuumed files too
-          val next = st.retiringCells(touched, entries)
-          PostingsManifest.commit(spark, path, st0, next)
-          PostingsManifest.clearDirty(spark, path)
-          logRetiredDebt(path, next)
-        }
-      } finally org.apache.spark.sql.GraftColumnBridge
-        .unpersistLocalCheckpoint(recapped)
+      // single-pass fold (guide §1.2): consumed once by the staged
+      // write; per-cell rows ride the landed footers (stageIntoCells),
+      // so the old localCheckpoint + count pair of jobs is gone
+      val recapped = old.select(delta.columns.map(col): _*)
+        .unionByName(delta)
+        .dropDuplicates(Seq("cell", "cand_id"))
+        .withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cap)
+        .drop("cellRank")
+      val staged = maintStage("recapr_fold")(
+        stageIntoCells(spark, path, recapped))
+      val entries = staged.map { case (c, name, bytes, rows) =>
+        PostingsManifest.FileEntry(c, name, bytes, rows)
+      }
+      maintStage("recapr_manifest_roll") {
+        // prev = st0, the state as READ (aged entries included), so
+        // the delta's dels carry the entry-vacuumed files too
+        val next = st.retiringCells(touched, entries)
+        PostingsManifest.commit(spark, path, st0, next)
+        PostingsManifest.clearDirty(spark, path)
+        logRetiredDebt(path, next)
+      }
     } finally org.apache.spark.sql.GraftColumnBridge
       .unpersistLocalCheckpoint(delta)
   }
@@ -1677,11 +1681,17 @@ object Similarity {
     * cell directories — metadata operations ∝ touched cells, nothing ∝
     * the artifact. Part-file names carry the write job's UUID, so
     * renames cannot collide with prior files. Returns the landed
-    * (cell, name, bytes) — captured from the staging listing the rename
-    * pass walks anyway, so manifest bookkeeping costs no extra FS
-    * calls. */
+    * (cell, name, bytes, rows) — name/bytes captured from the staging
+    * listing the rename pass walks anyway, rows from ONE
+    * footer-metadata job over the landed files (the
+    * [[PostingsManifest.rebuild]] accounting trick). Carrying rows here
+    * lets every caller feed the manifest WITHOUT a pre-write
+    * groupBy(cell).count() pass — which also means the staged frame is
+    * consumed exactly ONCE, so the callers' localCheckpoint
+    * materializations (one extra job + block storage per maintenance
+    * op, ∝ the delta) are gone too. Guide §1.2: fewer passes first. */
   private def stageIntoCells(spark: SparkSession, path: String,
-      df: DataFrame): Seq[(Int, String, Long)] = {
+      df: DataFrame): Seq[(Int, String, Long, Long)] = {
     val tmp = path.stripSuffix("/") +
       "__delta_" + java.util.UUID.randomUUID().toString
     maintStage("stage_write_tmp") {
@@ -1709,7 +1719,19 @@ object Similarity {
             }
         }
     } finally maintStage("stage_cleanup")(fs.delete(hTmp, true))
-    staged.toSeq
+    // per-file rows from the footers of the just-landed files: one
+    // metadata-bounded job (no data pages), replacing the callers'
+    // pre-write count pass + its localCheckpoint
+    val rows = maintStage("stage_footer_rows")(
+      org.apache.spark.sql.GraftColumnBridge.parquetFooterRowCounts(spark,
+        staged.map { case (c, name, _) =>
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(path, s"cell=$c"), name).toString
+        }.toSeq))
+    staged.toSeq.map { case (c, name, bytes) =>
+      (c, name, bytes, rows.getOrElse(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, s"cell=$c"), name).toString, 0L))
+    }
   }
 
   private def appendFragmentFiles(spark: SparkSession, path: String,
@@ -1722,32 +1744,23 @@ object Similarity {
     // that ran between probe and lease — the stale-roll-forward seam
     // the lease exists to close.
     val state0 = PostingsManifest.readClean(spark, path)
-    // Manifest bookkeeping needs the delta twice (write + per-cell row
-    // counts) — materialize ONCE so assignment arithmetic doesn't
-    // rerun; the manifest-less path keeps its single-pass shape.
-    val delta =
-      if (state0.isEmpty) delta0
-      else maintStage("frag_delta_ckpt")(delta0.localCheckpoint(true))
-    try {
-      // write-ahead intent: from the first rename on, the manifest no
-      // longer matches the directory until rolled forward below
-      if (state0.nonEmpty) PostingsManifest.markDirty(spark, path)
-      val staged = stageIntoCells(spark, path, delta)
-      state0.foreach { st =>
-        maintStage("frag_manifest_roll") {
-          val rowsPerCell = delta
-            .groupBy(col("cell").cast("int").as("cell")).count()
-            .as[(Int, Long)].collect().toMap
-          val entries = staged.map { case (c, name, bytes) =>
-            PostingsManifest.FileEntry(c, name, bytes,
-              rowsPerCell.getOrElse(c, 0L))
-          }
-          PostingsManifest.commit(spark, path, st, st.adding(entries))
-          PostingsManifest.clearDirty(spark, path)
+    // Single-pass shape (guide §1.2): the delta is consumed exactly once
+    // by the staged write — per-cell rows for the manifest come from the
+    // landed files' footers (stageIntoCells), so the old
+    // localCheckpoint + groupBy(cell).count() pair of jobs is gone.
+    // write-ahead intent: from the first rename on, the manifest no
+    // longer matches the directory until rolled forward below
+    if (state0.nonEmpty) PostingsManifest.markDirty(spark, path)
+    val staged = stageIntoCells(spark, path, delta0)
+    state0.foreach { st =>
+      maintStage("frag_manifest_roll") {
+        val entries = staged.map { case (c, name, bytes, rows) =>
+          PostingsManifest.FileEntry(c, name, bytes, rows)
         }
+        PostingsManifest.commit(spark, path, st, st.adding(entries))
+        PostingsManifest.clearDirty(spark, path)
       }
-    } finally if (state0.nonEmpty)
-      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(delta)
+    }
   }
 
   /** FRAGMENT append for TWO-LEVEL-built artifacts — the O(batch)
@@ -2133,30 +2146,24 @@ object Similarity {
                 postingsDataSchema(st.params.gp.nonEmpty))
             val byCell =
               Window.partitionBy($"cell").orderBy($"d2".asc, $"cand_id".asc)
+            // single-pass fold: consumed once by the staged write;
+            // per-cell rows ride the landed footers (stageIntoCells)
             val folded = frag
               .dropDuplicates(Seq("cell", "cand_id"))
               .withColumn("cellRank", row_number().over(byCell))
               .filter($"cellRank" <= cap)
               .drop("cellRank")
-              .localCheckpoint(true)
-            try {
-              val counts = folded
-                .groupBy(col("cell").cast("int").as("cell")).count()
-                .as[(Int, Long)].collect().toMap
-              val staged = stageIntoCells(spark, path, folded)
-              val entries = staged.map { case (c, name, bytes) =>
-                PostingsManifest.FileEntry(c, name, bytes,
-                  counts.getOrElse(c, 0L))
-              }
-              val next = st.retiringCells(fragmented, entries)
-              PostingsManifest.write(spark, path, next)
-              PostingsManifest.clearDirty(spark, path)
-              logRetiredDebt(path, next)
-              (fragmented.size, filesBefore,
-                filesBefore - fragmented.toSeq.map(pcFiles).sum +
-                  fragmented.size)
-            } finally org.apache.spark.sql.GraftColumnBridge
-              .unpersistLocalCheckpoint(folded)
+            val staged = stageIntoCells(spark, path, folded)
+            val entries = staged.map { case (c, name, bytes, rows) =>
+              PostingsManifest.FileEntry(c, name, bytes, rows)
+            }
+            val next = st.retiringCells(fragmented, entries)
+            PostingsManifest.write(spark, path, next)
+            PostingsManifest.clearDirty(spark, path)
+            logRetiredDebt(path, next)
+            (fragmented.size, filesBefore,
+              filesBefore - fragmented.toSeq.map(pcFiles).sum +
+                fragmented.size)
           }
       }
     }

@@ -381,19 +381,58 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
   }
 
   test("kernel-built postings equal the window-ranked build exactly, capped and not") {
+    // r19: every build/append route now assigns through the kernel, so
+    // the window-ranked reference is constructed INLINE here (cross
+    // join + row_number windows — the pre-r19 assignedHome shape and
+    // the DuckDB oracles' form), keeping this pin independent of the
+    // code under test.
+    import org.apache.spark.sql.expressions.Window
     val emb = Tables.load(spark, sf0001, "embeddings")
     val model = Similarity.fitIvfIndex(emb, numCells = 8, seed = 42L,
       trainFraction = 0.5)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(4),
-        r.getInt(5), r.getInt(6), r.getLong(7))).toSet
+    val cents = model.clusterCenters.map(_.toArray)
+    def windowRanked(cellCap: Int): org.apache.spark.sql.DataFrame = {
+      val dot = (a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+      val prepared = emb.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("nrm", sqrt(dot($"v", $"v")))
+      val cdf = spark.createDataFrame(cents.zipWithIndex.map {
+        case (c, i) => (i, c.toSeq)
+      }.toSeq).toDF("cell", "centroid")
+        .withColumn("cn2", dot($"centroid", $"centroid"))
+      val byDist = Window.partitionBy($"vec_id")
+        .orderBy($"d2".asc, $"cell".asc)
+      val byCell = Window.partitionBy($"cell")
+        .orderBy($"d2".asc, $"cand_id".asc)
+      prepared.crossJoin(broadcast(cdf))
+        .withColumn("d2",
+          $"nrm" * $"nrm" + $"cn2" - lit(2.0) * dot($"v", $"centroid"))
+        .filter($"d2".isNotNull)
+        .withColumn("cr", row_number().over(byDist))
+        .filter($"cr" === 1)
+        .select($"cell", $"vec_id".as("cand_id"), $"d2")
+        .withColumn("cellRank", row_number().over(byCell))
+        .filter($"cellRank" <= cellCap)
+        .drop("cellRank")
+    }
+    def kernelRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "cand_id", "d2")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    def refRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .toSet
     // uncapped AND a binding cap: the stored d2 must agree bit-for-bit
     // (kernel dot is index-order summed) or cap evictions would diverge
-    assert(rows(Similarity.ivfPostingsLarge(emb, model)) ==
-      rows(Similarity.ivfPostings(emb, model)))
+    assert(kernelRows(Similarity.ivfPostingsLarge(emb, model)) ==
+      refRows(windowRanked(Int.MaxValue)))
     val capped = Similarity.ivfPostingsLarge(emb, model, cellCap = 16)
-    assert(rows(capped) ==
-      rows(Similarity.ivfPostings(emb, model, cellCap = 16)))
+    assert(kernelRows(capped) == refRows(windowRanked(16)))
+    assert(kernelRows(Similarity.ivfPostings(emb, model, cellCap = 16)) ==
+      refRows(windowRanked(16)),
+      "ivfPostings (shared assignedHome) must match the reference too")
     assert(capped.count() < Similarity.ivfPostings(emb, model).count(),
       "cap did not bind — the eviction side is untested")
   }
