@@ -150,7 +150,7 @@ object DocumentQueries {
     import spark.implicits._
     val byLang = Window.partitionBy($"lang")
       .orderBy($"n".desc, $"token".asc)
-    docsSpread(spark, dir)
+    docs(spark, dir)
       .select($"lang", explode(tokens($"text")).as("token"))
       .filter(length($"token") > 0)
       .groupBy($"lang", $"token").agg(count(lit(1)).as("n"))
@@ -171,7 +171,7 @@ object DocumentQueries {
     * variant — one scaffold, two aggregates, no silent divergence. */
   private def langTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    docsSpread(spark, dir).select($"lang", tokenCount($"text").as("n_tok"))
+    docs(spark, dir).select($"lang", tokenCount($"text").as("n_tok"))
   }
 
   def q44TokenPercentiles(spark: SparkSession, dir: String): DataFrame = {
@@ -305,7 +305,7 @@ object DocumentQueries {
   def q49HashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = md5Hash60($"doc_id".cast("string")) % 100
-    docsSpread(spark, dir)
+    docs(spark, dir)
       .withColumn("split",
         when(bucket < 80, "train")
           .when(bucket < 90, "validate")
@@ -488,7 +488,7 @@ object DocumentQueries {
     import spark.implicits._
     val d = docs(spark, dir)
     val nDocs = d.agg(count(lit(1)).cast("double")).scalar()
-    val tok = Spread.cpuBound(d)
+    val tok = d
       .withColumn("w", filter(tokens($"text"), t => length(t) > 0))
       .filter(size($"w") > 0)
       .select($"doc_id", size($"w").cast("long").as("doc_len"),
@@ -592,7 +592,7 @@ object DocumentQueries {
       .partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docsSpread(spark, dir)
+    docs(spark, dir)
       .select($"doc_id", $"source", tokenCount($"text").as("tc"))
       .withColumn("start", sum($"tc").over(byShard) - $"tc")
       .withColumn("pack_id", expr(s"start div $packBudget"))

@@ -37,7 +37,9 @@ object EventQueries {
     * avg_value uses the q58 integer round-half-up identity. */
   def q14EventsJson(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ev(spark, dir)
+    // spread (guide §2.5): per-row JSON parsing serialized on the
+    // single-split events scan; identity at scale
+    graft.operators.Spread.cpuBound(ev(spark, dir))
       .withColumn("k_val", get_json_object($"props", "$.k").cast("int"))
       .withColumn("value_c", round($"value" * 100).cast("long"))
       .groupBy($"event_type")

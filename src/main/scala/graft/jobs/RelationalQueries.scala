@@ -74,7 +74,9 @@ object RelationalQueries {
     * is the final aggregation. */
   def q02TypeRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = t(spark, dir, "lineitem")
+    // spread (guide §2.5): the single-split lineitem scan serializes the
+    // broadcast-join probe + distinct-expand partial aggregation
+    val li = graft.operators.Spread.cpuBound(t(spark, dir, "lineitem"))
     val part = t(spark, dir, "part").filter($"p_type".isNotNull)
     li.join(broadcast(part), $"l_partkey" === $"p_partkey")
       .groupBy(lower($"p_type").as("type_name"))
@@ -95,7 +97,9 @@ object RelationalQueries {
   def q02TypeRollupApprox(spark: SparkSession, dir: String,
       rsd: Double = 0.05): DataFrame = {
     import spark.implicits._
-    val li = t(spark, dir, "lineitem")
+    // spread (guide §2.5): the single-split lineitem scan serializes the
+    // broadcast-join probe + distinct-expand partial aggregation
+    val li = graft.operators.Spread.cpuBound(t(spark, dir, "lineitem"))
     val part = t(spark, dir, "part").filter($"p_type".isNotNull)
     li.join(broadcast(part), $"l_partkey" === $"p_partkey")
       .groupBy(lower($"p_type").as("type_name"))
@@ -204,7 +208,10 @@ object RelationalQueries {
   private def starFeatures(spark: SparkSession, dir: String,
       salt: Int): DataFrame = {
     import spark.implicits._
-    val o = t(spark, dir, "orders")
+    // spread (guide §2.5): both fact scans are single-split locally —
+    // the per-order collect_set partials and the dims join probe
+    // serialize without it; identity at scale
+    val o = graft.operators.Spread.cpuBound(t(spark, dir, "orders"))
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
     // Pre-aggregate the fan-out side once, keyed on the join key: the
@@ -216,7 +223,7 @@ object RelationalQueries {
     // set cardinality is bounded by lineitems-per-order (≤ 7), not by
     // corpus size. (For unbounded groups — q08's brand×nation — the
     // expand or the HLL variant is the right tool instead.)
-    val liStats = t(spark, dir, "lineitem")
+    val liStats = graft.operators.Spread.cpuBound(t(spark, dir, "lineitem"))
       .groupBy($"l_orderkey")
       .agg(
         count(lit(1)).as("li_count"),
@@ -295,7 +302,7 @@ object RelationalQueries {
     * first/last seen (SURVEY J7, A2, A5, A10). */
   def q08Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = t(spark, dir, "lineitem")
+    val li = graft.operators.Spread.cpuBound(t(spark, dir, "lineitem"))
     val part = t(spark, dir, "part")
     val sup = t(spark, dir, "supplier")
     val nat = t(spark, dir, "nation")
@@ -314,7 +321,7 @@ object RelationalQueries {
   def q08CooccurrenceApprox(spark: SparkSession, dir: String,
       rsd: Double = 0.05): DataFrame = {
     import spark.implicits._
-    val li = t(spark, dir, "lineitem")
+    val li = graft.operators.Spread.cpuBound(t(spark, dir, "lineitem"))
     val part = t(spark, dir, "part")
     val sup = t(spark, dir, "supplier")
     val nat = t(spark, dir, "nation")

@@ -1085,12 +1085,12 @@ object Dedup {
     val width = bits / bands
     val mask = (1L << width) - 1
     // both sides of the band self-join read the fingerprints — persist so
-    // the per-bit vote fold runs once per doc; spread the fold (guide
-    // §2.5: single-split docs scan serializes it) and pin the cache
-    // EAGERLY (3+ concurrent consumer stages under AQE — the lazy-cache
-    // race, see CacheScope.persistEager)
-    val fp = CacheScope.persistEager(
-      simhashFingerprints(Spread.cpuBound(docs), bits, algo))
+    // the per-bit vote fold runs once per doc (spread + eager were tried
+    // here in r19 and REVERTED: full-bench-context medians read 1.6x
+    // baseline with them and 1.0x without — the fold is light enough
+    // that the added exchange + materialization pass cost more than the
+    // single-task fold they parallelized)
+    val fp = CacheScope.persist(simhashFingerprints(docs, bits, algo))
     val bandRows = fp.select(
       $"doc_id", $"simhash",
       explode(array((0 until bands).map(b =>
